@@ -1,0 +1,154 @@
+"""TableMetadata -> property-graph nodes/relations (SURVEY.md §2.C C2).
+
+The reference's loader flattens each nested TableMetadata record into graph
+node + relationship CSV rows with deterministic URI-style keys (loader
+imported at job/sample_mysql_aws_sqs_job.py:9; the LABEL/KEY column contract
+declared at publisher/aws_sqs_csv_puiblisher.py:43-51; key shape
+``{database}://{cluster}.{schema}/{table}[/{column}]``).
+
+Here the flattening is a pure DataFrame plan: ``explode`` the columns array,
+synthesize keys with ``concat_ws``/``concat``, union per-label frames by
+name.  Properties are really typed (sort_order int, is_view boolean) —
+the reference's ``:UNQUOTED`` CSV-header typing hack is only re-created in
+the legacy CSV writer (sinks/staging.py), never in the engine.
+
+Node labels: Table, Column, Description.  Description nodes exist only for
+non-empty descriptions, keyed ``<parent_key>/_description`` — matching the
+Databuilder graph shape (SURVEY.md §1.1b).
+
+Relations (FIXTURES.md B4): Table-[COLUMN/COLUMN_OF]->Column and
+parent-[DESCRIPTION/DESCRIPTION_OF]->Description.
+
+Scale note: both outputs derive from one exploded frame; Catalyst reuses the
+scan, there is no shuffle at all (narrow ops only), and key synthesis is
+whole-stage-codegen string concat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "table_key", "column_key", "to_nodes", "to_relations",
+    "NODE_COLUMNS", "RELATION_COLUMNS",
+]
+
+NODE_COLUMNS = ("label", "key", "name", "description", "col_type",
+                "sort_order", "is_view")
+RELATION_COLUMNS = ("start_label", "start_key", "end_label", "end_key",
+                    "type", "reverse_type")
+
+
+def table_key(database: Column | str = "database",
+              cluster: Column | str = "cluster",
+              schema: Column | str = "schema",
+              table: Column | str = "table_name") -> Column:
+    """``{database}://{cluster}.{schema}/{table}`` (SURVEY.md §1.1b)."""
+    c = lambda x: F.col(x) if isinstance(x, str) else x  # noqa: E731
+    return F.concat(c(database), F.lit("://"), c(cluster), F.lit("."),
+                    c(schema), F.lit("/"), c(table))
+
+
+def column_key(table_key_col: Column, col_name: Column) -> Column:
+    return F.concat(table_key_col, F.lit("/"), col_name)
+
+
+def _exploded(tm: DataFrame) -> DataFrame:
+    """One row per column with table context + both keys, computed once."""
+    tkey = table_key().alias("table_key")
+    return (
+        tm.select("database", "cluster", "schema", "table_name",
+                  F.col("description").alias("table_description"),
+                  "is_view", tkey,
+                  F.explode("columns").alias("col"))
+        .select("*",
+                column_key(F.col("table_key"), F.col("col.name")).alias("col_key"))
+    )
+
+
+def _node(df: DataFrame, label: str, key: Column, name: Column,
+          description: Column, col_type: Column | None = None,
+          sort_order: Column | None = None,
+          is_view: Column | None = None) -> DataFrame:
+    return df.select(
+        F.lit(label).alias("label"),
+        key.alias("key"),
+        name.alias("name"),
+        description.alias("description"),
+        (col_type if col_type is not None
+         else F.lit(None).cast("string")).alias("col_type"),
+        (sort_order if sort_order is not None
+         else F.lit(None).cast("int")).alias("sort_order"),
+        (is_view if is_view is not None
+         else F.lit(None).cast("boolean")).alias("is_view"),
+    )
+
+
+def to_nodes(tm: DataFrame) -> DataFrame:
+    """All graph nodes as one typed DataFrame (FIXTURES.md B3)."""
+    ex = _exploded(tm)
+
+    tables = tm.select("database", "cluster", "schema", "table_name",
+                       "description", "is_view", table_key().alias("key"))
+    table_nodes = _node(
+        tables.drop_duplicates(["key"]), "Table",
+        F.col("key"), F.col("table_name"), F.col("description"),
+        is_view=F.col("is_view"))
+
+    column_nodes = _node(
+        ex, "Column",
+        F.col("col_key"), F.col("col.name"), F.col("col.description"),
+        col_type=F.col("col.col_type"), sort_order=F.col("col.sort_order"))
+
+    table_desc_nodes = _node(
+        tables.filter(F.col("description") != ""), "Description",
+        F.concat(F.col("key"), F.lit("/_description")),
+        F.lit("_description"), F.col("description"))
+
+    col_desc_nodes = _node(
+        ex.filter(F.col("col.description") != ""), "Description",
+        F.concat(F.col("col_key"), F.lit("/_description")),
+        F.lit("_description"), F.col("col.description"))
+
+    return (table_nodes
+            .unionByName(column_nodes)
+            .unionByName(table_desc_nodes)
+            .unionByName(col_desc_nodes))
+
+
+def _relation(df: DataFrame, start_label: str, start_key: Column,
+              end_label: str, end_key: Column,
+              rel_type: str, reverse_type: str) -> DataFrame:
+    return df.select(
+        F.lit(start_label).alias("start_label"),
+        start_key.alias("start_key"),
+        F.lit(end_label).alias("end_label"),
+        end_key.alias("end_key"),
+        F.lit(rel_type).alias("type"),
+        F.lit(reverse_type).alias("reverse_type"),
+    )
+
+
+def to_relations(tm: DataFrame) -> DataFrame:
+    """All graph relationships as one DataFrame (FIXTURES.md B4)."""
+    ex = _exploded(tm)
+
+    table_column = _relation(
+        ex, "Table", F.col("table_key"), "Column", F.col("col_key"),
+        "COLUMN", "COLUMN_OF")
+
+    table_desc = _relation(
+        ex.select("table_key", "table_description").drop_duplicates(["table_key"])
+          .filter(F.col("table_description") != ""),
+        "Table", F.col("table_key"),
+        "Description", F.concat(F.col("table_key"), F.lit("/_description")),
+        "DESCRIPTION", "DESCRIPTION_OF")
+
+    col_desc = _relation(
+        ex.filter(F.col("col.description") != ""),
+        "Column", F.col("col_key"),
+        "Description", F.concat(F.col("col_key"), F.lit("/_description")),
+        "DESCRIPTION", "DESCRIPTION_OF")
+
+    return table_column.unionByName(table_desc).unionByName(col_desc)

@@ -1,0 +1,228 @@
+"""Flagship metadata-ETL queries + DuckDB oracles (SURVEY.md §2.A-§2.C).
+
+The Spark side *introspects* the fixture parquet footers to derive
+catalog_columns (sources/catalog.py); the oracle side states the expected
+catalog as an independent VALUES literal (EXPECTED_CATALOG below, transcribed
+from FIXTURES.md §A plus the engine's documented parquet->Spark type mapping).
+If introspection, type mapping, grouping, or graph flattening drift, the
+driver's hash comparison catches it — this is the engine's equivalent of the
+reference's (absent) extractor tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.operators.graph import to_nodes, to_relations
+from ab_metadata_pusher_spark.operators.metadata import table_metadata
+from ab_metadata_pusher_spark.plans.registry import register
+from ab_metadata_pusher_spark.sources.catalog import (
+    COLUMN_DESCRIPTIONS, TABLE_DESCRIPTIONS, catalog_columns,
+)
+
+#: Independent statement of the expected catalog: (table, [(col, spark_type)]).
+#: Source of truth: FIXTURES.md §A; parquet int32->int, int64->bigint,
+#: timestamp[ms|ns]->timestamp_ntz (see sources/fixtures.py), list<float>->
+#: array<float>.
+EXPECTED_CATALOG: list[tuple[str, list[tuple[str, str]]]] = [
+    ("region", [("r_regionkey", "int"), ("r_name", "string")]),
+    ("nation", [("n_nationkey", "int"), ("n_name", "string"),
+                ("n_regionkey", "int")]),
+    ("customer", [("c_custkey", "bigint"), ("c_name", "string"),
+                  ("c_nationkey", "int"), ("c_acctbal", "double"),
+                  ("c_mktsegment", "string")]),
+    ("supplier", [("s_suppkey", "bigint"), ("s_name", "string"),
+                  ("s_nationkey", "int"), ("s_acctbal", "double")]),
+    ("part", [("p_partkey", "bigint"), ("p_name", "string"),
+              ("p_brand", "string"), ("p_type", "string"),
+              ("p_size", "int"), ("p_retailprice", "double")]),
+    ("orders", [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+                ("o_orderstatus", "string"), ("o_totalprice", "double"),
+                ("o_orderdate", "timestamp_ntz"),
+                ("o_orderpriority", "string")]),
+    ("lineitem", [("l_orderkey", "bigint"), ("l_partkey", "bigint"),
+                  ("l_suppkey", "bigint"), ("l_linenumber", "int"),
+                  ("l_quantity", "double"), ("l_extendedprice", "double"),
+                  ("l_discount", "double"), ("l_tax", "double"),
+                  ("l_returnflag", "string"), ("l_linestatus", "string"),
+                  ("l_shipdate", "timestamp_ntz")]),
+    ("events", [("event_id", "bigint"), ("ts", "timestamp_ntz"),
+                ("user_id", "bigint"), ("event_type", "string"),
+                ("value", "double"), ("props", "string")]),
+    ("documents", [("doc_id", "bigint"), ("text", "string"),
+                   ("lang", "string"), ("source", "string"),
+                   ("n_chars", "bigint")]),
+    ("embeddings", [("vec_id", "bigint"), ("embedding", "array<float>"),
+                    ("label", "int")]),
+]
+
+
+def _sql_str(s: str | None) -> str:
+    if s is None:
+        return "CAST(NULL AS VARCHAR)"
+    return "'" + s.replace("'", "''") + "'"
+
+
+def catalog_values_cte() -> str:
+    """``catalog_columns`` as a DuckDB CTE of VALUES rows."""
+    rows = []
+    for table, cols in EXPECTED_CATALOG:
+        tdesc = _sql_str(TABLE_DESCRIPTIONS.get(table))
+        for i, (col, typ) in enumerate(cols, start=1):
+            cdesc = _sql_str(COLUMN_DESCRIPTIONS.get((table, col)))
+            rows.append(
+                f"('spark','testdata','main','{table}',{tdesc},"
+                f"'{col}','{typ}',{cdesc},{i},false)")
+    joined = ",\n    ".join(rows)
+    return (
+        "catalog_columns(td_database, table_catalog, table_schema, table_name,"
+        " table_description, col_name, col_type, col_description,"
+        " col_sort_order, is_view) AS (\n  VALUES\n    " + joined + "\n)"
+    )
+
+
+_TKEY = ("database || '://' || cluster || '.' || \"schema\" || '/' || table_name")
+
+#: Shared projection CTE: catalog rows -> canonical per-column rows with keys,
+#: mirroring operators/metadata.py + operators/graph.py key synthesis.
+_PROJ_CTE = f"""
+proj AS (
+  SELECT
+    td_database AS database,
+    table_catalog AS cluster,
+    lower(table_schema) AS "schema",
+    lower(table_name) AS table_name,
+    coalesce(table_description, '') AS table_description,
+    is_view,
+    col_sort_order AS sort_order,
+    lower(col_name) AS col_name,
+    coalesce(col_description, '') AS col_description,
+    lower(col_type) AS col_type,
+    {_TKEY} AS table_key
+  FROM catalog_columns
+),
+tbl AS (
+  SELECT DISTINCT database, cluster, "schema", table_name, table_description,
+                  is_view, table_key
+  FROM proj
+)
+"""
+
+
+@register(
+    "metadata_catalog_columns",
+    oracle="WITH " + catalog_values_cte() + "\nSELECT * FROM catalog_columns",
+    covers=("A2", "A3", "B1"),
+)
+def q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-footer introspection vs the expected catalog literal."""
+    return catalog_columns(spark, sf_dir)
+
+
+@register(
+    "metadata_tables",
+    oracle="WITH " + catalog_values_cte() + "," + _PROJ_CTE + """
+SELECT database, cluster, "schema", table_name,
+       table_description AS description, is_view,
+       count(*)::INT AS n_columns,
+       string_agg(col_name, ',' ORDER BY sort_order) AS columns_csv,
+       string_agg(col_type, ',' ORDER BY sort_order) AS types_csv
+FROM proj
+GROUP BY ALL
+""",
+    covers=("B1", "B2", "B3", "B8", "B9"),
+)
+def q_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-to-nested (B8) flattened to hashable scalars: per-table column
+    count + ordered CSV of names/types (order proves sort_array ordering)."""
+    tm = table_metadata(catalog_columns(spark, sf_dir))
+    return tm.select(
+        "database", "cluster", "schema", "table_name", "description", "is_view",
+        F.size("columns").alias("n_columns"),
+        F.array_join(F.transform("columns", lambda c: c["name"]), ",")
+         .alias("columns_csv"),
+        F.array_join(F.transform("columns", lambda c: c["col_type"]), ",")
+         .alias("types_csv"),
+    )
+
+
+@register(
+    "metadata_tables_filtered",
+    oracle="WITH " + catalog_values_cte() + """
+SELECT lower(table_name) AS table_name,
+       count(*)::INT AS n_columns,
+       string_agg(lower(col_name), ',' ORDER BY col_sort_order) AS columns_csv
+FROM catalog_columns
+WHERE table_name LIKE '%e%' AND col_sort_order <= 4
+GROUP BY ALL""",
+    covers=("B4",),
+)
+def q_tables_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caller-injected SQL predicate (B4), the reference's
+    where_clause_suffix idiom (job/sample_mysql_aws_sqs_job.py:39-41)."""
+    tm = table_metadata(
+        catalog_columns(spark, sf_dir),
+        where="table_name LIKE '%e%' AND col_sort_order <= 4")
+    return tm.select(
+        "table_name",
+        F.size("columns").alias("n_columns"),
+        F.array_join(F.transform("columns", lambda c: c["name"]), ",")
+         .alias("columns_csv"),
+    )
+
+
+_NODES_SQL = "WITH " + catalog_values_cte() + "," + _PROJ_CTE + """
+SELECT 'Table' AS label, table_key AS key, table_name AS name,
+       table_description AS description,
+       CAST(NULL AS VARCHAR) AS col_type, CAST(NULL AS INTEGER) AS sort_order,
+       is_view
+FROM tbl
+UNION ALL
+SELECT 'Column' AS label, table_key || '/' || col_name AS key,
+       col_name AS name, col_description AS description,
+       col_type, sort_order, CAST(NULL AS BOOLEAN) AS is_view
+FROM proj
+UNION ALL
+SELECT 'Description' AS label, table_key || '/_description' AS key,
+       '_description' AS name, table_description AS description,
+       CAST(NULL AS VARCHAR) AS col_type, CAST(NULL AS INTEGER) AS sort_order,
+       CAST(NULL AS BOOLEAN) AS is_view
+FROM tbl WHERE table_description <> ''
+UNION ALL
+SELECT 'Description' AS label,
+       table_key || '/' || col_name || '/_description' AS key,
+       '_description' AS name, col_description AS description,
+       CAST(NULL AS VARCHAR) AS col_type, CAST(NULL AS INTEGER) AS sort_order,
+       CAST(NULL AS BOOLEAN) AS is_view
+FROM proj WHERE col_description <> ''
+"""
+
+
+@register("metadata_nodes", oracle=_NODES_SQL, covers=("C2", "B1-B9"))
+def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full flagship pipeline: catalog -> TableMetadata -> graph nodes."""
+    return to_nodes(table_metadata(catalog_columns(spark, sf_dir)))
+
+
+_RELATIONS_SQL = "WITH " + catalog_values_cte() + "," + _PROJ_CTE + """
+SELECT 'Table' AS start_label, table_key AS start_key,
+       'Column' AS end_label, table_key || '/' || col_name AS end_key,
+       'COLUMN' AS type, 'COLUMN_OF' AS reverse_type
+FROM proj
+UNION ALL
+SELECT 'Table', table_key, 'Description', table_key || '/_description',
+       'DESCRIPTION', 'DESCRIPTION_OF'
+FROM tbl WHERE table_description <> ''
+UNION ALL
+SELECT 'Column', table_key || '/' || col_name,
+       'Description', table_key || '/' || col_name || '/_description',
+       'DESCRIPTION', 'DESCRIPTION_OF'
+FROM proj WHERE col_description <> ''
+"""
+
+
+@register("metadata_relations", oracle=_RELATIONS_SQL, covers=("C2",))
+def q_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph relationships (FIXTURES.md B4 contract)."""
+    return to_relations(table_metadata(catalog_columns(spark, sf_dir)))

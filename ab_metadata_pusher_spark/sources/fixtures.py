@@ -1,0 +1,36 @@
+"""Loaders for the driver's deterministic parquet fixture tables.
+
+Spark lists and splits parquet files itself (distributed, unlike the
+reference's driver-side non-recursive ``os.listdir`` at
+publisher/aws_sqs_csv_puiblisher.py:86-97); predicate pushdown and column
+pruning reach the scan for free once the plan is declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["FIXTURE_TABLES", "load_table", "load_tables"]
+
+#: The driver's table set (TESTDATA.md) in a stable, deterministic order.
+FIXTURE_TABLES: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS,false); Spark reads it as a
+        # nanosecond long (spark.sql.legacy.parquet.nanosAsLong) — convert
+        # to a microsecond TIMESTAMP_NTZ, matching DuckDB's ns->us cast.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = FIXTURE_TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
