@@ -1,0 +1,249 @@
+"""Scalar-function coverage: string / date / math / conditional / JSON /
+array functions, plus explode (UDTF-shaped) — SURVEY.md §2.B B2 at data
+scale and the §2.G function-surface gap.
+
+All expressions are built-in pyspark.sql.functions (JVM whole-stage
+codegen, no Python in the hot path).  Floats are rounded on both sides for
+hash stability; regex patterns are kept to the POSIX-ish subset DuckDB and
+Spark interpret identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.plans.registry import register
+from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substr(p_type, 1, 5) AS type_prefix,
+       split_part(p_name, ' ', 1) AS first_word,
+       replace(p_brand, 'Brand#', 'B') AS brand_short,
+       concat(p_brand, ':', p_type) AS brand_type,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       trim('  ' || p_name || ' ') AS name_trimmed,
+       reverse(p_brand) AS brand_rev
+FROM part
+""",
+    covers=("B2", "G.fn.string"),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       day(o_orderdate) AS order_day,
+       quarter(o_orderdate) AS order_quarter,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+""",
+    covers=("B2", "G.fn.date"),
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+SELECT p_partkey,
+       round(p_retailprice, 1) AS price_r1,
+       floor(p_retailprice) AS price_floor,
+       ceil(p_retailprice) AS price_ceil,
+       abs(p_size - 25) AS size_dist,
+       round(sqrt(p_retailprice), 6) AS price_sqrt,
+       round(ln(p_retailprice), 6) AS price_ln,
+       round(pow(p_size, 2), 1) AS size_sq,
+       p_size % 7 AS size_mod,
+       sign(p_size - 25) AS size_sign,
+       greatest(p_size, 10) AS size_min10,
+       least(p_size, 40) AS size_max40
+FROM part
+""",
+    covers=("B2", "G.fn.math"),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.signum(F.col("p_size") - 25).cast("double").alias("size_sign"),
+        F.greatest("p_size", F.lit(10)).alias("size_min10"),
+        F.least("p_size", F.lit(40)).alias("size_max40"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END AS price_band,
+       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+       (o_orderpriority = '1-URGENT') AS is_urgent,
+       CASE WHEN o_orderstatus = 'F' THEN round(o_totalprice, 2) ELSE 0 END
+         AS finished_price
+FROM orders
+""",
+    covers=("B3", "G.fn.conditional"),
+)
+def q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 100000, "small")
+         .when(F.col("o_totalprice") < 300000, "medium")
+         .otherwise("large").alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open"))
+         .alias("status_label"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+        F.when(F.col("o_orderstatus") == "F", F.round("o_totalprice", 2))
+         .otherwise(F.lit(0.0)).alias("finished_price"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+       (CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS k_high
+FROM events
+""",
+    covers=("G.fn.json",),
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events props blob (FIXTURES.md).  At scale
+    prefer from_json with an explicit schema once per pipeline over
+    repeated get_json_object calls (single parse)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k_value",
+        F.from_json("props", "k INT").getField("k"))
+    return parsed.select(
+        "event_id", "k_value",
+        (F.col("k_value") > 50).alias("k_high"))
+
+
+@register(
+    "array_funcs_embeddings",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
+       round(sqrt(list_aggregate(
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 4)
+         AS vec_norm
+FROM embeddings
+""",
+    covers=("G.fn.array",),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math over the embedding column with F.aggregate/F.transform —
+    the JVM-side (no-UDF) path for vector arithmetic."""
+    e = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6)
+         .alias("first_component"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4)
+         .alias("vec_sum"),
+        F.round(F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)), 4)
+         .alias("vec_norm"),
+    )
+
+
+@register(
+    "explode_word_counts",
+    oracle="""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+""",
+    covers=("G.udtf.explode",),
+)
+def q_explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (UDTF-shaped generator) + re-aggregation — the tokenize->
+    count shape of every corpus-statistics pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+SELECT doc_id, CAST(pos - 1 AS INTEGER) AS pos, word
+FROM (SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents)
+WHERE doc_id < 10 AND word <> ''
+""",
+    covers=("G.udtf.posexplode",),
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return (
+        d.select("doc_id",
+                 F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .filter(F.col("word") != "")
+    )

@@ -49,7 +49,8 @@ def _load_all() -> None:
     from ab_metadata_pusher_spark.plans import (  # noqa: F401
         metadata_queries,
     )
-    for mod in ("relational_queries", "llm_queries", "streaming_queries"):
+    for mod in ("relational_queries", "function_queries", "llm_queries",
+                "streaming_queries"):
         try:
             __import__(f"ab_metadata_pusher_spark.plans.{mod}")
         except ImportError:

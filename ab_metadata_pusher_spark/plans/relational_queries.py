@@ -1,0 +1,544 @@
+"""Relational operator library over the TPC-H-ish fixtures (SURVEY.md §2.B
+data-scale semantics + §2.G gap inventory: joins, aggregations, windows,
+set ops, sorts/top-k, grouping sets/rollup/cube).
+
+Every query is a declarative DataFrame plan — Catalyst handles pushdown,
+pruning, join strategy (small dims broadcast under the session's 64 MiB
+threshold) and AQE handles runtime coalescing/skew.  Floating-point
+aggregates are rounded in BOTH the Spark plan and the oracle so the
+driver's value hash is stable across engines.
+
+Scale notes per family are in each docstring; the overarching rules:
+fact-to-fact joins shuffle on join keys only after filters (pushdown),
+dimensions broadcast, window functions partition on high-cardinality keys,
+and no query collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.plans.registry import register
+from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    covers=("G.agg",),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan -> partial+final hash agg on a
+    2-value key.  At 100 TB: map-side combine reduces the shuffle to
+    #groups x #partitions rows; the shipdate filter pushes to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("sum_disc_price"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+             F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    covers=("G.agg.rollup",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; Spark expands rollup into a single expand+agg
+    (one shuffle), not one pass per grouping set."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT c_mktsegment, c_nationkey,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+GROUP BY CUBE (c_mktsegment, c_nationkey)
+""",
+    covers=("G.agg.cube",),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    covers=("G.agg.grouping_sets",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    covers=("G.agg.distinct",),
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct: Spark plans this as a two-phase expand+agg.  At scale
+    prefer agg_approx_count_distinct (HLL, one pass, mergeable sketches)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n_customers"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register("agg_approx_count_distinct", covers=("G.agg.approx",))
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — the 100 TB path (no expand, sketches merge
+    map-side).  No oracle: HLL estimates are engine-specific; the driver
+    records a rows-only check."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+    )
+
+
+@register(
+    "agg_max_by",
+    oracle="""
+SELECT o_orderpriority, o_orderkey AS top_orderkey,
+       round(o_totalprice, 2) AS top_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    covers=("G.topk.max_by",),
+)
+def q_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a struct ordering key — deterministic argmax without a
+    window (single hash agg; at scale this beats the window formulation
+    because there is no per-group sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.max_by("o_orderkey",
+                      F.struct("o_totalprice", "o_orderkey")).alias("top_orderkey"),
+             F.round(F.max("o_totalprice"), 2).alias("top_totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+@register(
+    "join_multiway_revenue",
+    oracle="""
+SELECT r.r_name AS region_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    covers=("B5", "B6", "G.join.multiway"),
+)
+def q_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: one fact-fact shuffle join (lineitem x orders on
+    orderkey), everything else broadcast.  customer is broadcast-hinted —
+    at 100 TB replace with a shuffle join or bucketed co-location, but
+    nation/region stay broadcast at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@register(
+    "join_left_outer_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       count(o.o_orderkey) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+FROM customer c
+LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+    covers=("B5",),
+)
+def q_left_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LEFT OUTER catalog join (B5) at data scale —
+    count() over a nullable join output preserves customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
+              .alias("total_spent"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+    covers=("G.join.semi",),
+)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: EXISTS without duplicating or widening rows — the filter
+    pushes into the build side before the join."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 450000)
+""",
+    covers=("G.join.anti",),
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti = NOT EXISTS; the predicate keeps the result non-empty
+    (every fixture customer has at least one order)."""
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    c = _t(spark, sf_dir, "customer")
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+_BANDS = [(0, 100_000, "small"), (100_000, 300_000, "medium"),
+          (300_000, 600_000, "large")]
+
+_BANDS_CTE = ("bands(lo, hi, band) AS (VALUES " + ", ".join(
+    f"({lo}, {hi}, '{name}')" for lo, hi, name in _BANDS) + ")")
+
+
+@register(
+    "join_range_bands",
+    oracle="WITH " + _BANDS_CTE + """
+SELECT b.band, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""",
+    covers=("G.join.range",),
+)
+def q_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join against a broadcast band table — the scalable
+    pattern for interval lookup: broadcast-nested-loop over a tiny side is
+    O(rows x bands) with no shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    bands = F.broadcast(spark.createDataFrame(_BANDS, "lo long, hi long, band string"))
+    return (
+        o.join(bands, (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows
+# --------------------------------------------------------------------------
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 2
+""",
+    covers=("G.window.rank",),
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per key via row_number with a deterministic tiebreak.  At scale
+    the rank<=k filter is pushed by Spark's WindowGroupLimit so each
+    partition keeps only k rows before the shuffle."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+""",
+    covers=("G.window.frame",),
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey",
+                F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey,
+       round(l_extendedprice
+             - lag(l_extendedprice, 1, 0.0) OVER (
+                 PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey), 2) AS price_delta
+FROM lineitem
+""",
+    covers=("G.window.lag",),
+)
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, l_linenumber) is NOT unique in the fixture — the full
+    tiebreak (linenumber, partkey, suppkey) makes the window order (and so
+    lag) deterministic across engines."""
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey")
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        F.round(F.col("l_extendedprice")
+                - F.lag("l_extendedprice", 1, 0.0).over(w), 2)
+         .alias("price_delta"))
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT user_id, event_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+FROM events
+""",
+    covers=("G.window.frame",),
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, Window.currentRow))
+    return (_t(spark, sf_dir, "events")
+            .select("user_id", "event_id",
+                    F.round(F.avg("value").over(w), 4).alias("moving_avg")))
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k / distinct
+# --------------------------------------------------------------------------
+
+@register(
+    "topk_global",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15
+""",
+    covers=("G.topk",),
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition heaps + driver merge, never a full sort.  The right
+    pattern at any scale as long as k is small."""
+    return (_t(spark, sf_dir, "orders")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(15)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice")))
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    covers=("G.distinct",),
+)
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+@register(
+    "setop_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    covers=("G.setop",),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+""",
+    covers=("G.setop",),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers who never placed a >300k order."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = (_t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+         .select(F.col("o_custkey").alias("custkey")))
+    return c.subtract(o)
+
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    covers=("E1", "G.setop"),
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union (the reference's only set op is E1's record concat — union all
+    then envelope; here with DISTINCT semantics for the SQL parity case)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+# --------------------------------------------------------------------------
+# Pivot
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
+
+
+@register(
+    "pivot_event_types",
+    oracle="""
+SELECT user_id % 10 AS user_bucket,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'view') AS view,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'error') AS error
+FROM events
+GROUP BY user_id % 10
+""",
+    covers=("G.pivot",),
+)
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — mandatory at scale (implicit
+    pivot first runs a distinct over the pivot column)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
