@@ -1,0 +1,177 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.G):
+exact, n-gram Jaccard, MinHash+LSH, SimHash — each as a pure DataFrame
+plan with deterministic cross-engine hashing (functions/hashing.py) so
+the driver's DuckDB oracle can verify them value-for-value.
+
+Scale design (the 100 TB story):
+
+* exact: hash-groupBy on a 128-bit digest, never on raw text — the shuffle
+  carries 16-byte keys, not documents.
+* jaccard: exact pairwise similarity via shingle equi-join.  Correct but
+  quadratic in shingle document-frequency; at scale it runs only AFTER a
+  candidate generator (MinHash bands) or behind a stop-shingle filter.
+* minhash_lsh: the scale path.  Signature build is one explode + one
+  groupBy (k min-aggregates, map-side combinable); banding turns the
+  quadratic pair search into an equi-join on (band_idx, band_hash), whose
+  output is proportional to true-ish matches, not n^2.
+* simhash: one 64-bit fingerprint per doc; near-dup = Hamming<=d.  Bit
+  aggregation is k sum-aggregates; pair search joins on rotated prefix
+  buckets (here: direct join at test scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.functions.hashing import (
+    MERSENNE_P, md5_long, minhash_coeffs,
+)
+from ab_metadata_pusher_spark.operators.text import shingle_array, tokens
+
+__all__ = [
+    "exact_dedup_keep_min", "doc_shingles", "jaccard_pairs",
+    "minhash_signatures", "lsh_candidate_pairs", "simhash", "simhash_pairs",
+]
+
+
+def exact_dedup_keep_min(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup with deterministic survivor choice: group by content
+    digest, keep the minimum id.  (dropDuplicates keeps an *arbitrary* row —
+    unacceptable for reproducible corpus builds.)"""
+    return (
+        df.select(F.col(id_col),
+                  F.md5(F.col(text_col).cast("binary")).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("kept_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def doc_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id, shingle) pairs — the input relation for both Jaccard
+    and MinHash."""
+    return (
+        df.select(F.col(id_col).alias("sid"),
+                  F.explode(shingle_array(tokens(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (sid_a < sid_b, sim >= t).
+
+    shingles equi-join -> per-pair intersection count -> sizes join ->
+    |A∩B| / (|A|+|B|-|A∩B|).  Output columns: sid_a, sid_b, jaccard.
+    """
+    sh = doc_shingles(df, n)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("sid_a"), F.col("b.sid").alias("sid_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("sid").alias("sid_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("sid").alias("sid_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "sid_a").join(sb, "sid_b")
+        .withColumn("jaccard",
+                    F.round(F.col("n_inter")
+                            / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("sid_a", "sid_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
+    """k-permutation MinHash signatures: sid, h0..h{k-1}.
+
+    One explode + one groupBy with k min-aggregates; every hash is the
+    affine transform (a_j*h + b_j) mod P over the doc's shingle hashes,
+    h = 60-bit md5 reduced mod P (cross-engine deterministic).
+    """
+    sh = doc_shingles(df, n).withColumn("h", md5_long(F.col("shingle")) % MERSENNE_P)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"h{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(k))
+    ]
+    return sh.groupBy("sid").agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, k: int = 16, bands: int = 4,
+                        n: int = 3) -> DataFrame:
+    """LSH banding over MinHash signatures: docs agreeing on ALL rows of
+    any band become a candidate pair (sid_a < sid_b).
+
+    The pair search is an equi-join on (band_idx, band_hash) — at 100 TB
+    this is the only join; its fan-out tracks true similarity, not n^2.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, k, n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{j}") for j in range(b * rows_per_band,
+                                              (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("-", *[c.cast("string") for c in cols])
+                  .cast("binary")).alias("band_hash")))
+    banded = sig.select("sid", F.explode(F.array(*band_cols)).alias("bd")) \
+                .select("sid", "bd.band_idx", "bd.band_hash")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b_, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.sid") < F.col("b.sid")))
+        .select(F.col("a.sid").alias("sid_a"), F.col("b.sid").alias("sid_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprints: sid, simhash (bits-wide bigint).
+
+    Distinct tokens vote +1/-1 per bit position of their 60-bit hash;
+    the sign vector packs into one integer.  bits sum-aggregates, all
+    map-side combinable.
+    """
+    tok = (df.select(F.col(id_col).alias("sid"),
+                     F.explode(tokens(text_col)).alias("tok"))
+           .distinct()
+           .withColumn("h", md5_long(F.col("tok"))))
+    sums = tok.groupBy("sid").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
+              .otherwise(-1)).alias(f"s{j}")
+        for j in range(bits)
+    ])
+    packed = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return sums.select("sid", packed.cast("long").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 6,
+                  bits: int = 32) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance (sid_a < sid_b).
+
+    Test-scale formulation joins all pairs directly; the scale path blocks
+    on bit-prefix rotations first (same output, bounded fan-out).
+    """
+    s = simhash(df, bits)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.sid") < F.col("b.sid"))
+        .withColumn("hamming", F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.sid").alias("sid_a"), F.col("b.sid").alias("sid_b"),
+                "hamming")
+    )

@@ -1,0 +1,423 @@
+"""LLM-data-pipeline queries + DuckDB oracles (SURVEY.md §2.G north star):
+dedup (exact / Jaccard / MinHash-LSH / SimHash), similarity search,
+text analysis, multimodal plumbing.
+
+The oracle SQL for the hash-based operators is GENERATED from the same
+constants as the Spark plans (functions/hashing.py), so MinHash signatures,
+SimHash bits and band hashes are verified value-for-value across engines —
+not just row counts.
+
+Pair-producing queries run over a bounded (doc_id < 300) corpus augmented
+with deterministic mutated/perturbed copies, so results are non-trivial and
+identical at every scale factor; the unbounded formulations are what
+bench.py exercises at sf0.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.functions.hashing import (
+    MERSENNE_P, minhash_coeffs, sql_md5_long,
+)
+from ab_metadata_pusher_spark.operators import dedup as D
+from ab_metadata_pusher_spark.operators import multimodal as M
+from ab_metadata_pusher_spark.operators import similarity as S
+from ab_metadata_pusher_spark.operators import text as X
+from ab_metadata_pusher_spark.plans.registry import register
+from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+_BOUND = 300
+
+# ---------------------------------------------------------------------------
+# Shared corpus builders (Spark) and their SQL mirrors
+# ---------------------------------------------------------------------------
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded documents + near-dup mutations (first token dropped) +
+    exact duplicates — deterministic in both engines."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < _BOUND).select("doc_id", "text"))
+    mutated = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.expr("substring(text, instr(text, ' ') + 1)")
+                        .alias("text"))
+    exact = d.select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                     F.col("text"))
+    return d.unionByName(mutated).unionByName(exact)
+
+
+_CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_BOUND}
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, instr(text, ' ') + 1)
+  FROM documents WHERE doc_id < {_BOUND}
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < {_BOUND}
+)"""
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+_SHINGLES_CTE = f"""
+toksrc AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+sh AS (
+  SELECT DISTINCT sid, shingle FROM (
+    SELECT doc_id AS sid,
+           unnest([array_to_string(list_slice(toks, i, i + 2), ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingle
+    FROM toksrc)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="WITH " + _CORPUS_CTE + """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS kept_id,
+       count(*) AS n_copies
+FROM corpus
+GROUP BY md5(text)
+""",
+    covers=("G.dedup.exact",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor (min id per content digest)."""
+    return D.exact_dedup_keep_min(_doc_corpus(spark, sf_dir))
+
+
+_JACCARD_T = 0.6
+
+_JACCARD_SQL = "WITH " + _CORPUS_CTE + "," + _SHINGLES_CTE + f""",
+sizes AS (SELECT sid, count(*) AS n_shingles FROM sh GROUP BY sid),
+inter AS (
+  SELECT a.sid AS sid_a, b.sid AS sid_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+  GROUP BY a.sid, b.sid
+)
+SELECT sid_a, sid_b,
+       round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 4)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.sid = sid_a
+JOIN sizes sb ON sb.sid = sid_b
+WHERE n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter) >= {_JACCARD_T}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL,
+          covers=("G.dedup.jaccard",))
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.6)."""
+    return D.jaccard_pairs(_doc_corpus(spark, sf_dir), _JACCARD_T)
+
+
+def _minhash_sql(k: int = 16, bands: int = 4) -> str:
+    rpb = k // bands
+    coeffs = minhash_coeffs(k)
+    sig_cols = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS h{j}"
+        for j, (a, b) in enumerate(coeffs))
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT sid, {b} AS band_idx, md5(concat_ws('-', "
+        + ", ".join(f"h{j}::VARCHAR" for j in range(b * rpb, (b + 1) * rpb))
+        + ")) AS band_hash FROM sig"
+        for b in range(bands))
+    return ("WITH " + _CORPUS_CTE + "," + _SHINGLES_CTE + f""",
+hashed AS (SELECT sid, {sql_md5_long('shingle')} % {MERSENNE_P} AS h FROM sh),
+sig AS (
+  SELECT sid,
+         {sig_cols}
+  FROM hashed GROUP BY sid
+),
+banded AS (
+{band_selects}
+)
+SELECT DISTINCT a.sid AS sid_a, b.sid AS sid_b
+FROM banded a
+JOIN banded b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            AND a.sid < b.sid
+""")
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_sql(),
+          covers=("G.dedup.minhash",))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) candidate pairs — the scale path for
+    near-dup detection; signatures and band hashes verified value-for-value
+    against the generated oracle."""
+    return D.lsh_candidate_pairs(_doc_corpus(spark, sf_dir), k=16, bands=4)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits))
+    packed = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return ("WITH " + _CORPUS_CTE + f""",
+tok AS (
+  SELECT DISTINCT doc_id AS sid, unnest({_TOKS}) AS tok FROM corpus
+),
+hashed AS (SELECT sid, {sql_md5_long('tok')} AS h FROM tok),
+sums AS (
+  SELECT sid,
+         {sums}
+  FROM hashed GROUP BY sid
+)
+SELECT sid, ({packed})::BIGINT AS simhash FROM sums
+""")
+
+
+@register("dedup_simhash", oracle=_simhash_sql(), covers=("G.dedup.simhash",))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints, bit-for-bit vs the generated oracle."""
+    return D.simhash(_doc_corpus(spark, sf_dir))
+
+
+def _simhash_pairs_sql(max_hamming: int = 2) -> str:
+    base = _simhash_sql().rstrip()
+    return f"""WITH fp AS (
+{base}
+)
+SELECT a.sid AS sid_a, b.sid AS sid_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.sid < b.sid
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_sql(),
+          covers=("G.dedup.simhash",))
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming<=2 over SimHash fingerprints."""
+    return D.simhash_pairs(_doc_corpus(spark, sf_dir), max_hamming=2)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded embeddings + deterministic perturbed copies (scaled +
+    offset, refloated) — guarantees near-dup pairs exist."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < _BOUND))
+    pert = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x * 1.01 + 0.005).cast("float")).alias("embedding"),
+        F.col("label"))
+    return e.unionByName(pert)
+
+
+_EMB_CORPUS_CTE = f"""
+ecorpus AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {_BOUND}
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> (x * 1.01 + 0.005)::FLOAT),
+         label
+  FROM embeddings WHERE vec_id < {_BOUND}
+)"""
+
+_NEARDUP_T = 0.9
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="WITH " + _EMB_CORPUS_CTE + f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4)
+         AS cosine_sim
+FROM ecorpus a
+JOIN ecorpus b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {_NEARDUP_T}
+""",
+    covers=("G.dedup.embedding",),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (label-blocked brute force)."""
+    return S.embedding_near_dup_pairs(_emb_corpus(spark, sf_dir), _NEARDUP_T)
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                     neighbor_id) AS rank
+  FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank
+FROM scored WHERE rank <= 5
+""",
+    covers=("G.similarity.topk",),
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 5 query vectors (brute force —
+    the ANN baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.topk_cosine_bruteforce(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@register("similarity_ann_lsh", covers=("G.similarity.ann",))
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 — the sub-linear scale path.
+    No oracle (approximate by construction); recall vs brute force is
+    asserted in tests/test_llm_operators.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in X.STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(length(replace(text, ' ', '')) * 1.0 / greatest(len(toks), 1), 4)
+         AS avg_token_len,
+       round(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1.0
+             / greatest(len(toks), 1), 4) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 4) AS alpha_ratio,
+       len(toks) BETWEEN 10 AND 1000 AS len_ok
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+""",
+    covers=("G.text.quality",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    langs = list(X.LANG_LEXICONS)
+    score_defs = ",\n       ".join(
+        f"len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in X.LANG_LEXICONS[lang])
+        + f"], t))) AS score_{lang}"
+        for lang in langs)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, other in enumerate(langs):
+            if other == lang:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"score_{lang} {op} score_{other}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+       {score_defs}
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+)
+SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)},
+       {case} AS predicted_lang
+FROM scored
+"""
+
+
+@register("text_langid", oracle=_langid_sql(), covers=("G.text.langid",))
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-vote language ID with deterministic argmax."""
+    return X.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(text) AS md5_full,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS md5_norm,
+       list_aggregate([{sql_md5_long(
+           "array_to_string(list_slice(toks, i, i + 2), ' ')")}
+                       for i in range(1, greatest(len(toks) - 2, 1) + 1)],
+                      'min') AS min_shingle_hash,
+       len(toks) AS n_tokens
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+""",
+    covers=("G.text.fingerprint",),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full/normalized md5 + winnowing-style min-shingle fingerprints."""
+    return X.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+       len({_TOKS}) AS n_ws_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+    covers=("G.text.tokens",),
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(X.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+        F.size(X.tokens("text")).alias("n_ws_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+SELECT doc_id,
+       length(text) AS byte_len,
+       md5(text) AS payload_md5,
+       'application/octet-stream' AS mime
+FROM documents
+""",
+    covers=("G.multimodal.meta",),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata struct (flattened to
+    hashable scalars; payload bytes stay executor-side)."""
+    mm = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("media_meta.mime").alias("mime"),
+    )
+
+
+@register("multimodal_decode_features", covers=("G.multimodal.decode",))
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (stub codec).  No SQL oracle — the Python batch pipeline is the thing
+    under test; value-level checks live in tests/test_llm_operators.py."""
+    mm = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.decode_features(mm, codec="stub")

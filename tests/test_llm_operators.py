@@ -1,0 +1,66 @@
+"""Value-level tests for the LLM-pipeline operators that have no SQL
+oracle: ANN recall vs brute force, the multimodal decode stub vs a pure
+Python reference, and the real-codec guard."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.operators import multimodal as M
+from ab_metadata_pusher_spark.operators import similarity as S
+from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    """Hyperplane LSH must find a reasonable fraction of the true top-5.
+    With 4 planes the corpus splits into ~16 buckets; recall is imperfect
+    by design but must be far above random."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.topk_cosine_bruteforce(e, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in S.ann_lsh_topk(e, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+
+
+def test_ann_results_are_subset_quality(spark, sf_dir):
+    """Every ANN neighbor must carry the true cosine (scores must agree
+    with an independent recomputation)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    rows = S.ann_lsh_topk(e, q, k=3).collect()
+    emb = {r.vec_id: r.embedding for r in e.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb)
+
+    for r in rows:
+        expected = round(cos(emb[r.query_id], emb[r.neighbor_id]), 6)
+        assert abs(r.cosine_sim - expected) < 1e-5
+
+
+def test_decode_features_match_python_reference(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    out = {r.doc_id: r for r in
+           M.decode_features(M.with_binary_payload(docs)).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        b = row.text.encode("utf-8")
+        got = out[row.doc_id]
+        assert got.byte_len == len(b)
+        assert got.payload_md5 == hashlib.md5(b).hexdigest()
+        assert got.first_byte == b[0]
+        assert abs(got.byte_mean - round(sum(b) / len(b), 4)) < 1e-9
+
+
+def test_real_codec_raises(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(NotImplementedError, match="pil"):
+        M.decode_features(M.with_binary_payload(docs), codec="pil")
