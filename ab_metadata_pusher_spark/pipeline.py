@@ -1,0 +1,101 @@
+"""Pipeline lifecycle: the reference's Job/Task/Publisher composition,
+DataFrame-native (SURVEY.md §2.F F1/F2, §2.E E5/E7).
+
+The reference's ``CustomizedJob.launch()`` (job/customized_job.py:49-92)
+runs: init task -> task.run() (row pull-loop) -> task.close() -> init
+publisher -> publish(), with statsd success/fail counters (:80-88) and a
+task-optional publisher-only mode (:30-34,65-67).
+
+Here the pull-loop disappears (lazy DataFrame lineage; one action executes
+the plan).  What remains is the orchestration contract:
+
+* ``extract`` builds the (nodes, relations) DataFrames;
+* ``stage`` persists them (restartability boundary — EP3);
+* ``publish`` ships staged data to the terminal sink;
+* publisher-only mode re-publishes existing staging without recompute;
+* success/fail counters + on_success/on_failure callbacks (E7) with the
+  reference's statsd metric naming kept for parity
+  (``amundsen.databuilder.job.{identifier}.{success|fail}`` shape,
+  job/customized_job.py:17-18 — re-namespaced to this engine).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ab_metadata_pusher_spark.sinks.staging import StagingArea
+
+__all__ = ["MetricsEmitter", "Pipeline", "PipelineResult"]
+
+logger = logging.getLogger(__name__)
+
+METRIC_PREFIX = "ab_metadata_pusher_spark.job"
+
+
+class MetricsEmitter:
+    """statsd-protocol counter emitter (E5).  The default implementation
+    logs; inject a statsd client adapter for real emission."""
+
+    def incr(self, metric: str) -> None:  # pragma: no cover - trivial
+        logger.info("metric incr: %s", metric)
+
+
+@dataclass
+class PipelineResult:
+    identifier: str
+    succeeded: bool
+    staged: bool
+    published: bool
+    elapsed_sec: float
+    publish_report: Any = None
+
+
+@dataclass
+class Pipeline:
+    """Extract -> Stage -> Publish with the reference's lifecycle contract.
+
+    ``extract`` is None for publisher-only runs (F2/EP3): staging is read
+    back instead of recomputed.
+    """
+
+    identifier: str
+    staging: StagingArea
+    extract: Callable[[SparkSession], tuple[DataFrame, DataFrame]] | None = None
+    publish: Callable[[DataFrame, DataFrame], Any] | None = None
+    metrics: MetricsEmitter = field(default_factory=MetricsEmitter)
+    on_success: Callable[[PipelineResult], None] | None = None
+    on_failure: Callable[[Exception], None] | None = None
+
+    def run(self, spark: SparkSession) -> PipelineResult:
+        start = time.time()
+        staged = published = False
+        report = None
+        try:
+            if self.extract is not None:
+                nodes, relations = self.extract(spark)
+                self.staging.write(nodes, relations)
+                staged = True
+            nodes = self.staging.read_nodes(spark)
+            relations = self.staging.read_relations(spark)
+            if self.publish is not None:
+                report = self.publish(nodes, relations)
+                published = True
+        except Exception as exc:
+            self.metrics.incr(f"{METRIC_PREFIX}.{self.identifier}.fail")
+            if self.on_failure is not None:
+                self.on_failure(exc)
+            raise
+        self.metrics.incr(f"{METRIC_PREFIX}.{self.identifier}.success")
+        result = PipelineResult(
+            identifier=self.identifier, succeeded=True, staged=staged,
+            published=published, elapsed_sec=round(time.time() - start, 3),
+            publish_report=report)
+        if self.on_success is not None:
+            self.on_success(result)
+        return result

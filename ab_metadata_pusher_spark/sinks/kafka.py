@@ -1,0 +1,53 @@
+"""Kafka publisher — the reference's declared roadmap destination
+(README.md:54, SURVEY.md §2.E E6), built on Spark's native kafka sink so
+SQS and Kafka are pluggable peers.
+
+The container has no Kafka broker or spark-sql-kafka package, so
+``write_envelopes`` *configures* the writer and only ``save()``s when
+asked; ``build_kafka_rows`` (the value-assembly plan) is fully testable
+offline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["build_kafka_rows", "write_envelopes"]
+
+
+def build_kafka_rows(nodes: DataFrame, relations: DataFrame,
+                     tag: str) -> DataFrame:
+    """(key, value) rows for the kafka sink: key = record key (node key /
+    relation start-end), value = one JSON record stamped with kind + tag.
+
+    Unlike SQS's 256 KiB envelopes, Kafka carries one record per message —
+    the broker batches; no driver-side packing needed at any scale.
+    """
+    node_rows = nodes.select(
+        F.col("key").alias("key"),
+        F.to_json(F.struct(
+            F.lit("node").alias("kind"), F.lit(tag).alias("tag"),
+            *[F.col(c) for c in nodes.columns])).alias("value"))
+    rel_rows = relations.select(
+        F.concat_ws("->", "start_key", "end_key").alias("key"),
+        F.to_json(F.struct(
+            F.lit("relation").alias("kind"), F.lit(tag).alias("tag"),
+            *[F.col(c) for c in relations.columns])).alias("value"))
+    return node_rows.unionByName(rel_rows)
+
+
+def write_envelopes(nodes: DataFrame, relations: DataFrame, tag: str,
+                    bootstrap_servers: str, topic: str,
+                    execute: bool = True) -> DataFrame:
+    """Publish node/relation records to a Kafka topic.
+
+    With ``execute=False`` returns the configured rows without sending
+    (used by tests; also useful for dry-run plan inspection)."""
+    rows = build_kafka_rows(nodes, relations, tag)
+    if execute:  # pragma: no cover - needs a broker + kafka package
+        (rows.write.format("kafka")
+         .option("kafka.bootstrap.servers", bootstrap_servers)
+         .option("topic", topic)
+         .save())
+    return rows

@@ -1,0 +1,113 @@
+"""JDBC metadata sources: the MySQL/Postgres catalog scans as partitioned
+Spark JDBC reads (SURVEY.md §2.A A1-A3).
+
+The reference's extractors run a fixed SQL over ``information_schema``
+inside the source DB via SQLAlchemy, one row at a time
+(MysqlMetadataExtractor imported at job/sample_mysql_aws_sqs_job.py:7,
+PostgresMetadataExtractor at job/sample_postgres_aws_sqs_job.py:7; conn
+string :34-35; WHERE suffix :39-41).  Here the same queries are pushed
+down through ``spark.read.format("jdbc").option("query", ...)`` — the
+whole catalog join executes DB-side exactly as before, but rows arrive in
+parallel partitions.
+
+No live database exists in the test container, so tests cover the SQL text
+and reader configuration; the ``load`` path is exercised in deployments.
+The produced schema is ``catalog_columns`` (FIXTURES.md B1) — identical to
+sources/catalog.py, so operators/metadata.py is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["JdbcCatalogSource", "mysql_catalog_sql", "postgres_catalog_sql"]
+
+
+def mysql_catalog_sql(where_clause_suffix: str = "",
+                      database: str = "mysql") -> str:
+    """The MySQL catalog query: columns LEFT OUTER JOIN tables
+    (semantics per SURVEY.md §2.A A2; ORDER BY dropped — grouping is a
+    shuffle groupBy, not an adjacency scan)."""
+    where = f"WHERE {where_clause_suffix}" if where_clause_suffix else ""
+    return f"""
+SELECT
+  '{database}'            AS td_database,
+  c.table_catalog         AS table_catalog,
+  LOWER(c.table_schema)   AS table_schema,
+  LOWER(c.table_name)     AS table_name,
+  t.table_comment         AS table_description,
+  LOWER(c.column_name)    AS col_name,
+  LOWER(c.data_type)      AS col_type,
+  c.column_comment        AS col_description,
+  c.ordinal_position      AS col_sort_order,
+  FALSE                   AS is_view
+FROM INFORMATION_SCHEMA.COLUMNS c
+LEFT OUTER JOIN INFORMATION_SCHEMA.TABLES t
+  ON c.table_name = t.table_name AND c.table_schema = t.table_schema
+{where}
+""".strip()
+
+
+def postgres_catalog_sql(schema: str, database: str = "postgres") -> str:
+    """The Postgres catalog query: columns joined with pg_catalog
+    description tables (semantics per SURVEY.md §2.A A3)."""
+    return f"""
+SELECT
+  '{database}'            AS td_database,
+  c.table_catalog         AS table_catalog,
+  LOWER(c.table_schema)   AS table_schema,
+  LOWER(c.table_name)     AS table_name,
+  obj_description(pgc.oid) AS table_description,
+  LOWER(c.column_name)    AS col_name,
+  LOWER(c.data_type)      AS col_type,
+  col_description(pgc.oid, c.ordinal_position) AS col_description,
+  c.ordinal_position      AS col_sort_order,
+  (t.table_type = 'VIEW') AS is_view
+FROM information_schema.columns c
+JOIN information_schema.tables t
+  ON c.table_name = t.table_name AND c.table_schema = t.table_schema
+LEFT JOIN pg_catalog.pg_class pgc
+  ON pgc.relname = c.table_name
+WHERE c.table_schema = '{schema}'
+""".strip()
+
+
+@dataclass
+class JdbcCatalogSource:
+    """Partitioned JDBC read of a catalog query.
+
+    ``partition_column``/``num_partitions`` split the scan by
+    ``col_sort_order`` ranges by default — catalogs are small, but the same
+    source shape handles partitioned reads of arbitrary JDBC tables.
+    """
+
+    url: str
+    query: str
+    user: str = ""
+    password: str = ""
+    num_partitions: int = 4
+    fetch_size: int = 10_000
+
+    def reader_options(self) -> dict[str, str]:
+        opts = {
+            "url": self.url,
+            "query": self.query,
+            "numPartitions": str(self.num_partitions),
+            "fetchsize": str(self.fetch_size),
+            # keep predicate pushdown on: Catalyst appends engine-side
+            # filters to the pushed query.
+            "pushDownPredicate": "true",
+        }
+        if self.user:
+            opts["user"] = self.user
+        if self.password:
+            opts["password"] = self.password
+        return opts
+
+    def load(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
+        reader = spark.read.format("jdbc")
+        for k, v in self.reader_options().items():
+            reader = reader.option(k, v)
+        return reader.load()

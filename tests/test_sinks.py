@@ -1,0 +1,268 @@
+"""Sink tests: envelope chunking invariants (property-based), stubbed-SQS
+publishing, staging roundtrips (parquet + legacy CSV with the
+empty-string-not-null invariant), kafka row assembly, and the full
+pipeline lifecycle incl. publisher-only re-publish (EP3)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.operators.graph import to_nodes, to_relations
+from ab_metadata_pusher_spark.operators.metadata import table_metadata
+from ab_metadata_pusher_spark.pipeline import Pipeline
+from ab_metadata_pusher_spark.sinks.envelope import (
+    SQS_HARD_LIMIT, envelope_json, pack_envelopes,
+)
+from ab_metadata_pusher_spark.sinks.kafka import build_kafka_rows
+from ab_metadata_pusher_spark.sinks.sqs import SqsPublisher
+from ab_metadata_pusher_spark.sinks.staging import StagingArea
+from ab_metadata_pusher_spark.sources.catalog import catalog_columns
+from ab_metadata_pusher_spark.sources.jdbc import (
+    JdbcCatalogSource, mysql_catalog_sql, postgres_catalog_sql,
+)
+
+
+class StubSqsClient:
+    """Records batches; optionally fails entries."""
+
+    def __init__(self, fail_ids: set[str] | None = None) -> None:
+        self.batches: list[dict] = []
+        self.fail_ids = fail_ids or set()
+
+    def send_message_batch(self, QueueUrl, Entries):
+        self.batches.append({"QueueUrl": QueueUrl, "Entries": Entries})
+        failed = [{"Id": e["Id"]} for e in Entries if e["Id"] in self.fail_ids]
+        return {"Failed": failed} if failed else {}
+
+
+# -- envelope ---------------------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=9000), max_size=60),
+       st.lists(st.integers(min_value=1, max_value=9000), max_size=60))
+def test_pack_envelopes_properties(node_sizes, rel_sizes):
+    nodes = [{"key": f"n{i}", "pad": "x" * s} for i, s in enumerate(node_sizes)]
+    rels = [{"start_key": f"r{i}", "pad": "y" * s}
+            for i, s in enumerate(rel_sizes)]
+    max_bytes = 16 * 1024
+    bodies = list(pack_envelopes(nodes, rels, tag="t1", max_bytes=max_bytes))
+
+    # every chunk under the bound
+    assert all(len(b.encode()) <= max_bytes for b in bodies)
+    # chunk/of stamped consistently, all records preserved in order
+    out_nodes, out_rels = [], []
+    for i, b in enumerate(bodies):
+        env = json.loads(b)
+        assert env["chunk"] == i and env["of"] == len(bodies)
+        assert env["tag"] == "t1"
+        out_nodes.extend(env["nodes"])
+        out_rels.extend(env["relations"])
+    assert out_nodes == nodes and out_rels == rels
+
+
+def test_pack_envelopes_rejects_oversize_record():
+    with pytest.raises(ValueError, match="exceeds"):
+        list(pack_envelopes([{"pad": "x" * (SQS_HARD_LIMIT + 1)}], [], "t"))
+
+
+def test_envelope_json_deterministic():
+    a = envelope_json([{"b": 1, "a": 2}], [], 0, 1, "t")
+    b = envelope_json([{"a": 2, "b": 1}], [], 0, 1, "t")
+    assert a == b  # sorted keys -> byte-stable dedup ids
+
+
+# -- SQS publisher ----------------------------------------------------------
+
+def _graph(spark, sf_dir):
+    tm = table_metadata(catalog_columns(spark, sf_dir))
+    return to_nodes(tm), to_relations(tm)
+
+
+def test_sqs_publish_collected(spark, sf_dir):
+    nodes, relations = _graph(spark, sf_dir)
+    stub = StubSqsClient()
+    pub = SqsPublisher("https://queue/test", lambda: stub)
+    report = pub.publish_collected(nodes, relations, tag="r1")
+
+    assert report.messages_sent == sum(len(b["Entries"]) for b in stub.batches)
+    assert all(len(b["Entries"]) <= 10 for b in stub.batches)
+    total_nodes = total_rels = 0
+    for batch in stub.batches:
+        for e in batch["Entries"]:
+            assert len(e["MessageBody"].encode()) <= SQS_HARD_LIMIT
+            assert e["MessageGroupId"] == "metadata"
+            assert len(e["MessageDeduplicationId"]) == 64
+            env = json.loads(e["MessageBody"])
+            assert env["tag"] == "r1"
+            total_nodes += len(env["nodes"])
+            total_rels += len(env["relations"])
+    assert total_nodes == nodes.count()
+    assert total_rels == relations.count()
+
+
+def test_sqs_publish_small_max_bytes_chunks(spark, sf_dir):
+    nodes, relations = _graph(spark, sf_dir)
+    stub = StubSqsClient()
+    pub = SqsPublisher("https://queue/test", lambda: stub, max_bytes=2048)
+    report = pub.publish_collected(nodes, relations, tag="r1")
+    assert report.messages_sent > 1
+    bodies = [e["MessageBody"] for b in stub.batches for e in b["Entries"]]
+    assert all(len(b.encode()) <= 2048 for b in bodies)
+
+
+def test_sqs_batch_failure_raises(spark, sf_dir):
+    nodes, relations = _graph(spark, sf_dir)
+    stub = StubSqsClient(fail_ids={"0"})
+    pub = SqsPublisher("https://queue/test", lambda: stub)
+    with pytest.raises(RuntimeError, match="failed"):
+        pub.publish_collected(nodes, relations, tag="r1")
+
+
+# -- staging ----------------------------------------------------------------
+
+def test_staging_parquet_roundtrip(spark, sf_dir, tmp_path):
+    nodes, relations = _graph(spark, sf_dir)
+    area = StagingArea(str(tmp_path / "stage"))
+    area.write(nodes, relations)
+
+    back_nodes = area.read_nodes(spark)
+    assert back_nodes.count() == nodes.count()
+    assert set(back_nodes.columns) == set(nodes.columns)
+    assert area.read_relations(spark).count() == relations.count()
+    # partitionBy(label) produced label-pruned directories
+    labels = [r.label for r in back_nodes.select("label").distinct().collect()]
+    assert set(labels) == {"Table", "Column", "Description"}
+
+
+def test_staging_legacy_csv_contract(spark, sf_dir, tmp_path):
+    nodes, relations = _graph(spark, sf_dir)
+    area = StagingArea(str(tmp_path / "legacy"))
+    area.write_legacy_csv(nodes, relations)
+
+    # raw headers carry the reference contract: LABEL/KEY + :UNQUOTED
+    raw = spark.read.option("header", True).csv(str(tmp_path / "legacy/nodes_csv"))
+    assert "LABEL" in raw.columns and "KEY" in raw.columns
+    assert "sort_order:UNQUOTED" in raw.columns
+    assert "is_view:UNQUOTED" in raw.columns
+
+    back = area.read_legacy_nodes(spark)
+    assert back.count() == nodes.count()
+    assert "label" in back.columns and "sort_order" in back.columns
+
+    # empty-string-not-null invariant at the contract read surface
+    # (reference na_filter=False semantics, aws_sqs_csv_puiblisher.py:158)
+    descs = [r.description for r in back.select("description").collect()]
+    assert None not in descs, "NULL leaked through legacy CSV read"
+    assert "" in descs, "expected some empty descriptions"
+
+
+# -- kafka ------------------------------------------------------------------
+
+def test_kafka_rows(spark, sf_dir):
+    nodes, relations = _graph(spark, sf_dir)
+    rows = build_kafka_rows(nodes, relations, tag="k1")
+    assert rows.columns == ["key", "value"]
+    assert rows.count() == nodes.count() + relations.count()
+    sample = json.loads(rows.filter(F.col("value").contains('"kind":"node"'))
+                        .first().value)
+    assert sample["tag"] == "k1" and "key" in sample
+
+
+# -- jdbc source (construction only; no live DB) ----------------------------
+
+def test_jdbc_catalog_sql_shapes():
+    my = mysql_catalog_sql("c.table_schema = 'shop'")
+    assert "LEFT OUTER JOIN INFORMATION_SCHEMA.TABLES" in my
+    assert "WHERE c.table_schema = 'shop'" in my
+    pg = postgres_catalog_sql("public")
+    assert "col_description" in pg and "table_schema = 'public'" in pg
+
+    src = JdbcCatalogSource(url="jdbc:mysql://h:3306/db", query=my,
+                            user="u", password="p")
+    opts = src.reader_options()
+    assert opts["numPartitions"] == "4"
+    assert opts["pushDownPredicate"] == "true"
+
+
+# -- pipeline lifecycle -----------------------------------------------------
+
+class CountingMetrics:
+    def __init__(self):
+        self.metrics = []
+
+    def incr(self, m):
+        self.metrics.append(m)
+
+
+def test_pipeline_end_to_end_and_republish(spark, sf_dir, tmp_path):
+    stub = StubSqsClient()
+    publisher = SqsPublisher("https://queue/test", lambda: stub)
+    metrics = CountingMetrics()
+    events = []
+
+    pipe = Pipeline(
+        identifier="fixtures_sqs",
+        staging=StagingArea(str(tmp_path / "s")),
+        extract=lambda sp: _graph(sp, sf_dir),
+        publish=lambda n, r: publisher.publish_collected(n, r, "tag1"),
+        metrics=metrics,
+        on_success=lambda res: events.append(("ok", res.identifier)),
+        on_failure=lambda exc: events.append(("fail", str(exc))))
+    result = pipe.run(spark)
+
+    assert result.staged and result.published
+    assert result.publish_report.messages_sent >= 1
+    assert metrics.metrics == ["ab_metadata_pusher_spark.job.fixtures_sqs.success"]
+    assert events == [("ok", "fixtures_sqs")]
+
+    # EP3: publisher-only — re-publish from staging without extract
+    stub2 = StubSqsClient()
+    pub2 = SqsPublisher("https://queue/test", lambda: stub2)
+    republish = Pipeline(
+        identifier="republish",
+        staging=StagingArea(str(tmp_path / "s")),
+        extract=None,
+        publish=lambda n, r: pub2.publish_collected(n, r, "tag2"))
+    res2 = republish.run(spark)
+    assert not res2.staged and res2.published
+    assert (sum(len(json.loads(e["MessageBody"])["nodes"])
+                for b in stub2.batches for e in b["Entries"])
+            == sum(len(json.loads(e["MessageBody"])["nodes"])
+                   for b in stub.batches for e in b["Entries"]))
+
+
+def test_pipeline_failure_path(spark, tmp_path):
+    metrics = CountingMetrics()
+    failures = []
+
+    def boom(sp):
+        raise RuntimeError("extract exploded")
+
+    pipe = Pipeline(identifier="bad", staging=StagingArea(str(tmp_path / "x")),
+                    extract=boom, metrics=metrics,
+                    on_failure=lambda e: failures.append(str(e)))
+    with pytest.raises(RuntimeError, match="extract exploded"):
+        pipe.run(spark)
+    assert metrics.metrics == ["ab_metadata_pusher_spark.job.bad.fail"]
+    assert failures == ["extract exploded"]
+
+
+def test_job_registry_dispatch(spark, sf_dir, tmp_path):
+    from ab_metadata_pusher_spark.jobs import build_metadata_job
+
+    stub = StubSqsClient()
+    pipe = build_metadata_job("fixtures", "aws_sqs", {
+        "sf_dir": sf_dir,
+        "staging_dir": str(tmp_path / "job"),
+        "queue_url": "https://queue/test",
+        "client_factory": lambda: stub,
+        "publish_tag": "2026-08-13",
+    })
+    result = pipe.run(spark)
+    assert result.published
+    env0 = json.loads(stub.batches[0]["Entries"][0]["MessageBody"])
+    assert env0["tag"] == "2026-08-13"
