@@ -1,0 +1,94 @@
+"""Streaming queries + batch-SQL oracles.
+
+Each callable builds the streaming plan (file-source stream over events,
+watermark + windows/state), executes it with ``Trigger.AvailableNow`` into
+a memory sink, and returns the finished table — a batch-shaped result the
+driver can hash.  Because the stream replays exactly the fixture file, the
+DuckDB oracle is ordinary batch SQL over the same events table (the
+gaps-and-islands formulation for session windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ab_metadata_pusher_spark.plans.registry import register
+from ab_metadata_pusher_spark.streaming import events as E
+
+_EVENTS_TS = "CAST(ts AS TIMESTAMP)"  # duckdb ns-timestamp -> us
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '5 minutes', {_EVENTS_TS}) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    covers=("G.stream.tumbling",),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, AvailableNow execution."""
+    return E.run_to_memory(E.tumbling_counts(E.events_stream(spark, sf_dir)))
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, {_EVENTS_TS} AS ts, value,
+         lag({_EVENTS_TS}) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '5 minutes' THEN 1 ELSE 0 END
+           AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '5 minutes' AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    covers=("G.stream.session",),
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window sessionization vs the gaps-and-islands batch oracle —
+    verifies Spark's session semantics (end = last event + gap) exactly."""
+    return E.run_to_memory(E.session_windows(E.events_stream(spark, sf_dir)))
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    covers=("G.stream.dedup",),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark, projected to the dedup key (the
+    surviving row per key is arrival-order dependent; the key set is not)."""
+    return E.run_to_memory(
+        E.dedup_within_watermark(E.events_stream(spark, sf_dir)),
+        output_mode="append")
+
+
+@register("stream_sliding_counts", covers=("G.stream.sliding",))
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min width, 5 min slide) with approx distinct
+    users.  No oracle: approx_count_distinct is engine-specific; the
+    tumbling/session queries carry the exact-value streaming checks."""
+    return E.run_to_memory(E.sliding_counts(E.events_stream(spark, sf_dir)))

@@ -1,0 +1,144 @@
+"""Structured Streaming operators over the events table (SURVEY.md §2.G
+streaming gap; §2.F F5 — the cron cadence replaced by triggers).
+
+The reference has no streaming: cron re-runs a batch job every tick
+(crontab:1, shell/bootstrap.sh:22).  The Spark-native replacement is a
+resident (or ``Trigger.AvailableNow`` per-tick) streaming query:
+
+* ``events_stream`` — file-source stream of the events fixture (the same
+  nanos-timestamp conversion as the batch loader);
+* tumbling / sliding / session windows with watermarks;
+* ``dropDuplicatesWithinWatermark`` for bounded-state dedup;
+* ``foreach_batch_publish`` — micro-batch -> chunked SQS envelopes, the
+  streaming version of the metadata push.
+
+Every operator returns the *streaming* DataFrame; ``run_to_memory``
+executes it with ``availableNow`` into a memory sink and returns the
+result table — how the driver's batch-shaped correctness gate (and any
+cron-replacement tick) consumes a stream.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+__all__ = [
+    "events_stream", "run_to_memory", "tumbling_counts", "sliding_counts",
+    "session_windows", "dedup_within_watermark", "foreach_batch_publish",
+]
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a file-source stream.
+
+    Schema comes from the batch loader (one footer read); the TIMESTAMP
+    (NANOS) column arrives as long (session conf) and is converted exactly
+    like the batch path, so batch SQL is a valid oracle for every
+    streaming query.
+    """
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # File streams require a *directory* source; glob-filter the one table
+    # out of the read-only fixture dir.
+    sdf = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    # Watermarks require TIMESTAMP (not NTZ); the session timezone is
+    # pinned to UTC (session.py) so wall-clock values match the batch
+    # loader's NTZ values exactly.
+    return sdf.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))) \
+        .select(*batch.columns)
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete",
+                  name: str | None = None) -> DataFrame:
+    """Execute a streaming DataFrame to completion (Trigger.AvailableNow —
+    the cron-tick replacement) into a memory sink; return the results."""
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window counts/avgs per event_type with a watermark bounding
+    state (late rows beyond the watermark are dropped at scale)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes",
+                   slide: str = "5 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(F.col("win.start").alias("win_start"), "n_events",
+                "approx_users")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Session windows per user: a session extends while events arrive
+    within ``gap``; state is bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .select("user_id", F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"), "n_events",
+                "session_value")
+    )
+
+
+def dedup_within_watermark(events: DataFrame,
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Bounded-state streaming dedup: first (user_id, event_type) occurrence
+    wins; duplicates arriving within the watermark horizon are dropped.
+    Projected to the key so output is order-insensitive."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def foreach_batch_publish(events: DataFrame, publisher, tag: str):
+    """Streaming -> SQS: each micro-batch is packed into chunked envelopes
+    and sent via the batch publisher (records ride in the ``nodes`` slot).
+    Returns the started StreamingQuery (AvailableNow: one tick).
+
+    Deployment note: without ``option("checkpointLocation", ...)`` every
+    tick replays the full source (verified: a second AvailableNow run
+    resends all records).  Set a checkpoint dir for exactly-once ticks;
+    the content-hash MessageDeduplicationId makes accidental replays
+    idempotent on FIFO queues either way."""
+    from ab_metadata_pusher_spark.sinks.envelope import pack_envelopes
+
+    def publish_batch(batch_df: DataFrame, batch_id: int) -> None:
+        records = [r.asDict(recursive=True) for r in batch_df.collect()]
+        bodies = pack_envelopes(records, [], f"{tag}-batch{batch_id}",
+                                publisher.max_bytes)
+        publisher._send_bodies(publisher.client_factory(), bodies)
+
+    return (events.writeStream.foreachBatch(publish_batch)
+            .trigger(availableNow=True).start())
