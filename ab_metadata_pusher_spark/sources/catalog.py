@@ -66,6 +66,27 @@ _CATALOG_SCHEMA = T.StructType([
 ])
 
 
+#: arrow type name -> Spark DDL simpleString, matching exactly what
+#: sources/fixtures.load_table yields (incl. the nanos->NTZ conversion).
+_ARROW_TO_SPARK = {
+    "int32": "int", "int64": "bigint", "float": "float", "double": "double",
+    "string": "string", "large_string": "string", "bool": "boolean",
+}
+
+
+def _spark_type_name(arrow_type) -> str:
+    s = str(arrow_type)
+    if s.startswith("timestamp"):
+        return "timestamp_ntz"
+    if s.startswith(("list<", "large_list<")):
+        inner = arrow_type.value_type
+        return f"array<{_spark_type_name(inner)}>"
+    try:
+        return _ARROW_TO_SPARK[s]
+    except KeyError:
+        raise ValueError(f"unmapped arrow type {s!r}") from None
+
+
 def catalog_columns(spark: SparkSession, sf_dir: str,
                     tables: tuple[str, ...] = FIXTURE_TABLES) -> DataFrame:
     """One row per (table, column) of the fixture star schema.
@@ -75,11 +96,18 @@ def catalog_columns(spark: SparkSession, sf_dir: str,
     type names are Spark DDL ``simpleString``s carried *as data* (the
     reference likewise carries ``information_schema.columns.data_type`` as a
     string — SURVEY.md §1.2).
+
+    Footers are read driver-side with pyarrow (a pure metadata operation —
+    one ``spark.read.parquet(...).schema`` per table launches a Spark job
+    each and dominated the flagship query's wall-clock; tested equal in
+    tests/test_catalog_introspection.py).
     """
+    import pyarrow.parquet as pq
+
     rows = []
     for table in tables:
-        schema = load_table(spark, sf_dir, table).schema
-        for i, field in enumerate(schema.fields, start=1):
+        schema = pq.read_schema(f"{sf_dir}/{table}.parquet")
+        for i, field in enumerate(schema, start=1):
             rows.append((
                 CATALOG_DATABASE,
                 CATALOG_CLUSTER,
@@ -87,7 +115,7 @@ def catalog_columns(spark: SparkSession, sf_dir: str,
                 table,
                 TABLE_DESCRIPTIONS.get(table),
                 field.name.lower(),
-                field.dataType.simpleString(),
+                _spark_type_name(field.type),
                 COLUMN_DESCRIPTIONS.get((table, field.name.lower())),
                 i,
                 False,

@@ -1,0 +1,106 @@
+"""Benchmark runner — one JSON line for the driver's BENCH record.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], timing full plan
+execution (noop sink — materializes every row, writes nothing), and prints
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Headline set = the reference-parity flagship (metadata graph build) +
+the heaviest operator families (TPC-H-shaped agg/join/window) + the
+UNBOUNDED LLM-pipeline operators over the full documents/embeddings
+tables (the correctness registry intentionally bounds these; the bench
+must exercise the scale paths).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ab_metadata_pusher_spark.operators import dedup as D  # noqa: E402
+from ab_metadata_pusher_spark.operators import similarity as S  # noqa: E402
+from ab_metadata_pusher_spark.operators import text as X  # noqa: E402
+from ab_metadata_pusher_spark.plans.registry import queries  # noqa: E402
+from ab_metadata_pusher_spark.session import get_spark  # noqa: E402
+from ab_metadata_pusher_spark.sources.fixtures import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: registry queries benched as-is (correctness-shaped, still meaningful).
+REGISTRY_BENCH = [
+    "metadata_nodes",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "join_multiway_revenue",
+    "join_left_outer_orders",
+    "window_topk_per_group",
+    "window_lag_delta",
+    "explode_word_counts",
+    "stream_tumbling_counts",
+]
+
+
+def _unbounded_llm(spark, sf_dir):
+    """Bench-only formulations over the FULL documents/embeddings tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return {
+        "dedup_exact_full": lambda: D.exact_dedup_keep_min(docs),
+        "dedup_minhash_lsh_full": lambda: D.lsh_candidate_pairs(
+            docs, k=16, bands=4),
+        "dedup_simhash_full": lambda: D.simhash(docs),
+        "text_quality_full": lambda: X.quality_features(docs),
+        "text_fingerprint_full": lambda: X.fingerprint(docs),
+        "similarity_topk_full": lambda: S.topk_cosine_bruteforce(
+            emb, emb.filter(F.col("vec_id") < 8), k=10),
+        "similarity_ann_full": lambda: S.ann_lsh_topk(
+            emb, emb.filter(F.col("vec_id") < 8), k=10),
+    }
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.enabled": "false",
+                    "spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    reg = queries()
+    timings: dict[str, float] = {}
+
+    def run(name: str, build) -> None:
+        t0 = time.time()
+        df = build()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warmup: JVM + parquet footers
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    for name in REGISTRY_BENCH:
+        run(name, lambda name=name: reg[name](spark, SF_DIR))
+    for name, build in _unbounded_llm(spark, SF_DIR).items():
+        run(name, build)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()
