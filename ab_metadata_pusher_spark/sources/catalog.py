@@ -120,4 +120,9 @@ def catalog_columns(spark: SparkSession, sf_dir: str,
                 i,
                 False,
             ))
-    return spark.createDataFrame(rows, _CATALOG_SCHEMA)
+    # Catalog metadata is intrinsically tiny (one row per column).  Build the
+    # backing RDD as a single slice: the default path pickles the list into
+    # defaultParallelism near-empty Python partitions, so every downstream
+    # union branch pays a fleet of Python-worker round-trips per evaluation.
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), _CATALOG_SCHEMA)

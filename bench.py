@@ -84,8 +84,27 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    # warmup: JVM + parquet footers
-    load_table(spark, SF_DIR, "lineitem").count()
+    # warmup: JVM + parquet footers + whole-stage-codegen JIT for the
+    # operator shapes under test (agg/join/union/window), so the first
+    # measured query doesn't pay one-time compilation (~6s observed).
+    li = load_table(spark, SF_DIR, "lineitem")
+    nat = load_table(spark, SF_DIR, "nation")
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    warm = (li.limit(1000)
+              .join(F.broadcast(nat), li.l_suppkey % 25 == nat.n_nationkey)
+              .groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")))
+    warm.unionByName(warm).withColumn(
+        "r", F.row_number().over(
+            w.partitionBy("l_returnflag").orderBy("s"))).count()
+    nested = (nat.groupBy("n_regionkey")
+                 .agg(F.sort_array(F.collect_list(
+                     F.struct("n_nationkey", "n_name"))).alias("xs")))
+    nested.select("n_regionkey", F.explode("xs").alias("x")) \
+          .unionByName(nested.select("n_regionkey",
+                                     F.explode("xs").alias("x"))).count()
+    # python-worker pool spin-up (RDD-backed local frames pay this once)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize([(1, "x")], 1), "a int, b string").count()
 
     for name in REGISTRY_BENCH:
         run(name, lambda name=name: reg[name](spark, SF_DIR))
