@@ -1,0 +1,89 @@
+"""As-of (point-in-time) join — a time-series operator the reference lacks
+(SURVEY.md §2.G "joins beyond equi-join"; the reference's only join surface
+is the catalog equi-joins configured at job/sample_mysql_aws_sqs_job.py:48-53).
+
+Semantics: for every left row, attach the payload of the single right row
+with the same key and the greatest ``right_ts <= left_ts`` (backward
+direction, inclusive) — the standard ASOF JOIN of DuckDB/QuestDB/kdb.
+
+Spark-first formulation: **union + sort-window**, not a range join.
+
+* tag both sides, union by name,
+* one window ``partitionBy(keys).orderBy(ts, side)`` with
+  ``last(payload, ignorenulls=True)`` over UNBOUNDED PRECEDING..CURRENT ROW,
+* keep left rows.
+
+Why this is the 100 TB plan: a naive inequality join explodes to
+|left| x |right-per-key| pairs before picking the max; Spark plans it as
+BroadcastNestedLoop when it can't find an equi-condition.  The union-window
+form is ONE hash-shuffle of both sides on the key plus a per-partition sort
+— linear in input, no pair blow-up, skew handled by AQE.  Right rows at the
+same ts as a left row sort first (side 0 < 1), giving inclusive semantics.
+
+Right-side (key, ts) pairs must be unique for deterministic output (same
+contract DuckDB ASOF has when ties exist); pre-aggregate otherwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_payload: Sequence[str] | None = None,
+              prefix: str = "asof_") -> DataFrame:
+    """Backward inclusive as-of join.
+
+    Returns all ``left`` columns plus, per payload column ``c`` of the right
+    side, ``{prefix}{c}`` — NULL when no right row precedes the left row
+    (left-outer semantics).  ``{prefix}{right_ts}`` carries the matched
+    right timestamp.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_payload is None:
+        right_payload = [c for c in right.columns
+                         if c not in keys and c != right_ts]
+    payload = [right_ts, *right_payload]
+
+    left_cols = [c for c in left.columns if c not in keys and c != left_ts]
+
+    def struct_ddl(df: DataFrame, cols: Sequence[str]) -> str:
+        fields = df.select(*[F.col(c) for c in cols]).schema.fields
+        return ("struct<" + ",".join(
+            f"`{f.name}`:{f.dataType.simpleString()}" for f in fields) + ">")
+
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("_left"),
+        F.lit(None).cast(struct_ddl(right, payload)).alias("_right"),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(struct_ddl(left, left_cols)).alias("_left"),
+        F.struct(*[F.col(c) for c in payload]).alias("_right"),
+    )
+
+    w = (Window.partitionBy(*keys).orderBy("_ts", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_match", F.last("_right", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    return matched.select(
+        *keys,
+        F.col("_ts").alias(left_ts),
+        *[F.col(f"_left.{c}").alias(c) for c in left_cols],
+        *[F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in payload],
+    )

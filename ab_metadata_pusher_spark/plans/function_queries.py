@@ -247,3 +247,38 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.posexplode(F.split("text", " ")).alias("pos", "word"))
         .filter(F.col("word") != "")
     )
+
+
+@register(
+    "map_event_type_counts",
+    oracle="""
+SELECT user_id,
+       count(DISTINCT event_type)::INT AS n_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+       CASE WHEN count(*) FILTER (event_type = 'click') = 0 THEN NULL
+            ELSE count(*) FILTER (event_type = 'click') END AS n_click,
+       CASE WHEN count(*) FILTER (event_type = 'error') = 0 THEN NULL
+            ELSE count(*) FILTER (event_type = 'error') END AS n_error
+FROM events GROUP BY user_id
+""",
+    covers=("G.fn.map",),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns (absent from the reference, whose only 'map' is
+    stringly CSV rows): per-user event_type->count map built with
+    map_from_entries, then consumed with map_keys/size/element_at —
+    element_at's NULL-on-missing is mirrored by the oracle's CASE."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+                .agg(F.count(F.lit(1)).alias("c")))
+    m = (counts.groupBy("user_id")
+         .agg(F.map_from_entries(
+             F.sort_array(F.collect_list(F.struct("event_type", "c"))))
+             .alias("m")))
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.array_join(F.sort_array(F.map_keys("m")), ",").alias("types_csv"),
+        F.element_at("m", "click").alias("n_click"),
+        F.element_at("m", "error").alias("n_error"),
+    )

@@ -542,3 +542,33 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, _EVENT_TYPES)
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(median(l_extendedprice), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(quantile_disc(l_extendedprice, 0.5), 4) AS p50_disc
+FROM lineitem GROUP BY l_returnflag
+""",
+    covers=("G.agg.percentile",),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation, matching DuckDB's
+    quantile_cont) plus a discrete quantile via percentile_approx with
+    zero error budget.  At 100 TB the exact form needs a per-group sort —
+    prefer approx_percentile with an explicit accuracy there; this query
+    pins the exact semantics, agg_approx_count_distinct pins the sketch
+    path."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5),
+                                                  F.lit(0.95)))
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(pct.getItem(0), 4).alias("p25"),
+                   F.round(pct.getItem(1), 4).alias("p50"),
+                   F.round(pct.getItem(2), 4).alias("p95"),
+                   F.round(F.percentile_approx("l_extendedprice", 0.5, 2147483647),
+                           4).alias("p50_disc")))

@@ -1,0 +1,75 @@
+"""Time-series queries: as-of join + batch sessionization (SURVEY.md §2.G
+"joins beyond equi-join" / sessionization — extension surface; the
+reference's only temporal notion is its cron schedule, crontab:1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.operators.asof import asof_join
+from ab_metadata_pusher_spark.operators.sessionize import (
+    sessionize, sessionize_pandas,
+)
+from ab_metadata_pusher_spark.plans.registry import register
+from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+_ASOF_SQL = """
+SELECT l.user_id, l.ts, l.event_id, l.value,
+       r.ts AS asof_ts, r.event_id AS asof_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@register("join_asof_clicks", oracle=_ASOF_SQL, covers=("G.join.asof",))
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the same user's most recent prior click —
+    union+sort-window formulation (operators/asof.py), oracled against
+    DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts", "event_id", "value"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts", "event_id"))
+    return asof_join(purchases, clicks, on="user_id",
+                     right_payload=["event_id"])
+
+
+_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS newsess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s
+GROUP BY user_id, session_idx
+"""
+
+
+@register("sessionize_events", oracle=_SESSION_SQL,
+          covers=("G.sessionize", "G.window.frame"))
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min), JVM window formulation."""
+    return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@register("sessionize_events_pandas", oracle=_SESSION_SQL,
+          covers=("G.sessionize", "G.udf.apply_in_pandas"))
+def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical session contract via grouped-map applyInPandas — proves the
+    Arrow custom-operator path against the same SQL oracle."""
+    return sessionize_pandas(load_table(spark, sf_dir, "events"),
+                             gap_seconds=1800)

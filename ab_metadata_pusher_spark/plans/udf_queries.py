@@ -1,0 +1,71 @@
+"""Vectorized-UDF surface (SURVEY.md §2.G "UDF/UDAF/UDTF: none in the
+reference" — its C1 transform hook is where one would have lived,
+job/sample_mysql_aws_sqs_job.py:74 passes no transformer).
+
+Every UDF here is Arrow-batched (``pandas_udf``) — never row-at-a-time
+Python — and each is oracled against the equivalent closed-form SQL, so the
+driver verifies the Arrow path bit-for-bit (after 4-decimal rounding to
+absorb float summation-order differences).
+
+UDFs are constructed lazily inside each query: ``pandas_udf`` parses its
+return-type DDL against the active SparkContext, so decorating at module
+import would demand a session before one exists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ab_metadata_pusher_spark.plans.registry import register
+from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+
+@register(
+    "udf_grouped_geomean",
+    oracle="""
+SELECT l_returnflag,
+       round(exp(avg(ln(l_quantity))), 4) AS geomean_qty,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    covers=("G.udf.grouped_agg",),
+)
+def q_grouped_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        # grouped-agg pandas UDF: geometric mean (inputs positive)
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    @pandas_udf("long")
+    def n(v: pd.Series) -> int:
+        # grouped-agg pandas UDFs can't mix with JVM aggregates in one
+        # agg(); group size is a second pandas UDAF instead
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(geomean("l_quantity"), 4).alias("geomean_qty"),
+                   n("l_quantity").alias("n")))
+
+
+@register(
+    "udf_scalar_log1p",
+    oracle="""
+SELECT o_orderkey, round(ln(1 + o_totalprice), 4) AS log_price
+FROM orders
+""",
+    covers=("G.udf.scalar",),
+)
+def q_scalar_log1p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def log1p(v: pd.Series) -> pd.Series:
+        # scalar pandas UDF, one Arrow batch per call
+        return np.log1p(v)
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey",
+                    F.round(log1p("o_totalprice"), 4).alias("log_price"))

@@ -1,0 +1,62 @@
+"""As-of join and sessionization edge semantics (beyond the registry's
+oracle parity): tie inclusivity, no-match NULLs, and the JVM-vs-pandas
+sessionizer equivalence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.operators.asof import asof_join
+from ab_metadata_pusher_spark.operators.sessionize import (
+    sessionize, sessionize_pandas,
+)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_backward_inclusive_and_null(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "l1"), (1, _ts(5), "l2"), (2, _ts(1), "l3")],
+        "k int, ts timestamp_ntz, lv string")
+    right = spark.createDataFrame(
+        [(1, _ts(5), "r_at_5"), (1, _ts(7), "r_at_7"), (3, _ts(0), "r_other")],
+        "k int, ts timestamp_ntz, rv string")
+
+    out = {r["lv"]: (r["asof_rv"], r["asof_ts"])
+           for r in asof_join(left, right, on="k").collect()}
+
+    assert out["l1"] == ("r_at_7", _ts(7))   # latest <= 10
+    assert out["l2"] == ("r_at_5", _ts(5))   # tie is inclusive
+    assert out["l3"] == (None, None)         # no right row for key 2
+
+
+def test_asof_multiple_keys(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts(9), 1.0)], "k1 int, k2 string, ts timestamp_ntz, v double")
+    right = spark.createDataFrame(
+        [(1, "a", _ts(3), 10.0), (1, "b", _ts(4), 20.0)],
+        "k1 int, k2 string, ts timestamp_ntz, w double")
+    rows = asof_join(left, right, on=["k1", "k2"]).collect()
+    assert rows[0]["asof_w"] == 10.0  # (1,'b') must not leak into (1,'a')
+
+
+def test_sessionize_gap_boundary(spark):
+    # gaps: 30min exactly (same session, > is strict), 31min (new session)
+    ev = spark.createDataFrame(
+        [(7, _ts(0)), (7, dt.datetime(2024, 1, 1, 0, 30)),
+         (7, dt.datetime(2024, 1, 1, 1, 1))],
+        "user_id bigint, ts timestamp_ntz")
+    rows = sorted(sessionize(ev).collect(), key=lambda r: r["session_idx"])
+    assert [(r["session_idx"], r["n_events"]) for r in rows] == [(1, 2), (2, 1)]
+
+
+def test_sessionize_pandas_equals_native(spark, sf_dir):
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+    ev = load_table(spark, sf_dir, "events")
+    a = {tuple(r) for r in sessionize(ev).collect()}
+    b = {tuple(r) for r in sessionize_pandas(ev).collect()}
+    assert a == b and len(a) > 0
