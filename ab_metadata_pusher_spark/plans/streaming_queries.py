@@ -92,3 +92,24 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     users.  No oracle: approx_count_distinct is engine-specific; the
     tumbling/session queries carry the exact-value streaming checks."""
     return E.run_to_memory(E.sliding_counts(E.events_stream(spark, sf_dir)))
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle=f"""
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       min({_EVENTS_TS}) AS first_ts,
+       max({_EVENTS_TS}) AS last_ts
+FROM events GROUP BY user_id
+""",
+    covers=("G.stream.stateful",),
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): per-user
+    running aggregates in explicit GroupState, final emission vs the batch
+    oracle."""
+    return E.run_to_memory(
+        E.stateful_user_stats(E.events_stream(spark, sf_dir)),
+        output_mode="update")

@@ -30,6 +30,7 @@ from ab_metadata_pusher_spark.sources.fixtures import load_table
 __all__ = [
     "events_stream", "run_to_memory", "tumbling_counts", "sliding_counts",
     "session_windows", "dedup_within_watermark", "foreach_batch_publish",
+    "stateful_user_stats",
 ]
 
 
@@ -142,3 +143,51 @@ def foreach_batch_publish(events: DataFrame, publisher, tag: str):
 
     return (events.writeStream.foreachBatch(publish_batch)
             .trigger(availableNow=True).start())
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals kept in explicit GroupState across micro-batches —
+    the engine's escape hatch for stream logic no built-in expresses
+    (the batch analogue of this hatch is operators/sessionize.py).
+
+    Emits the updated per-user aggregate each micro-batch ("update" mode);
+    over an AvailableNow replay of the fixture the final emission equals
+    the batch aggregate, which is what the oracle checks.  State is three
+    numeric scalars per user — bounded, skew-proof.
+    """
+    import pandas as pd  # local: keep module import Spark-session-free
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("user_id bigint, n_events bigint, total_value double, "
+                  "first_ts timestamp, last_ts timestamp")
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, total, first_us, last_us = (
+            state.get if state.exists else (0, 0.0, None, None))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            ts_us = pdf["ts"].astype("int64") // 1000
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, total, first_us, last_us))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        })
+
+    return (
+        events.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="n bigint, total double, first_us bigint, last_us bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )

@@ -1,0 +1,67 @@
+"""Plan-quality audit: print a physical-plan summary for the headline
+queries — exchanges (shuffles), join strategies, pushed parquet filters,
+whole-stage-codegen spans — and flag anti-patterns (cartesian products,
+nested-loop joins where an equi-join was expected).
+
+Usage: python scripts/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from ab_metadata_pusher_spark.plans.registry import queries  # noqa: E402
+from ab_metadata_pusher_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+#: queries where a nested-loop/cross join is the *intended* strategy
+#: (brute-force similarity broadcasts the tiny query side over the corpus).
+EXPECTED_NON_EQUI = {"similarity_topk_cosine", "dedup_embedding_cosine",
+                     "join_range_bands", "dedup_simhash_pairs"}
+
+DEFAULT = [
+    "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
+    "agg_pricing_summary", "window_topk_per_group", "dedup_minhash_lsh",
+    "similarity_topk_cosine", "sessionize_events", "text_fingerprint",
+]
+
+
+def main() -> int:
+    spark = get_spark(app_name="explain-audit",
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = queries()
+    names = sys.argv[1:] or DEFAULT
+    bad = 0
+    for name in names:
+        df = reg[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        n_exchange = plan.count(") Exchange")
+        n_bcast = plan.count("BroadcastHashJoin")
+        n_smj = plan.count("SortMergeJoin")
+        n_nl = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
+        pushed = sum(1 for ln in plan.splitlines()
+                     if "PushedFilters: [" in ln and "PushedFilters: []" not in ln)
+        flag = ""
+        if n_nl and name not in EXPECTED_NON_EQUI:
+            flag = "  <-- UNEXPECTED NESTED-LOOP/CARTESIAN"
+            bad += 1
+        print(f"{name:28s} shuffles={n_exchange} broadcast={n_bcast} "
+              f"sortmerge={n_smj} nestedloop={n_nl} pushed_scans={pushed}{flag}")
+    print("AUDIT", "FAIL" if bad else "PASS")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
