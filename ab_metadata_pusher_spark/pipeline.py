@@ -67,6 +67,12 @@ class Pipeline:
     identifier: str
     staging: StagingArea
     extract: Callable[[SparkSession], tuple[DataFrame, DataFrame]] | None = None
+    #: C1 transform hook — the reference's DefaultTask defaults to a noop
+    #: transformer (job/sample_mysql_aws_sqs_job.py:74 passes none); here a
+    #: (nodes, relations) -> (nodes, relations) DataFrame rewrite applied
+    #: between extract and staging.  None = identity.
+    transform: Callable[[DataFrame, DataFrame],
+                        tuple[DataFrame, DataFrame]] | None = None
     publish: Callable[[DataFrame, DataFrame], Any] | None = None
     metrics: MetricsEmitter = field(default_factory=MetricsEmitter)
     on_success: Callable[[PipelineResult], None] | None = None
@@ -79,6 +85,8 @@ class Pipeline:
         try:
             if self.extract is not None:
                 nodes, relations = self.extract(spark)
+                if self.transform is not None:
+                    nodes, relations = self.transform(nodes, relations)
                 self.staging.write(nodes, relations)
                 staged = True
             nodes = self.staging.read_nodes(spark)
