@@ -69,3 +69,40 @@ def q_scalar_log1p(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderkey",
                     F.round(log1p("o_totalprice"), 4).alias("log_price"))
+
+
+@register(
+    "udtf_span_split",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, '. ')) AS sentence
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, trim(sentence) AS sentence, length(trim(sentence)) AS n_chars
+FROM t WHERE trim(sentence) <> ''
+""",
+    covers=("G.udtf.python",),
+)
+def q_udtf_span_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input document row -> N sentence
+    rows.  The lateral-join shape every custom chunker (for RAG/pretrain
+    pipelines) takes; built-ins can't express arbitrary per-row fan-out
+    logic, a UDTF can."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence: string, n_chars: int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for raw in text.split(". "):
+                s = raw.strip()
+                if s:
+                    yield s, len(s)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50))
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, s.sentence, s.n_chars
+        FROM _udtf_docs d, LATERAL sentence_split(d.text) s
+    """)

@@ -58,14 +58,31 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete",
-                  name: str | None = None) -> DataFrame:
+                  name: str | None = None,
+                  shuffle_partitions: int | None = 8) -> DataFrame:
     """Execute a streaming DataFrame to completion (Trigger.AvailableNow —
-    the cron-tick replacement) into a memory sink; return the results."""
+    the cron-tick replacement) into a memory sink; return the results.
+
+    ``shuffle_partitions`` is pinned for the stream's lifetime: stateful
+    operators materialize one state store per shuffle partition, so the
+    count should track state size / key cardinality, not CPU count
+    (32 near-empty stores measured 2.7x slower than 8 at sf0.1).  On a
+    real cluster size it once per expected state volume — it is frozen
+    into the checkpoint.
+    """
+    spark = stream_df.sparkSession
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode).trigger(availableNow=True).start())
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if shuffle_partitions is not None:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        q = (stream_df.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    return spark.table(name)
 
 
 def tumbling_counts(events: DataFrame, width: str = "5 minutes",

@@ -41,12 +41,17 @@ REGISTRY_BENCH = [
     "metadata_nodes",
     "agg_pricing_summary",
     "agg_rollup",
+    "agg_percentiles",
     "join_multiway_revenue",
     "join_left_outer_orders",
+    "join_asof_clicks",
     "window_topk_per_group",
     "window_lag_delta",
+    "sessionize_events",
     "explode_word_counts",
+    "udf_grouped_geomean",
     "stream_tumbling_counts",
+    "stream_stateful_user_stats",
 ]
 
 
