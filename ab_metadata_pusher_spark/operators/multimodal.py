@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["with_binary_payload", "decode_features", "DECODE_SCHEMA"]
+__all__ = ["with_binary_payload", "decode_features", "DECODE_SCHEMA",
+           "resize_payload", "sample_frames", "RESIZE_SCHEMA", "FRAME_SCHEMA"]
 
 
 def with_binary_payload(documents: DataFrame) -> DataFrame:
@@ -81,3 +82,69 @@ def decode_features(multimodal: DataFrame, codec: str = "stub") -> DataFrame:
 
     return (multimodal.select("doc_id", "payload")
             .mapInPandas(extract, DECODE_SCHEMA))
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("resized_md5", T.StringType()),
+    T.StructField("n_bytes", T.IntegerType()),
+])
+
+
+def resize_payload(multimodal: DataFrame, out_bytes: int = 32) -> DataFrame:
+    """'Resize' stub: deterministic stride resample of each payload to a
+    fixed byte budget (index i draws byte floor(i*len/out)) — the exact
+    plumbing shape of image thumbnailing (big binary in, small binary
+    out, 1:1 rows), minus the codec."""
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "resized_md5": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                resized = bytes(b[(i * len(b)) // out_bytes]
+                                for i in range(out_bytes))
+                out["doc_id"].append(doc_id)
+                out["resized_md5"].append(hashlib.md5(resized).hexdigest())
+                out["n_bytes"].append(len(resized))
+            yield pd.DataFrame(out)
+
+    return (multimodal.select("doc_id", "payload")
+            .mapInPandas(resample, RESIZE_SCHEMA))
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_md5", T.StringType()),
+    T.StructField("frame_len", T.IntegerType()),
+])
+
+
+def sample_frames(multimodal: DataFrame, frame_bytes: int = 64,
+                  every: int = 2) -> DataFrame:
+    """Frame-sampling stub: treat the payload as fixed-size frames and
+    emit every ``every``-th frame — the 1:N fan-out shape of video frame
+    extraction (batch in, more rows out), minus the demuxer."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": [],
+                   "frame_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, every):
+                    frame = b[idx * frame_bytes:(idx + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                    out["frame_len"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return (multimodal.select("doc_id", "payload")
+            .mapInPandas(sample, FRAME_SCHEMA))

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 __all__ = ["dot", "l2_norm", "cosine", "topk_cosine_bruteforce",
-           "hyperplanes", "ann_lsh_topk", "embedding_near_dup_pairs"]
+           "hyperplanes", "ann_lsh_topk", "embedding_near_dup_pairs",
+           "ivf_centroids", "ann_ivf_topk"]
 
 
 def _dbl(col: Column) -> Column:
@@ -147,4 +148,65 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
         .withColumn("cosine_sim", cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+    )
+
+
+def ivf_centroids(corpus: DataFrame) -> DataFrame:
+    """IVF coarse quantizer: one centroid per cell as the per-label mean
+    vector (labels stand in for k-means cells — deterministic, so the
+    DuckDB oracle can recompute them; swap in ml.clustering.KMeans on a
+    real corpus).  posexplode + (cell, pos) avg is one shuffle of
+    (corpus x dim) scalars, map-side combinable."""
+    per_dim = (corpus
+               .select("label", F.posexplode(_dbl(F.col("embedding")))
+                       .alias("pos", "v"))
+               .groupBy("label", "pos").agg(F.avg("v").alias("v")))
+    return (per_dim.groupBy("label")
+            .agg(F.transform(F.sort_array(F.collect_list(F.struct("pos", "v"))),
+                             lambda s: s["v"]).alias("cvec"))
+            .select(F.col("label").alias("cell"), "cvec"))
+
+
+def _assign_cells(df: DataFrame, cents: DataFrame, id_col: str,
+                  emb_col: str, nprobe: int) -> DataFrame:
+    """Attach the ``nprobe`` nearest cells to each vector (broadcast the
+    centroid table — it is tiny by construction)."""
+    scored = (df.crossJoin(F.broadcast(cents))
+              .withColumn("_csim", cosine(F.col(emb_col), F.col("cvec"))))
+    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell"))
+    return (scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= nprobe).drop("_csim", "_r", "cvec"))
+
+
+def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 nprobe: int = 2) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest cell,
+    queries probe their ``nprobe`` nearest cells, ranking runs only inside
+    probed cells.
+
+    The 100 TB shape: candidates per query ~= nprobe * corpus / n_cells,
+    and the corpus side can be written bucketed by cell so the probe join
+    is shuffle-free on re-use.  Output schema matches
+    topk_cosine_bruteforce for direct recall measurement."""
+    cents = ivf_centroids(corpus)
+    c = _assign_cells(
+        corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("c_emb")),
+        cents, "neighbor_id", "c_emb", nprobe=1)
+    q = F.broadcast(_assign_cells(
+        queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb")),
+        cents, "query_id", "q_emb", nprobe=nprobe))
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
     )

@@ -421,3 +421,102 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     under test; value-level checks live in tests/test_llm_operators.py."""
     mm = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.decode_features(mm, codec="stub")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       md5(string_agg(substring(text, 1 + (i * length(text)) // 32, 1),
+                      '' ORDER BY i)) AS resized_md5,
+       32 AS n_bytes
+FROM documents, generate_series(0, 31) AS g(i)
+GROUP BY doc_id
+""",
+    covers=("G.multimodal.resize",),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-resample 'thumbnail' stub over binary payloads (1:1 rows).
+    The oracle replays the same index arithmetic with substring over the
+    (all-ASCII) text, so byte slicing == char slicing."""
+    mm = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.resize_payload(mm, out_bytes=32)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH f AS (
+  -- fixed series (docs are <= 4096 B here) filtered to real frames;
+  -- generate_series can't take a lateral column parameter in DuckDB
+  SELECT doc_id, i AS frame_idx, substring(text, i * 64 + 1, 64) AS frame
+  FROM documents, generate_series(0, 63) AS g(i)
+  WHERE i % 2 = 0 AND i * 64 < length(text)
+)
+SELECT doc_id, frame_idx, md5(frame) AS frame_md5,
+       length(frame) AS frame_len
+FROM f
+""",
+    covers=("G.multimodal.frame_sample",),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stub (1:N fan-out): every 2nd 64-byte frame per
+    payload, one output row per sampled frame."""
+    mm = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.sample_frames(mm, frame_bytes=64, every=2)
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle="""
+WITH cent AS (
+  SELECT label AS cell, list(avg_v ORDER BY i) AS cvec
+  FROM (
+    SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS avg_v
+    FROM embeddings, generate_series(1, 64) AS g(i)
+    GROUP BY label, i
+  ) GROUP BY label
+),
+c_assign AS (
+  SELECT neighbor_id, cv, cell FROM (
+    SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cv,
+           c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             c.cvec) DESC, c.cell) AS r
+    FROM embeddings e, cent c
+  ) WHERE r = 1
+),
+q_assign AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+           c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             c.cvec) DESC, c.cell) AS r
+    FROM embeddings e, cent c
+    WHERE e.vec_id < 5
+  ) WHERE r <= 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                     neighbor_id) AS rank
+  FROM q_assign JOIN c_assign USING (cell)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank
+FROM scored WHERE rank <= 5
+""",
+    covers=("G.similarity.ann.ivf",),
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (label-mean centroids, nprobe=2) — unlike the
+    LSH variant this one IS oracle-checkable because the quantizer is a
+    deterministic aggregate both engines can compute."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5, nprobe=2)

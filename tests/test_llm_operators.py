@@ -64,3 +64,25 @@ def test_real_codec_raises(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(NotImplementedError, match="pil"):
         M.decode_features(M.with_binary_payload(docs), codec="pil")
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF sanity: recall must scale with nprobe.  The fixture's labels do
+    NOT cluster the embedding space (true neighbors span arbitrary labels),
+    so label-mean cells approximate random partitioning — expected recall
+    ~nprobe/n_cells; probing all 10 cells must recover brute force
+    exactly (the candidate set becomes the whole corpus)."""
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.topk_cosine_bruteforce(e, q, k=5).collect()}
+
+    def recall(nprobe: int) -> float:
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in S.ann_ivf_topk(e, q, k=5, nprobe=nprobe).collect()}
+        return len(exact & approx) / len(exact)
+
+    r2 = recall(2)
+    assert r2 >= 0.15, f"IVF recall collapsed: {r2}"
+    assert recall(10) == 1.0, "full probe must equal brute force"
