@@ -572,3 +572,61 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round(pct.getItem(2), 4).alias("p95"),
                    F.round(F.percentile_approx("l_extendedprice", 0.5, 2147483647),
                            4).alias("p50_disc")))
+
+
+@register(
+    "subquery_above_avg",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+""",
+    covers=("G.subquery.scalar",),
+)
+def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery decorrelated the way Catalyst does it: the aggregate
+    becomes a one-row broadcast crossed into the filter — no per-row
+    re-evaluation (SURVEY.md §4.1 'subquery decorrelation: built-in')."""
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (o.crossJoin(F.broadcast(avg_price))
+            .filter(F.col("o_totalprice") > F.col("_avg"))
+            .select("o_orderkey",
+                    F.round("o_totalprice", 2).alias("totalprice")))
+
+
+@register(
+    "rollup_time_buckets",
+    oracle="""
+WITH base AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_1h,
+       time_bucket(INTERVAL '1 day', ts) AS bucket_1d,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM base
+GROUP BY GROUPING SETS ((bucket_1h, event_type), (bucket_1d, event_type),
+                        (event_type))
+""",
+    covers=("G.rollup.hypertable",),
+)
+def q_rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (the TimescaleDB continuous
+    aggregate shape): hourly, daily, and all-time aggregates per event_type
+    in ONE pass via grouping sets — partial aggregation is shared, not
+    recomputed per resolution."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    base = ev.select(
+        F.date_trunc("hour", "ts").alias("bucket_1h"),
+        F.date_trunc("day", "ts").alias("bucket_1d"),
+        "event_type", "value")
+    return (base
+            .groupingSets(
+                [["bucket_1h", "event_type"], ["bucket_1d", "event_type"],
+                 ["event_type"]],
+                "bucket_1h", "bucket_1d", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
