@@ -95,6 +95,11 @@ def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
     One explode + one groupBy with k min-aggregates; every hash is the
     affine transform (a_j*h + b_j) mod P over the doc's shingle hashes,
     h = 60-bit md5 reduced mod P (cross-engine deterministic).
+
+    The distinct inside doc_shingles looks skippable (duplicate shingles
+    cannot change a min) but measures FASTER kept: its map-side partial
+    dedup shrinks the shuffle before the md5 + 16 affine transforms run,
+    which beats evaluating those expressions on every raw shingle.
     """
     sh = doc_shingles(df, n).withColumn("h", md5_long(F.col("shingle")) % MERSENNE_P)
     aggs = [
