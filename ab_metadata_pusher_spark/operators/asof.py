@@ -37,14 +37,18 @@ __all__ = ["asof_join"]
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
               left_ts: str = "ts", right_ts: str = "ts",
               right_payload: Sequence[str] | None = None,
-              prefix: str = "asof_") -> DataFrame:
-    """Backward inclusive as-of join.
+              prefix: str = "asof_",
+              direction: str = "backward") -> DataFrame:
+    """Inclusive as-of join, ``direction`` backward (default) or forward.
 
+    Backward matches the latest right row with ``right_ts <= left_ts``;
+    forward the earliest with ``right_ts >= left_ts`` (both per key).
     Returns all ``left`` columns plus, per payload column ``c`` of the right
-    side, ``{prefix}{c}`` — NULL when no right row precedes the left row
-    (left-outer semantics).  ``{prefix}{right_ts}`` carries the matched
-    right timestamp.
+    side, ``{prefix}{c}`` — NULL when no right row qualifies (left-outer
+    semantics).  ``{prefix}{right_ts}`` carries the matched right timestamp.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if right_payload is None:
         right_payload = [c for c in right.columns
@@ -73,7 +77,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
         F.struct(*[F.col(c) for c in payload]).alias("_right"),
     )
 
-    w = (Window.partitionBy(*keys).orderBy("_ts", "_side")
+    # Same machinery both directions: forward just walks time reversed.
+    # Right rows at the exact left timestamp sort first either way
+    # (side 0 < 1), giving inclusive semantics.
+    ts_order = (F.col("_ts").asc() if direction == "backward"
+                else F.col("_ts").desc())
+    w = (Window.partitionBy(*keys).orderBy(ts_order, F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     matched = (

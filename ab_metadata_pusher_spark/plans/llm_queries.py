@@ -275,7 +275,43 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_cosine_bruteforce(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
-@register("similarity_ann_lsh", covers=("G.similarity.ann",))
+def _lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    """Oracle for the hyperplane-LSH path, generated from the SAME
+    deterministic planes as the Spark operator — bucket bits, candidate
+    join and ranking all recomputed in DuckDB."""
+    planes = S.hyperplanes(n_planes, dim)
+    def arr(p): return "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {arr(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+cb AS (SELECT neighbor_id, v AS cv, ({bucket}) AS bucket FROM c),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 5
+),
+qb AS (SELECT query_id, v AS qv, ({bucket}) AS bucket FROM q),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                     neighbor_id) AS rank
+  FROM qb JOIN cb USING (bucket)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank
+FROM scored WHERE rank <= {k}
+"""
+
+
+@register("similarity_ann_lsh", oracle=_lsh_sql(),
+          covers=("G.similarity.ann",))
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 — the sub-linear scale path.
     No oracle (approximate by construction); recall vs brute force is
@@ -520,3 +556,4 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic aggregate both engines can compute."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.ann_ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5, nprobe=2)
+

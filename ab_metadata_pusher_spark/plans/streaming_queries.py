@@ -86,11 +86,29 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append")
 
 
-@register("stream_sliding_counts", covers=("G.stream.sliding",))
+@register(
+    "stream_sliding_counts",
+    oracle=f"""
+WITH placed AS (
+  SELECT time_bucket(INTERVAL '5 minutes', {_EVENTS_TS}) AS win_start,
+         user_id
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', {_EVENTS_TS})
+           - INTERVAL '5 minutes' AS win_start,
+         user_id
+  FROM events
+)
+SELECT win_start, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM placed GROUP BY win_start
+""",
+    covers=("G.stream.sliding",),
+)
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (10 min width, 5 min slide) with approx distinct
-    users.  No oracle: approx_count_distinct is engine-specific; the
-    tumbling/session queries carry the exact-value streaming checks."""
+    """Sliding windows (10 min width, 5 min slide), exact distinct users.
+    Oracle places each event in both covering windows (start = its 5-min
+    bucket and the one before)."""
     return E.run_to_memory(E.sliding_counts(E.events_stream(spark, sf_dir)))
 
 

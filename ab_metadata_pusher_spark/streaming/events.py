@@ -102,14 +102,18 @@ def tumbling_counts(events: DataFrame, width: str = "5 minutes",
 def sliding_counts(events: DataFrame, width: str = "10 minutes",
                    slide: str = "5 minutes",
                    watermark: str = "10 minutes") -> DataFrame:
-    """Sliding windows: each event lands in width/slide windows."""
+    """Sliding windows: each event lands in width/slide windows.
+
+    Distinct users via size(collect_set) — exact, so the batch oracle can
+    verify it (streaming aggregation forbids count(DISTINCT); at higher
+    cardinalities switch to approx_count_distinct and drop the oracle).
+    """
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide).alias("win"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.approx_count_distinct("user_id").alias("approx_users"))
-        .select(F.col("win.start").alias("win_start"), "n_events",
-                "approx_users")
+             F.size(F.collect_set("user_id")).alias("n_users"))
+        .select(F.col("win.start").alias("win_start"), "n_events", "n_users")
     )
 
 

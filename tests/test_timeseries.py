@@ -60,3 +60,42 @@ def test_sessionize_pandas_equals_native(spark, sf_dir):
     a = {tuple(r) for r in sessionize(ev).collect()}
     b = {tuple(r) for r in sessionize_pandas(ev).collect()}
     assert a == b and len(a) > 0
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "l1"), (1, _ts(5), "l2"), (1, _ts(40), "l3")],
+        "k int, ts timestamp_ntz, lv string")
+    right = spark.createDataFrame(
+        [(1, _ts(5), "r_at_5"), (1, _ts(30), "r_at_30")],
+        "k int, ts timestamp_ntz, rv string")
+    out = {r["lv"]: r["asof_rv"]
+           for r in asof_join(left, right, on="k",
+                              direction="forward").collect()}
+    assert out == {"l1": "r_at_30",   # earliest >= 10
+                   "l2": "r_at_5",    # tie inclusive
+                   "l3": None}        # nothing after 40
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from ab_metadata_pusher_spark.operators.skew import salted_join
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey) \
+                  .select("o_orderkey", "c_name")
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), customer,
+        on="c_custkey", salt=4).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == \
+           sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k int, lv string")
+    right = spark.createDataFrame([(1, "x")], "k int, rv string")
+    from ab_metadata_pusher_spark.operators.skew import salted_join
+    rows = {r["lv"]: r["rv"]
+            for r in salted_join(left, right, on="k", how="left",
+                                 salt=3).collect()}
+    assert rows == {"a": "x", "b": None}
