@@ -99,3 +99,37 @@ def test_salted_left_join_keeps_unmatched(spark):
             for r in salted_join(left, right, on="k", how="left",
                                  salt=3).collect()}
     assert rows == {"a": "x", "b": None}
+
+
+def test_asof_randomized_vs_bruteforce(spark):
+    """Seeded random case with ties, duplicate left timestamps, and keys
+    missing on either side; expected result computed by per-row scan."""
+    import random
+    rng = random.Random(42)
+    left = [(rng.randint(0, 5), _ts(rng.randint(0, 59)), i)
+            for i in range(200)]
+    right = [(rng.randint(0, 7), _ts(m), 1000 + m)
+             for m in rng.sample(range(60), 30)]
+
+    ldf = spark.createDataFrame(left, "k int, ts timestamp_ntz, lid int")
+    rdf = spark.createDataFrame(right, "k int, ts timestamp_ntz, rid int")
+
+    def expected(direction):
+        out = {}
+        for k, ts, lid in left:
+            if direction == "backward":
+                cands = [(rts, rid) for rk, rts, rid in right
+                         if rk == k and rts <= ts]
+                best = max(cands) if cands else None
+            else:
+                cands = [(rts, rid) for rk, rts, rid in right
+                         if rk == k and rts >= ts]
+                best = min(cands) if cands else None
+            out[lid] = best[1] if best else None
+        return out
+
+    for direction in ("backward", "forward"):
+        got = {r["lid"]: r["asof_rid"]
+               for r in asof_join(ldf, rdf, on="k",
+                                  direction=direction).collect()}
+        assert got == expected(direction), f"direction={direction}"
