@@ -75,9 +75,11 @@ def decode_features(multimodal: DataFrame, codec: str = "stub") -> DataFrame:
                     lambda b: hashlib.md5(bytes(b)).hexdigest()),
                 "first_byte": payloads.map(
                     lambda b: b[0] if len(b) else -1).astype("int32"),
+                # half-up rounding (SQL round), not numpy's half-to-even:
+                # sum/len hits exact .00005 boundaries
                 "byte_mean": payloads.map(
-                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0)
-                    .round(4),
+                    lambda b: (int((sum(b) / len(b)) * 1e4 + 0.5) / 1e4
+                               if len(b) else 0.0)),
             })
 
     return (multimodal.select("doc_id", "payload")

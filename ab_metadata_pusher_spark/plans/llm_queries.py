@@ -450,11 +450,28 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features", covers=("G.multimodal.decode",))
+@register(
+    "multimodal_decode_features",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, ascii(substring(text, i, 1)) AS b
+  FROM documents, generate_series(1, 4096) AS g(i)
+  WHERE i <= length(text)
+)
+SELECT d.doc_id,
+       length(d.text)::INT AS byte_len,
+       md5(d.text) AS payload_md5,
+       ascii(substring(d.text, 1, 1))::INT AS first_byte,
+       round(avg(c.b), 4) AS byte_mean
+FROM documents d JOIN chars c USING (doc_id)
+GROUP BY d.doc_id, d.text
+""",
+    covers=("G.multimodal.decode",),
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
-    (stub codec).  No SQL oracle — the Python batch pipeline is the thing
-    under test; value-level checks live in tests/test_llm_operators.py."""
+    (stub codec).  The oracle replays the byte statistics with per-char
+    ascii() over the all-ASCII payload text."""
     mm = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.decode_features(mm, codec="stub")
 
