@@ -630,3 +630,86 @@ def q_rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bucket_1h", "bucket_1d", "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 2).alias("total_value")))
+
+
+@register(
+    "join_full_outer_nations",
+    oracle="""
+WITH s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+  FROM supplier WHERE s_nationkey < 15 GROUP BY s_nationkey
+),
+c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers
+  FROM customer WHERE c_nationkey > 10 GROUP BY c_nationkey
+)
+SELECT coalesce(s.nationkey, c.nationkey) AS nationkey,
+       s.n_suppliers, c.n_customers
+FROM s FULL OUTER JOIN c USING (nationkey)
+""",
+    covers=("G.join.full_outer",),
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on BOTH sides (disjoint filter
+    ranges force them)."""
+    s = (_t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 15)
+         .groupBy(F.col("s_nationkey").alias("nationkey"))
+         .agg(F.count(F.lit(1)).alias("n_suppliers")))
+    c = (_t(spark, sf_dir, "customer").filter(F.col("c_nationkey") > 10)
+         .groupBy(F.col("c_nationkey").alias("nationkey"))
+         .agg(F.count(F.lit(1)).alias("n_customers")))
+    return (s.join(c, "nationkey", "full_outer")
+            .select("nationkey", "n_suppliers", "n_customers"))
+
+
+@register(
+    "join_cross_regions",
+    oracle="""
+SELECT a.r_name AS region_a, b.r_name AS region_b
+FROM region a CROSS JOIN region b
+""",
+    covers=("G.join.cross",),
+)
+def q_cross_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (tiny x tiny — anything larger belongs behind
+    a broadcast or a blocking key, see similarity/dedup operators)."""
+    r = _t(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("region_a"))
+    b = r.select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b)
+
+
+@register(
+    "window_rank_functions",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       lead(o_orderkey) OVER w AS next_key,
+       nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS third_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""",
+    covers=("G.window.rank", "G.window.ntile", "G.window.lead"),
+)
+def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions in one pass (one shuffle,
+    one sort, five functions share the frame)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice",
+                                                      "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.nth_value("o_orderkey", 3).over(wrun).alias("third_key"),
+    )
