@@ -1,0 +1,51 @@
+"""Bucketed staging for co-located joins (SCALE.md: "co-locate joins via
+bucketing"): writing both fact tables bucketed on the join key makes the
+join shuffle-free — the Exchange nodes disappear from the physical plan.
+
+This is the 100 TB pattern for repeated fact-fact joins (staging written
+once, joined many times); the test proves the plan shape, not just the
+result.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def bucket_db(spark, tmp_path):
+    db = "bucketing_test"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{tmp_path}'")
+    yield db
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucket_db):
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+     .sortBy("l_orderkey").saveAsTable(f"{bucket_db}.li_b"))
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").saveAsTable(f"{bucket_db}.o_b"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lib = spark.table(f"{bucket_db}.li_b")
+        ob = spark.table(f"{bucket_db}.o_b")
+        joined = lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, \
+            "bucketed join must not shuffle:\n" + plan
+
+        # and the result matches the shuffled join
+        shuffled = li.join(o, li.l_orderkey == o.o_orderkey)
+        assert joined.count() == shuffled.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
