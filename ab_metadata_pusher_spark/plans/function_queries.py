@@ -282,3 +282,31 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", "click").alias("n_click"),
         F.element_at("m", "error").alias("n_error"),
     )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+SELECT event_id,
+       TRY_CAST(event_type AS INT) AS type_as_int,
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       value / nullif(user_id, 0) AS per_user,
+       TRY_CAST('2024-13-45' AS DATE) AS bad_date
+FROM events
+""",
+    covers=("G.fn.try",),
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casts/arithmetic: NULL instead of runtime failure — at
+    100 TB a single malformed row must not kill a 6-hour job.  try_cast on
+    non-numeric strings, try_divide by zero (user_id 0 exists in the
+    fixture), and an impossible date."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        F.try_divide("value", F.nullif(F.col("user_id"), F.lit(0)))
+         .alias("per_user"),
+        F.lit("2024-13-45").try_cast("date").alias("bad_date"),
+    )
