@@ -574,3 +574,55 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.ann_ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5, nprobe=2)
 
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(n.n_docs / df.df) DESC,
+                                     tf.term) AS rank
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM scored WHERE rank <= 3
+""",
+    covers=("G.text.tfidf",),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic corpus-statistics
+    pipeline: term frequencies (one explode + groupBy), document
+    frequencies (one groupBy), idf broadcast back onto tf, per-doc top-k
+    window.  At 100 TB: tf and df are both map-side combinable; df is tiny
+    (vocabulary-sized) and broadcasts."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"))
+    # N as a lazy one-row broadcast, not an eager .count() action
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tfidf_expr = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    scored = (tf.join(F.broadcast(df), "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn("tfidf", F.round(tfidf_expr, 6)))
+    w = Window.partitionBy("doc_id").orderBy(tfidf_expr.desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "term", "tfidf", "rank"))

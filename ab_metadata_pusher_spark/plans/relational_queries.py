@@ -713,3 +713,38 @@ def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(w).alias("next_key"),
         F.nth_value("o_orderkey", 3).over(wrun).alias("third_key"),
     )
+
+
+@register(
+    "agg_statistics",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(skewness(l_discount) * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew_disc,
+       round(kurtosis_pop(l_discount), 6) AS kurt_disc
+FROM lineitem GROUP BY l_returnflag
+""",
+    covers=("G.agg.stats",),
+)
+def q_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (all single-pass, map-side combinable
+    moment sketches — the cheap kind of aggregate at 100 TB).
+
+    Estimator pinning: Spark's skewness/kurtosis are the POPULATION
+    moments (g1, excess g2); DuckDB defaults to bias-corrected sample
+    estimators, so the oracle uses kurtosis_pop and converts skewness via
+    g1 = G1 * (n-2) / sqrt(n*(n-1))."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+         .alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4)
+         .alias("covar_qty_price"),
+        F.round(F.skewness("l_discount"), 6).alias("skew_disc"),
+        F.round(F.kurtosis("l_discount"), 6).alias("kurt_disc"),
+    ))
