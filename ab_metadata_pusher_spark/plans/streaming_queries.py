@@ -131,3 +131,46 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.run_to_memory(
         E.stateful_user_stats(E.events_stream(spark, sf_dir)),
         output_mode="update")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    covers=("G.stream.static_join",),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fact x static dimension join, aggregated per segment."""
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+    return E.run_to_memory(
+        E.stream_static_join_segments(
+            E.events_stream(spark, sf_dir),
+            load_table(spark, sf_dir, "customer")))
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT p.user_id AS p_user, p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       CAST(p.ts AS TIMESTAMP) AS p_ts, CAST(c.ts AS TIMESTAMP) AS c_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL '10 minutes'
+ AND c.ts <= p.ts
+""",
+    covers=("G.stream.stream_join",),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition and
+    watermarks on both sides (bounded join state); over the AvailableNow
+    replay the result equals the batch range join."""
+    return E.run_to_memory(
+        E.stream_stream_purchase_clicks(
+            E.events_stream(spark, sf_dir), E.events_stream(spark, sf_dir)),
+        output_mode="append")

@@ -30,7 +30,8 @@ from ab_metadata_pusher_spark.sources.fixtures import load_table
 __all__ = [
     "events_stream", "run_to_memory", "tumbling_counts", "sliding_counts",
     "session_windows", "dedup_within_watermark", "foreach_batch_publish",
-    "stateful_user_stats",
+    "stateful_user_stats", "stream_static_join_segments",
+    "stream_stream_purchase_clicks",
 ]
 
 
@@ -212,3 +213,42 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout)
     )
+
+
+def stream_static_join_segments(events: DataFrame,
+                                customer: DataFrame) -> DataFrame:
+    """Stream-static join: the streaming fact joins a static dimension
+    executor-side (no state needed — the dim is just a broadcast/lookup),
+    then aggregates per segment.  The streaming twin of the batch
+    dim-join queries."""
+    joined = events.join(
+        customer, events["user_id"] == customer["c_custkey"])
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+def stream_stream_purchase_clicks(events_a: DataFrame,
+                                  events_b: DataFrame,
+                                  lookback: str = "10 minutes",
+                                  watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each purchase pairs with the same user's clicks in the preceding
+    ``lookback``.  Watermarks on BOTH sides bound the join state — the
+    required ingredient for stream-stream joins to run unbounded."""
+    p = (events_a.filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("purchase_id")))
+    c = (events_b.filter(F.col("event_type") == "click")
+         .withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts"),
+                 F.col("event_id").alias("click_id")))
+    return p.join(
+        c, (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
