@@ -30,7 +30,8 @@ from ab_metadata_pusher_spark.sources.fixtures import load_table
 __all__ = [
     "events_stream", "run_to_memory", "tumbling_counts", "sliding_counts",
     "session_windows", "dedup_within_watermark", "foreach_batch_publish",
-    "stateful_user_stats", "stream_static_join_segments",
+    "stateful_user_stats", "stateful_user_stats_tws",
+    "stream_static_join_segments",
     "stream_stream_purchase_clicks",
 ]
 
@@ -252,3 +253,57 @@ def stream_stream_purchase_clicks(events_a: DataFrame,
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
     ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
+
+
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running aggregate as ``stateful_user_stats`` on
+    the transformWithStateInPandas API (Spark 4.x's successor to
+    applyInPandasWithState: named state variables on a processor object,
+    timers, TTL).  Both implementations produce the same per-user result.
+
+    NOT in the query registry: the TWS python runner needs a working
+    google.protobuf, absent from this container — the operator is
+    exercised by tests/test_streaming.py when protobuf is importable and
+    skipped otherwise.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    out_schema = ("user_id bigint, n_events bigint, total_value double, "
+                  "first_ts timestamp, last_ts timestamp")
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "n bigint, total double, first_us bigint, last_us bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, first_us, last_us = (
+                self._state.get() if self._state.exists()
+                else (0, 0.0, None, None))
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                ts_us = pdf["ts"].astype("int64") // 1000
+                lo, hi = int(ts_us.min()), int(ts_us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            self._state.update((n, total, first_us, last_us))
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy("user_id").transformWithStateInPandas(
+        UserStats(), outputStructType=out_schema, outputMode="Update",
+        timeMode="None"))

@@ -51,3 +51,22 @@ def test_stream_equals_batch_tumbling(spark, sf_dir):
     s = {tuple(map(str, r)) for r in streamed.collect()}
     b = {tuple(map(str, r)) for r in batch.collect()}
     assert s == b
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, sf_dir):
+    """The two arbitrary-state APIs must produce identical per-user stats.
+    transformWithStateInPandas needs google.protobuf at runtime; skip
+    where the container lacks it."""
+    import pytest
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: TWS runner cannot start")
+    from ab_metadata_pusher_spark.streaming import events as E
+    a = E.run_to_memory(
+        E.stateful_user_stats(E.events_stream(spark, sf_dir)),
+        output_mode="update")
+    b = E.run_to_memory(
+        E.stateful_user_stats_tws(E.events_stream(spark, sf_dir)),
+        output_mode="update")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
