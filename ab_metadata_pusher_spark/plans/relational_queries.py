@@ -617,11 +617,14 @@ def q_rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate shape): hourly, daily, and all-time aggregates per event_type
     in ONE pass via grouping sets — partial aggregation is shared, not
     recomputed per resolution."""
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    # stay in TIMESTAMP_NTZ end-to-end: LTZ outputs collect as
+    # host-local wall time and break the oracle hash off-UTC
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    # date_trunc returns LTZ even for NTZ input; cast back (identity
+    # under the UTC session conf load_table pins)
     base = ev.select(
-        F.date_trunc("hour", "ts").alias("bucket_1h"),
-        F.date_trunc("day", "ts").alias("bucket_1d"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket_1h"),
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("bucket_1d"),
         "event_type", "value")
     return (base
             .groupingSets(

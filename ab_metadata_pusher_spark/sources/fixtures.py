@@ -21,11 +21,20 @@ FIXTURE_TABLES: tuple[str, ...] = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The caller's session may not be ours (the driver passes its own):
+    # pin the two confs correctness depends on.  Both are runtime-settable.
+    # UTC keeps NTZ<->LTZ casts and collected timestamps wall-clock-stable
+    # so DuckDB oracles hash-match regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS,false), which Spark has no
+        # native type for; a plain session throws PARQUET_TYPE_ILLEGAL on
+        # this file without the legacy conf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS,false); Spark reads it as a
-        # nanosecond long (spark.sql.legacy.parquet.nanosAsLong) — convert
-        # to a microsecond TIMESTAMP_NTZ, matching DuckDB's ns->us cast.
+        # ts arrives as a nanosecond long — convert to a microsecond
+        # TIMESTAMP_NTZ, matching DuckDB's ns->us cast.
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"))
     return df

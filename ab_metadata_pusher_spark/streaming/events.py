@@ -96,8 +96,8 @@ def tumbling_counts(events: DataFrame, width: str = "5 minutes",
         .groupBy(F.window("ts", width).alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("win.start").alias("win_start"), "event_type",
-                "n_events", "total_value")
+        .select(F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+                "event_type", "n_events", "total_value")
     )
 
 
@@ -115,7 +115,8 @@ def sliding_counts(events: DataFrame, width: str = "10 minutes",
         .groupBy(F.window("ts", width, slide).alias("win"))
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.size(F.collect_set("user_id")).alias("n_users"))
-        .select(F.col("win.start").alias("win_start"), "n_events", "n_users")
+        .select(F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+                "n_events", "n_users")
     )
 
 
@@ -128,9 +129,10 @@ def session_windows(events: DataFrame, gap: str = "5 minutes",
         .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("session_value"))
-        .select("user_id", F.col("win.start").alias("session_start"),
-                F.col("win.end").alias("session_end"), "n_events",
-                "session_value")
+        .select("user_id",
+                F.col("win.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("win.end").cast("timestamp_ntz").alias("session_end"),
+                "n_events", "session_value")
     )
 
 
@@ -183,7 +185,7 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = ("user_id bigint, n_events bigint, total_value double, "
-                  "first_ts timestamp, last_ts timestamp")
+                  "first_ts timestamp_ntz, last_ts timestamp_ntz")
 
     def update(key: tuple, pdfs, state: GroupState):
         n, total, first_us, last_us = (
@@ -252,7 +254,9 @@ def stream_stream_purchase_clicks(events_a: DataFrame,
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
-    ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
+    ).select("p_user", "purchase_id", "click_id",
+             F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+             F.col("c_ts").cast("timestamp_ntz").alias("c_ts"))
 
 
 def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
@@ -272,7 +276,7 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
     )
 
     out_schema = ("user_id bigint, n_events bigint, total_value double, "
-                  "first_ts timestamp, last_ts timestamp")
+                  "first_ts timestamp_ntz, last_ts timestamp_ntz")
 
     class UserStats(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
