@@ -751,3 +751,28 @@ def q_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_discount"), 6).alias("skew_disc"),
         F.round(F.kurtosis("l_discount"), 6).alias("kurt_disc"),
     ))
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                  l_discount, l_tax
+           FROM lineitem WHERE l_orderkey < 100)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE value
+)
+""",
+    covers=("G.unpivot",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) — the inverse of pivot; Spark expands
+    it as a generator expression, no shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure", "value")
+        .withColumn("value", F.round("value", 2)))

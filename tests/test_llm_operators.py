@@ -86,3 +86,40 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     r2 = recall(2)
     assert r2 >= 0.15, f"IVF recall collapsed: {r2}"
     assert recall(10) == 1.0, "full probe must equal brute force"
+
+
+def test_operators_handle_empty_input(spark):
+    """Every core operator must survive an empty (0-row) input with the
+    right schema — at 100 TB a partition-pruned read legitimately yields
+    zero rows."""
+    import datetime as dt
+
+    from ab_metadata_pusher_spark.operators import dedup as D
+    from ab_metadata_pusher_spark.operators import text as X
+    from ab_metadata_pusher_spark.operators.asof import asof_join
+    from ab_metadata_pusher_spark.operators.graph import to_nodes, to_relations
+    from ab_metadata_pusher_spark.operators.metadata import table_metadata
+    from ab_metadata_pusher_spark.operators.sessionize import sessionize
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert D.exact_dedup_keep_min(docs).count() == 0
+    assert D.lsh_candidate_pairs(docs).count() == 0
+    assert X.fingerprint(docs).count() == 0
+    assert X.quality_features(docs).count() == 0
+
+    ev = spark.createDataFrame([], "user_id bigint, ts timestamp_ntz")
+    assert sessionize(ev).count() == 0
+
+    left = spark.createDataFrame([(1, dt.datetime(2024, 1, 1), "x")],
+                                 "k int, ts timestamp_ntz, lv string")
+    empty_right = spark.createDataFrame([], "k int, ts timestamp_ntz, rv string")
+    rows = asof_join(left, empty_right, on="k").collect()
+    assert len(rows) == 1 and rows[0]["asof_rv"] is None
+
+    cat = spark.createDataFrame(
+        [], "td_database string, table_catalog string, table_schema string, "
+            "table_name string, table_description string, col_name string, "
+            "col_type string, col_description string, col_sort_order int, "
+            "is_view boolean")
+    tm = table_metadata(cat)
+    assert to_nodes(tm).count() == 0 and to_relations(tm).count() == 0
