@@ -21,15 +21,22 @@ from ab_metadata_pusher_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 
-#: queries where a nested-loop/cross join is the *intended* strategy
-#: (brute-force similarity broadcasts the tiny query side over the corpus).
+#: queries where a nested-loop/cross join is the *intended* strategy:
+#: brute-force similarity broadcasts the tiny query side over the corpus;
+#: IVF cross-joins every vector with the (10-row) centroid table; the
+#: scalar-subquery shape is a broadcast one-row cross join by design.
 EXPECTED_NON_EQUI = {"similarity_topk_cosine", "dedup_embedding_cosine",
-                     "join_range_bands", "dedup_simhash_pairs"}
+                     "join_range_bands", "dedup_simhash_pairs",
+                     "similarity_ann_ivf", "text_tfidf_top_terms",
+                     "subquery_above_avg", "join_cross_regions"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
-    "agg_pricing_summary", "window_topk_per_group", "dedup_minhash_lsh",
-    "similarity_topk_cosine", "sessionize_events", "text_fingerprint",
+    "join_full_outer_nations", "agg_pricing_summary", "agg_statistics",
+    "window_topk_per_group", "window_rank_functions", "dedup_minhash_lsh",
+    "similarity_topk_cosine", "similarity_ann_ivf", "sessionize_events",
+    "text_fingerprint", "text_tfidf_top_terms", "rollup_time_buckets",
+    "unpivot_lineitem_measures", "subquery_above_avg",
 ]
 
 
