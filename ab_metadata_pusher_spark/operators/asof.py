@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "asof_join_cogrouped"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
@@ -96,3 +96,62 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
         *[F.col(f"_left.{c}").alias(c) for c in left_cols],
         *[F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in payload],
     )
+
+
+def asof_join_cogrouped(left: DataFrame, right: DataFrame, key: str,
+                        left_ts: str = "ts", right_ts: str = "ts",
+                        right_payload: Sequence[str] | None = None,
+                        prefix: str = "asof_") -> DataFrame:
+    """Backward-inclusive as-of join on the cogrouped-pandas path:
+    ``left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas`` with
+    ``pd.merge_asof`` per key — the Arrow escape hatch for per-key merge
+    logic SQL can't express (custom tolerance rules, nearest-by-multiple-
+    columns...).  Same output contract as :func:`asof_join`, so both
+    implementations answer to one oracle.
+
+    One shuffle of each side on the key; each key's slice must fit in an
+    Arrow batch (fine for per-entity history; use :func:`asof_join` for
+    unbounded keys).
+    """
+    import pandas as pd
+
+    if right_payload is None:
+        right_payload = [c for c in right.columns
+                         if c != key and c != right_ts]
+    left_cols = [c for c in left.columns if c != key and c != left_ts]
+
+    out_fields = [f"`{key}` {left.schema[key].dataType.simpleString()}",
+                  f"`{left_ts}` {left.schema[left_ts].dataType.simpleString()}"]
+    out_fields += [f"`{c}` {left.schema[c].dataType.simpleString()}"
+                   for c in left_cols]
+    out_fields.append(
+        f"`{prefix}{right_ts}` {right.schema[right_ts].dataType.simpleString()}")
+    out_fields += [f"`{prefix}{c}` {right.schema[c].dataType.simpleString()}"
+                   for c in right_payload]
+    out_ddl = ", ".join(out_fields)
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=[key, left_ts, *left_cols,
+                                         f"{prefix}{right_ts}",
+                                         *[f"{prefix}{c}" for c in right_payload]])
+        lpdf = lpdf.sort_values(left_ts)
+        r = rpdf[[right_ts, *right_payload]].rename(columns={
+            right_ts: f"{prefix}{right_ts}",
+            **{c: f"{prefix}{c}" for c in right_payload}})
+        r = r.sort_values(f"{prefix}{right_ts}")
+        merged = pd.merge_asof(
+            lpdf, r, left_on=left_ts, right_on=f"{prefix}{right_ts}",
+            direction="backward", allow_exact_matches=True)
+        # nullable ints survive the Arrow trip; plain int64 + NaN would
+        # silently become float
+        for c in right_payload:
+            col = f"{prefix}{c}"
+            if pd.api.types.is_float_dtype(merged[col]) and \
+                    pd.api.types.is_integer_dtype(r[col].dtype):
+                merged[col] = merged[col].astype("Int64")
+        return merged[[key, left_ts, *left_cols, f"{prefix}{right_ts}",
+                       *[f"{prefix}{c}" for c in right_payload]]]
+
+    return (left.groupBy(key).cogroup(right.groupBy(key))
+            .applyInPandas(merge, out_ddl))

@@ -73,3 +73,18 @@ def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow custom-operator path against the same SQL oracle."""
     return sessionize_pandas(load_table(spark, sf_dir, "events"),
                              gap_seconds=1800)
+
+
+@register("join_asof_cogrouped", oracle=_ASOF_SQL,
+          covers=("G.join.asof", "G.udf.cogroup"))
+def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of semantics on the cogrouped-pandas path
+    (cogroup + pd.merge_asof) — two engine paths, one oracle."""
+    from ab_metadata_pusher_spark.operators.asof import asof_join_cogrouped
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts", "event_id", "value"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts", "event_id"))
+    return asof_join_cogrouped(purchases, clicks, key="user_id",
+                               right_payload=["event_id"])
