@@ -52,6 +52,7 @@ REGISTRY_BENCH = [
     "udf_grouped_geomean",
     "stream_tumbling_counts",
     "stream_stateful_user_stats",
+    "stream_stream_join",
 ]
 
 
