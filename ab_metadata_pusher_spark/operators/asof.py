@@ -120,6 +120,17 @@ def asof_join_cogrouped(left: DataFrame, right: DataFrame, key: str,
                          if c != key and c != right_ts]
     left_cols = [c for c in left.columns if c != key and c != left_ts]
 
+    out_cols = [key, left_ts, *left_cols, f"{prefix}{right_ts}",
+                *[f"{prefix}{c}" for c in right_payload]]
+    if len(set(out_cols)) != len(out_cols):
+        # merge_asof would silently suffix colliding names _x/_y and the
+        # output projection would then KeyError mid-task — fail at plan
+        # time with an actionable message instead
+        dupes = sorted({c for c in out_cols if out_cols.count(c) > 1})
+        raise ValueError(
+            f"output column collision {dupes}: a left column already uses "
+            f"the {prefix!r} prefix — pass a different prefix")
+
     out_fields = [f"`{key}` {left.schema[key].dataType.simpleString()}",
                   f"`{left_ts}` {left.schema[left_ts].dataType.simpleString()}"]
     out_fields += [f"`{c}` {left.schema[c].dataType.simpleString()}"
@@ -132,26 +143,32 @@ def asof_join_cogrouped(left: DataFrame, right: DataFrame, key: str,
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if len(lpdf) == 0:
-            return pd.DataFrame(columns=[key, left_ts, *left_cols,
-                                         f"{prefix}{right_ts}",
-                                         *[f"{prefix}{c}" for c in right_payload]])
-        lpdf = lpdf.sort_values(left_ts)
-        r = rpdf[[right_ts, *right_payload]].rename(columns={
-            right_ts: f"{prefix}{right_ts}",
-            **{c: f"{prefix}{c}" for c in right_payload}})
-        r = r.sort_values(f"{prefix}{right_ts}")
+            return pd.DataFrame(columns=out_cols)
+
+        # Right-derived OUTPUT columns go through nullable dtypes BEFORE
+        # the merge: unmatched left rows make merge_asof route plain int64
+        # through float64, silently rounding values > 2^53.  The raw-dtype
+        # `_merge_ts` copy stays the merge key (merge_asof cannot key on
+        # extension dtypes).
+        r = pd.DataFrame({"_merge_ts": rpdf[right_ts]})
+        for src, dst in [(right_ts, f"{prefix}{right_ts}"),
+                         *[(c, f"{prefix}{c}") for c in right_payload]]:
+            col = rpdf[src]
+            r[dst] = (col.astype("Int64")
+                      if pd.api.types.is_integer_dtype(col.dtype) else col)
+        # NULL merge keys raise inside merge_asof; they can never match
+        # anyway (right) / can never have a predecessor (left) — the same
+        # rows the window formulation resolves to no-match
+        r = r[r["_merge_ts"].notna()].sort_values("_merge_ts")
+        l_null = lpdf[lpdf[left_ts].isna()]
+        l_ok = lpdf[lpdf[left_ts].notna()].sort_values(left_ts)
+
         merged = pd.merge_asof(
-            lpdf, r, left_on=left_ts, right_on=f"{prefix}{right_ts}",
+            l_ok, r, left_on=left_ts, right_on="_merge_ts",
             direction="backward", allow_exact_matches=True)
-        # nullable ints survive the Arrow trip; plain int64 + NaN would
-        # silently become float
-        for c in right_payload:
-            col = f"{prefix}{c}"
-            if pd.api.types.is_float_dtype(merged[col]) and \
-                    pd.api.types.is_integer_dtype(r[col].dtype):
-                merged[col] = merged[col].astype("Int64")
-        return merged[[key, left_ts, *left_cols, f"{prefix}{right_ts}",
-                       *[f"{prefix}{c}" for c in right_payload]]]
+        if len(l_null):
+            merged = pd.concat([merged, l_null], ignore_index=True)
+        return merged.reindex(columns=out_cols)
 
     return (left.groupBy(key).cogroup(right.groupBy(key))
             .applyInPandas(merge, out_ddl))

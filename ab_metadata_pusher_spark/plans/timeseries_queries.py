@@ -8,12 +8,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ab_metadata_pusher_spark.operators.asof import asof_join
+from ab_metadata_pusher_spark.operators.asof import (
+    asof_join, asof_join_cogrouped,
+)
 from ab_metadata_pusher_spark.operators.sessionize import (
     sessionize, sessionize_pandas,
 )
 from ab_metadata_pusher_spark.plans.registry import register
 from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+
+def _purchases_and_clicks(spark: SparkSession, sf_dir: str):
+    """Shared input shape for both as-of formulations (one oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts", "event_id", "value"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts", "event_id"))
+    return purchases, clicks
+
 
 _ASOF_SQL = """
 SELECT l.user_id, l.ts, l.event_id, l.value,
@@ -29,11 +42,7 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase joined to the same user's most recent prior click —
     union+sort-window formulation (operators/asof.py), oracled against
     DuckDB's native ASOF LEFT JOIN."""
-    ev = load_table(spark, sf_dir, "events")
-    purchases = (ev.filter(F.col("event_type") == "purchase")
-                   .select("user_id", "ts", "event_id", "value"))
-    clicks = (ev.filter(F.col("event_type") == "click")
-                .select("user_id", "ts", "event_id"))
+    purchases, clicks = _purchases_and_clicks(spark, sf_dir)
     return asof_join(purchases, clicks, on="user_id",
                      right_payload=["event_id"])
 
@@ -80,11 +89,6 @@ def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same as-of semantics on the cogrouped-pandas path
     (cogroup + pd.merge_asof) — two engine paths, one oracle."""
-    from ab_metadata_pusher_spark.operators.asof import asof_join_cogrouped
-    ev = load_table(spark, sf_dir, "events")
-    purchases = (ev.filter(F.col("event_type") == "purchase")
-                   .select("user_id", "ts", "event_id", "value"))
-    clicks = (ev.filter(F.col("event_type") == "click")
-                .select("user_id", "ts", "event_id"))
+    purchases, clicks = _purchases_and_clicks(spark, sf_dir)
     return asof_join_cogrouped(purchases, clicks, key="user_id",
                                right_payload=["event_id"])

@@ -133,3 +133,62 @@ def test_asof_randomized_vs_bruteforce(spark):
                for r in asof_join(ldf, rdf, on="k",
                                   direction=direction).collect()}
         assert got == expected(direction), f"direction={direction}"
+
+
+def test_asof_cogrouped_equals_window_formulation(spark):
+    """Randomized case: both as-of implementations must agree exactly."""
+    import random
+
+    from ab_metadata_pusher_spark.operators.asof import asof_join_cogrouped
+    rng = random.Random(7)
+    left = [(rng.randint(0, 5), _ts(rng.randint(0, 59)), i)
+            for i in range(150)]
+    right = [(rng.randint(0, 7), _ts(m), 1000 + m)
+             for m in rng.sample(range(60), 25)]
+    ldf = spark.createDataFrame(left, "k int, ts timestamp_ntz, lid int")
+    rdf = spark.createDataFrame(right, "k int, ts timestamp_ntz, rid int")
+    a = {tuple(r) for r in asof_join(ldf, rdf, on="k").collect()}
+    b = {tuple(r) for r in asof_join_cogrouped(ldf, rdf, key="k").collect()}
+    assert a == b and len(a) == 150
+
+
+def test_asof_cogrouped_null_ts_rows(spark):
+    """NULL timestamps must not crash merge_asof: null-ts left rows pass
+    through unmatched, null-ts right rows are ignored."""
+    from ab_metadata_pusher_spark.operators.asof import asof_join_cogrouped
+    left = spark.createDataFrame(
+        [(1, _ts(10), "l1"), (1, None, "l_null")],
+        "k int, ts timestamp_ntz, lv string")
+    right = spark.createDataFrame(
+        [(1, _ts(5), "r1"), (1, None, "r_null")],
+        "k int, ts timestamp_ntz, rv string")
+    out = {r["lv"]: r["asof_rv"]
+           for r in asof_join_cogrouped(left, right, key="k").collect()}
+    assert out == {"l1": "r1", "l_null": None}
+
+
+def test_asof_cogrouped_big_int_exact(spark):
+    """Integer payloads and timestamps above 2^53 must survive exactly
+    (the float64 detour merge_asof takes for unmatched rows would round
+    them)."""
+    from ab_metadata_pusher_spark.operators.asof import asof_join_cogrouped
+    big = (1 << 60) + 123456789  # not representable in float64
+    left = spark.createDataFrame(
+        [(1, 100, "matched"), (2, 100, "unmatched_key")],
+        "k int, ts bigint, lv string")
+    right = spark.createDataFrame(
+        [(1, 90, big)], "k int, ts bigint, payload bigint")
+    rows = {r["lv"]: (r["asof_payload"], r["asof_ts"])
+            for r in asof_join_cogrouped(left, right, key="k").collect()}
+    assert rows["matched"] == (big, 90)
+    assert rows["unmatched_key"] == (None, None)
+
+
+def test_asof_cogrouped_prefix_collision_raises(spark):
+    from ab_metadata_pusher_spark.operators.asof import asof_join_cogrouped
+    import pytest
+    left = spark.createDataFrame(
+        [(1, _ts(1), "x")], "k int, ts timestamp_ntz, asof_ts string")
+    right = spark.createDataFrame([(1, _ts(0))], "k int, ts timestamp_ntz")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join_cogrouped(left, right, key="k")
