@@ -12,6 +12,7 @@ equivalents in streaming/ replace it entirely).
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,14 +44,18 @@ def _catalog_extractor(db_type: str, conf: dict[str, Any]):
         if db_type == "mysql":
             query = mysql_catalog_sql(conf.get("where_clause_suffix", ""))
             default_port = 3306
+            scheme = "mysql"
         else:
             query = postgres_catalog_sql(conf.get("schema", "public"))
             default_port = 5432
+            # the JDBC scheme is NOT the db_type string: the PostgreSQL
+            # driver only accepts jdbc:postgresql://
+            scheme = "postgresql"
         host = conf.get("host", env("TARGET_DB_HOST", "localhost"))
         port = int(conf.get("port", env("TARGET_DB_PORT", str(default_port))))
         name = conf.get("db_name", env("TARGET_DB_NAME", db_type))
         src = JdbcCatalogSource(
-            url=f"jdbc:{db_type}://{host}:{port}/{name}",
+            url=f"jdbc:{scheme}://{host}:{port}/{name}",
             query=query,
             user=conf.get("user", env("TARGET_DB_USER", "")),
             password=conf.get("password", env("TARGET_DB_PASSWORD", "")))
@@ -114,7 +119,7 @@ def build_metadata_job(db_type: str, queue_type: str,
 #: equivalent of config/docker.conf.
 JOB_REGISTRY: dict[tuple[str, str],
                    Callable[[dict[str, Any]], Pipeline]] = {
-    (db, q): (lambda db=db, q=q: (lambda conf: build_metadata_job(db, q, conf)))()
+    (db, q): partial(build_metadata_job, db, q)
     for db in ("fixtures", "mysql", "postgres")
     for q in ("aws_sqs", "kafka", "none")
 }

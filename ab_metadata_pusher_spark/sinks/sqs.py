@@ -58,20 +58,32 @@ def _dedup_id(body: str) -> str:
 
 
 class SqsPublisher:
-    """Publish node/relation DataFrames as chunked JSON envelopes to SQS."""
+    """Publish node/relation DataFrames as chunked JSON envelopes to SQS.
+
+    ``fifo`` controls the FIFO-only parameters (MessageGroupId +
+    content-hash MessageDeduplicationId): standard queues REJECT them, so
+    the default follows AWS's naming contract (URL ends with ``.fifo``).
+    Note the FIFO dedup window is 5 minutes: re-publishing byte-identical
+    envelopes under the same tag within it is silently absorbed by SQS —
+    that IS the idempotency feature, but a re-publish meant to re-deliver
+    must use a fresh ``tag`` (the tag rides inside the body, changing the
+    hash).
+    """
 
     def __init__(self, queue_url: str,
                  client_factory: Callable[[], Any],
                  message_group_id: str = "metadata",
-                 max_bytes: int = DEFAULT_MAX_BYTES) -> None:
+                 max_bytes: int = DEFAULT_MAX_BYTES,
+                 fifo: bool | None = None) -> None:
         self.queue_url = queue_url
         self.client_factory = client_factory
         self.message_group_id = message_group_id
         self.max_bytes = max_bytes
+        self.fifo = queue_url.endswith(".fifo") if fifo is None else fifo
 
     # -- core send path ----------------------------------------------------
 
-    def _send_bodies(self, client: Any, bodies: Iterable[str]) -> PublishReport:
+    def send_bodies(self, client: Any, bodies: Iterable[str]) -> PublishReport:
         sent = batches = nbytes = 0
         entries: list[dict[str, Any]] = []
 
@@ -89,12 +101,14 @@ class SqsPublisher:
             entries.clear()
 
         for i, body in enumerate(bodies):
-            entries.append({
+            entry: dict[str, Any] = {
                 "Id": str(i % _BATCH_SIZE),
                 "MessageBody": body,
-                "MessageGroupId": self.message_group_id,
-                "MessageDeduplicationId": _dedup_id(body),
-            })
+            }
+            if self.fifo:
+                entry["MessageGroupId"] = self.message_group_id
+                entry["MessageDeduplicationId"] = _dedup_id(body)
+            entries.append(entry)
             sent += 1
             nbytes += len(body.encode("utf-8"))
             if len(entries) == _BATCH_SIZE:
@@ -112,7 +126,7 @@ class SqsPublisher:
         node_recs = [r.asDict(recursive=True) for r in nodes.collect()]
         rel_recs = [r.asDict(recursive=True) for r in relations.collect()]
         bodies = pack_envelopes(node_recs, rel_recs, tag, self.max_bytes)
-        report = self._send_bodies(self.client_factory(), bodies)
+        report = self.send_bodies(self.client_factory(), bodies)
         logger.info("published %d messages in %d batches (%d bytes) tag=%s",
                     report.messages_sent, report.batches_sent,
                     report.bytes_sent, tag)
@@ -130,6 +144,7 @@ class SqsPublisher:
         group_id = self.message_group_id
         max_bytes = self.max_bytes
         factory = self.client_factory
+        fifo = self.fifo
 
         def send_partition(kind: str):
             def _send(rows) -> None:
@@ -138,8 +153,9 @@ class SqsPublisher:
                     bodies = pack_envelopes(recs, [], tag, max_bytes)
                 else:
                     bodies = pack_envelopes([], recs, tag, max_bytes)
-                pub = SqsPublisher(queue_url, factory, group_id, max_bytes)
-                pub._send_bodies(factory(), bodies)
+                pub = SqsPublisher(queue_url, factory, group_id,
+                                   max_bytes, fifo=fifo)
+                pub.send_bodies(factory(), bodies)
             return _send
 
         nodes.foreachPartition(send_partition("nodes"))

@@ -19,6 +19,7 @@ re-publish without re-extracting (job/customized_job.py:65-67).  Here:
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,27 +32,54 @@ _NUMERIC_TYPES = (T.IntegerType, T.LongType, T.DoubleType, T.FloatType,
 
 
 class StagingArea:
-    """A (nodes, relations) staging directory pair."""
+    """A (nodes, relations) staging directory pair.
+
+    Parquet staging is **versioned**: each ``write`` lands both frames
+    under a fresh ``versions/<id>/`` directory and then atomically updates
+    the ``CURRENT`` pointer file (write-temp + ``os.replace``).  A crash
+    between the nodes and relations writes therefore can NOT corrupt the
+    re-publishable artifact — readers keep resolving the last fully
+    committed version (the restartability contract EP3 depends on; the
+    reference got this for free by never overwriting mid-job).
+    """
 
     def __init__(self, base_dir: str) -> None:
         self.base_dir = base_dir
+        # legacy-CSV mode keeps the reference's flat two-dir layout
         self.nodes_dir = os.path.join(base_dir, "nodes")
         self.relations_dir = os.path.join(base_dir, "relationships")
+        self._current = os.path.join(base_dir, "CURRENT")
 
-    # -- canonical parquet staging ----------------------------------------
+    # -- canonical parquet staging (versioned, atomically committed) -------
+
+    def _version_dir(self, version: str) -> str:
+        return os.path.join(self.base_dir, "versions", version)
+
+    def _resolve(self) -> str:
+        with open(self._current, encoding="utf-8") as f:
+            return self._version_dir(f.read().strip())
 
     def write(self, nodes: DataFrame, relations: DataFrame) -> None:
-        """Partitioned-by-label parquet: label pruning is free for any
-        downstream reader; overwrite gives idempotent re-runs."""
+        """Partitioned-by-label parquet under a new version; the CURRENT
+        pointer flips only after BOTH writes succeed."""
+        version = uuid.uuid4().hex[:12]
+        vdir = self._version_dir(version)
         (nodes.write.mode("overwrite").partitionBy("label")
-         .parquet(self.nodes_dir))
-        relations.write.mode("overwrite").parquet(self.relations_dir)
+         .parquet(os.path.join(vdir, "nodes")))
+        (relations.write.mode("overwrite")
+         .parquet(os.path.join(vdir, "relationships")))
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = self._current + f".tmp.{version}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version)
+        os.replace(tmp, self._current)
 
     def read_nodes(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.nodes_dir)
+        return spark.read.parquet(os.path.join(self._resolve(), "nodes"))
 
     def read_relations(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.relations_dir)
+        return spark.read.parquet(
+            os.path.join(self._resolve(), "relationships"))
 
     # -- legacy CSV mode (reference on-disk contract) ----------------------
 
@@ -88,21 +116,41 @@ class StagingArea:
          .option("header", True).option("emptyValue", "")
          .csv(path))
 
-    def read_legacy_nodes(self, spark: SparkSession) -> DataFrame:
-        """Read legacy CSVs back into the engine schema: strip ``:UNQUOTED``
-        suffixes, restore types from the header markers, lower-case the
-        contract columns.
+    #: engine types for :UNQUOTED columns (the header marker says only
+    #: "non-string"; the exact type comes from the node/relation contract)
+    _LEGACY_TYPES = {"sort_order": "int", "is_view": "boolean"}
+
+    def _read_legacy(self, spark: SparkSession, path: str,
+                     renames: dict[str, str]) -> DataFrame:
+        """Strip ``:UNQUOTED`` suffixes, restore engine types, and enforce
+        the empty-string-not-null invariant for string columns.
 
         Spark's CSV reader maps empty fields to NULL; the reference reads
         with ``na_filter=False`` (empty string, never null —
-        aws_sqs_csv_puiblisher.py:158), so that invariant is enforced here
-        at the read surface with a coalesce per column.
+        aws_sqs_csv_puiblisher.py:158).  Typed columns go the other way:
+        '' -> NULL via the cast, restoring the exact pre-staging schema.
         """
-        raw = (spark.read.option("header", True)
-               .csv(f"{self.nodes_dir}_csv"))
+        raw = spark.read.option("header", True).csv(path)
         cols = []
         for c in raw.columns:
-            base = c[: -len(":UNQUOTED")] if c.endswith(":UNQUOTED") else c
-            cols.append(F.coalesce(F.col(f"`{c}`"), F.lit("")).alias(base))
-        df = raw.select(*cols)
-        return df.withColumnsRenamed({"LABEL": "label", "KEY": "key"})
+            unquoted = c.endswith(":UNQUOTED")
+            base = c[: -len(":UNQUOTED")] if unquoted else c
+            base = renames.get(base, base)
+            col = F.col(f"`{c}`")
+            typ = self._LEGACY_TYPES.get(base)
+            if typ is not None:
+                cols.append(col.cast(typ).alias(base))
+            else:
+                cols.append(F.coalesce(col, F.lit("")).alias(base))
+        return raw.select(*cols)
+
+    def read_legacy_nodes(self, spark: SparkSession) -> DataFrame:
+        return self._read_legacy(spark, f"{self.nodes_dir}_csv",
+                                 {"LABEL": "label", "KEY": "key"})
+
+    def read_legacy_relations(self, spark: SparkSession) -> DataFrame:
+        return self._read_legacy(
+            spark, f"{self.relations_dir}_csv",
+            {"START_LABEL": "start_label", "START_KEY": "start_key",
+             "END_LABEL": "end_label", "END_KEY": "end_key",
+             "TYPE": "type", "REVERSE_TYPE": "reverse_type"})

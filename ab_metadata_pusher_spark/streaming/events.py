@@ -25,8 +25,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ab_metadata_pusher_spark.sources.fixtures import load_table
-
 __all__ = [
     "events_stream", "run_to_memory", "tumbling_counts", "sliding_counts",
     "session_windows", "dedup_within_watermark", "foreach_batch_publish",
@@ -44,19 +42,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the batch path, so batch SQL is a valid oracle for every
     streaming query.
     """
-    batch = load_table(spark, sf_dir, "events")
+    # Same conf pinning as sources/fixtures.load_table (the session may be
+    # the driver's own): UTC + nanos-as-long, both runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # File streams require a *directory* source; glob-filter the one table
     # out of the read-only fixture dir.
     sdf = (spark.readStream.schema(raw_schema)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
-    # Watermarks require TIMESTAMP (not NTZ); the session timezone is
-    # pinned to UTC (session.py) so wall-clock values match the batch
-    # loader's NTZ values exactly.
+    # Watermarks require TIMESTAMP (not NTZ) — unlike the batch loader's
+    # NTZ conversion; with the session pinned to UTC the wall-clock values
+    # match the batch path exactly (every output casts back to NTZ).
     return sdf.withColumn(
         "ts", F.timestamp_micros(F.expr("ts DIV 1000"))) \
-        .select(*batch.columns)
+        .select(*raw_schema.fieldNames())
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete",
@@ -164,10 +165,40 @@ def foreach_batch_publish(events: DataFrame, publisher, tag: str):
         records = [r.asDict(recursive=True) for r in batch_df.collect()]
         bodies = pack_envelopes(records, [], f"{tag}-batch{batch_id}",
                                 publisher.max_bytes)
-        publisher._send_bodies(publisher.client_factory(), bodies)
+        publisher.send_bodies(publisher.client_factory(), bodies)
 
     return (events.writeStream.foreachBatch(publish_batch)
             .trigger(availableNow=True).start())
+
+
+
+def _merge_user_stats(state_tuple, pdfs):
+    """Shared per-user aggregation for BOTH arbitrary-state APIs
+    (applyInPandasWithState and transformWithStateInPandas): fold pandas
+    batches into (n, total, first_us, last_us)."""
+    n, total, first_us, last_us = state_tuple
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        ts_us = pdf["ts"].astype("int64") // 1000
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    return n, total, first_us, last_us
+
+
+def _user_stats_frame(key, state_tuple):
+    import pandas as pd
+    n, total, first_us, last_us = state_tuple
+    return pd.DataFrame({
+        "user_id": [key[0]],
+        "n_events": [n],
+        "total_value": [round(total, 2)],
+        "first_ts": [pd.Timestamp(first_us, unit="us")],
+        "last_ts": [pd.Timestamp(last_us, unit="us")],
+    })
 
 
 def stateful_user_stats(events: DataFrame) -> DataFrame:
@@ -188,25 +219,10 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
                   "first_ts timestamp_ntz, last_ts timestamp_ntz")
 
     def update(key: tuple, pdfs, state: GroupState):
-        n, total, first_us, last_us = (
-            state.get if state.exists else (0, 0.0, None, None))
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-            ts_us = pdf["ts"].astype("int64") // 1000
-            lo, hi = int(ts_us.min()), int(ts_us.max())
-            first_us = lo if first_us is None else min(first_us, lo)
-            last_us = hi if last_us is None else max(last_us, hi)
-        state.update((n, total, first_us, last_us))
-        yield pd.DataFrame({
-            "user_id": [key[0]],
-            "n_events": [n],
-            "total_value": [round(total, 2)],
-            "first_ts": [pd.Timestamp(first_us, unit="us")],
-            "last_ts": [pd.Timestamp(last_us, unit="us")],
-        })
+        prev = state.get if state.exists else (0, 0.0, None, None)
+        merged = _merge_user_stats(prev, pdfs)
+        state.update(merged)
+        yield _user_stats_frame(key, merged)
 
     return (
         events.groupBy("user_id").applyInPandasWithState(
@@ -284,26 +300,11 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
                 "agg", "n bigint, total double, first_us bigint, last_us bigint")
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total, first_us, last_us = (
-                self._state.get() if self._state.exists()
-                else (0, 0.0, None, None))
-            for pdf in rows:
-                if len(pdf) == 0:
-                    continue
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-                ts_us = pdf["ts"].astype("int64") // 1000
-                lo, hi = int(ts_us.min()), int(ts_us.max())
-                first_us = lo if first_us is None else min(first_us, lo)
-                last_us = hi if last_us is None else max(last_us, hi)
-            self._state.update((n, total, first_us, last_us))
-            yield pd.DataFrame({
-                "user_id": [key[0]],
-                "n_events": [n],
-                "total_value": [round(total, 2)],
-                "first_ts": [pd.Timestamp(first_us, unit="us")],
-                "last_ts": [pd.Timestamp(last_us, unit="us")],
-            })
+            prev = (self._state.get() if self._state.exists()
+                    else (0, 0.0, None, None))
+            merged = _merge_user_stats(prev, rows)
+            self._state.update(merged)
+            yield _user_stats_frame(key, merged)
 
         def close(self) -> None:
             pass

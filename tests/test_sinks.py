@@ -85,7 +85,7 @@ def _graph(spark, sf_dir):
 def test_sqs_publish_collected(spark, sf_dir):
     nodes, relations = _graph(spark, sf_dir)
     stub = StubSqsClient()
-    pub = SqsPublisher("https://queue/test", lambda: stub)
+    pub = SqsPublisher("https://queue/test.fifo", lambda: stub)
     report = pub.publish_collected(nodes, relations, tag="r1")
 
     assert report.messages_sent == sum(len(b["Entries"]) for b in stub.batches)
@@ -266,3 +266,55 @@ def test_job_registry_dispatch(spark, sf_dir, tmp_path):
     assert result.published
     env0 = json.loads(stub.batches[0]["Entries"][0]["MessageBody"])
     assert env0["tag"] == "2026-08-13"
+
+
+def test_sqs_standard_queue_omits_fifo_params(spark, sf_dir):
+    """Standard (non-.fifo) queues REJECT MessageGroupId/DeduplicationId;
+    the publisher must omit them based on the queue URL."""
+    nodes, relations = _graph(spark, sf_dir)
+    stub = StubSqsClient()
+    pub = SqsPublisher("https://queue/standard", lambda: stub)
+    pub.publish_collected(nodes, relations, tag="r1")
+    for batch in stub.batches:
+        for e in batch["Entries"]:
+            assert "MessageGroupId" not in e
+            assert "MessageDeduplicationId" not in e
+
+
+def test_staging_atomic_commit_survives_partial_write(spark, sf_dir, tmp_path):
+    """A crash between the nodes and relations writes must leave the
+    previous committed version readable (EP3 restartability)."""
+    nodes, relations = _graph(spark, sf_dir)
+    area = StagingArea(str(tmp_path / "stage"))
+    area.write(nodes, relations)
+    n0 = area.read_nodes(spark).count()
+
+    # simulate a crashed second write: new version dir exists, pointer not
+    # flipped
+    import os
+    bad = area._version_dir("deadbeef")
+    nodes.limit(1).write.parquet(os.path.join(bad, "nodes"))
+    assert area.read_nodes(spark).count() == n0
+    assert area.read_relations(spark).count() == relations.count()
+
+
+def test_staging_legacy_csv_restores_types(spark, sf_dir, tmp_path):
+    """Legacy CSV round-trip must restore engine types from the :UNQUOTED
+    markers, not hand back stringly-typed frames."""
+    nodes, relations = _graph(spark, sf_dir)
+    area = StagingArea(str(tmp_path / "stage"))
+    area.write_legacy_csv(nodes, relations)
+
+    back = area.read_legacy_nodes(spark)
+    types = dict(back.dtypes)
+    assert types["sort_order"] == "int"
+    assert types["is_view"] == "boolean"
+    col_rows = {r["key"]: r for r in back.filter("label = 'Column'").collect()}
+    orig = {r["key"]: r for r in nodes.filter("label = 'Column'").collect()}
+    assert col_rows.keys() == orig.keys()
+    for k, r in col_rows.items():
+        assert r["sort_order"] == orig[k]["sort_order"]
+
+    rel_back = area.read_legacy_relations(spark)
+    assert sorted(map(tuple, rel_back.collect())) == \
+           sorted(map(tuple, relations.collect()))
