@@ -32,7 +32,59 @@ from ab_metadata_pusher_spark.operators.text import shingle_array, tokens
 __all__ = [
     "exact_dedup_keep_min", "doc_shingles", "jaccard_pairs",
     "minhash_signatures", "lsh_candidate_pairs", "simhash", "simhash_pairs",
+    "star_edges", "connected_components",
 ]
+
+
+def star_edges(keys: DataFrame, key_col: str,
+               id_col: str = "doc_id") -> DataFrame:
+    """Key-group star edges: every member links to the group's min id.
+
+    The linear-size alternative to the O(group^2) self-join clique —
+    identical connectivity, so connected components over star edges equal
+    components over the full pairwise graph.  One map-side-combinable
+    groupBy + one equi-join per key family.
+    """
+    roots = keys.groupBy(key_col).agg(F.min(id_col).alias("src"))
+    return (keys.join(roots, key_col)
+            .select("src", F.col(id_col).alias("dst"))
+            .filter(F.col("src") != F.col("dst")))
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         max_iter: int = 15) -> DataFrame:
+    """Min-label propagation ("hash-to-min") connected components.
+
+    ``vertices``: one column ``id``.  ``edges``: ``src``/``dst``
+    (undirected; both orientations derived here).  Each iteration is one
+    shuffle — join labels onto edges, union, groupBy-min — and the
+    iteration count is the graph diameter, which for dedup graphs (star
+    edges around key groups) is a small constant.  Convergence is detected
+    by the (monotonically decreasing) sum of labels going stable.  At
+    100 TB scale the same loop applies with ``localCheckpoint()`` every few
+    iterations to truncate lineage; label frames carry two longs per
+    vertex, so the shuffle is narrow regardless of document size.
+    """
+    both = (edges.select("src", "dst")
+            .unionByName(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+            .distinct())
+    labels = vertices.select(F.col("id"), F.col("id").alias("label"))
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = (both.alias("e")
+                .join(labels.alias("l"), F.col("e.src") == F.col("l.id"))
+                .select(F.col("e.dst").alias("id"), F.col("l.label")))
+        new = (prop.unionByName(labels)
+               .groupBy("id").agg(F.min("label").alias("label")))
+        new.persist()
+        cur_sum = new.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
 
 
 def exact_dedup_keep_min(df: DataFrame, text_col: str = "text",

@@ -16,7 +16,8 @@ from ab_metadata_pusher_spark.functions.hashing import md5_long
 __all__ = [
     "tokens", "bpe_ish_tokens", "shingle_array", "quality_features",
     "LANG_LEXICONS", "language_id", "fingerprint", "BPE_ISH_PATTERN",
-    "STOPWORDS",
+    "STOPWORDS", "repetition_features", "pii_redact",
+    "EMAIL_PATTERN", "IPV4_PATTERN",
 ]
 
 #: Whitespace tokens, empties dropped (fixture texts end with a space).
@@ -124,4 +125,63 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm.cast("binary")).alias("md5_norm"),
         min_shingle.alias("min_shingle_hash"),
         F.size(toks).alias("n_tokens"),
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: duplicate-bigram ratio and
+    top-token mass — the standard "is this document degenerate
+    boilerplate?" filters for pre-training corpora.
+
+    Pure array expressions, one narrow pass; per-document cost is
+    O(tokens * distinct_tokens), independent of corpus size, so the
+    operator scales linearly and shuffle-free over 100 TB.
+    """
+    toks = tokens(text_col)
+    bigrams = shingle_array(toks, 2)
+    n_tokens = F.size(toks)
+    top_count = F.coalesce(
+        F.array_max(F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)))),
+        F.lit(0))
+    dup_bigram = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(bigrams))
+        / F.greatest(F.size(bigrams), F.lit(1)), 4)
+    top_ratio = F.round(top_count / F.greatest(n_tokens, F.lit(1)), 4)
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        dup_bigram.alias("dup_bigram_ratio"),
+        top_ratio.alias("top_token_ratio"),
+        ((dup_bigram <= 0.5) & (top_ratio <= 0.2)).alias("rep_ok"),
+    )
+
+
+#: Portable between Java regex (Spark) and RE2 (DuckDB): plain character
+#: classes only — no backrefs, no lookaround.
+EMAIL_PATTERN = r"[a-z0-9._]+@[a-z0-9]+\.[a-z]+"
+IPV4_PATTERN = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub: count then mask emails and IPv4 addresses.
+
+    ``regexp_replace``/``regexp_extract_all`` are JVM expressions inside
+    whole-stage codegen — a single narrow projection, no shuffle, linear
+    in corpus bytes.
+    """
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0))
+    n_ips = F.size(F.regexp_extract_all(
+        F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"),
+        F.lit(IPV4_PATTERN), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"),
+        IPV4_PATTERN, "<IP>")
+    return df.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        redacted.alias("redacted"),
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ab_metadata_pusher_spark.functions.hashing import (
-    MERSENNE_P, minhash_coeffs, sql_md5_long,
+    MERSENNE_P, md5_long, minhash_coeffs, sql_md5_long,
 )
 from ab_metadata_pusher_spark.operators import dedup as D
 from ab_metadata_pusher_spark.operators import multimodal as M
@@ -626,3 +626,202 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
             .select("doc_id", "term", "tfidf", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: repetition filters, PII scrub, deterministic sampling,
+# cluster-level dedup (connected components)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+        [array_to_string(list_slice(toks, i, i + 1), ' ')
+         for i in range(1, greatest(len(toks) - 1, 1) + 1)] AS bg
+      FROM t),
+s AS (SELECT doc_id,
+        len(toks) AS n_tokens,
+        round(1.0 - len(list_distinct(bg)) * 1.0 / greatest(len(bg), 1), 4)
+          AS dup_bigram_ratio,
+        round(coalesce(list_max([len(list_filter(toks, x -> x = tk))
+                                 for tk in list_distinct(toks)]), 0) * 1.0
+              / greatest(len(toks), 1), 4) AS top_token_ratio
+      FROM b)
+SELECT doc_id, n_tokens, dup_bigram_ratio, top_token_ratio,
+       (dup_bigram_ratio <= 0.5 AND top_token_ratio <= 0.2) AS rep_ok
+FROM s
+""",
+    covers=("G.text.repetition",),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style degeneracy filters: duplicate-bigram ratio +
+    top-token mass, single narrow JVM pass."""
+    return X.repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+_PII_AUG_SQL = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 3 = 0 THEN ''
+               ELSE ' contact user' || doc_id::VARCHAR || '@example.com' END
+       || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+       || CASE WHEN doc_id % 5 = 0
+               THEN ' via 192.168.0.' || (doc_id % 64)::VARCHAR ELSE '' END
+       AS text
+FROM documents"""
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH aug AS ({_PII_AUG_SQL})
+SELECT doc_id,
+       len(regexp_extract_all(text, '{X.EMAIL_PATTERN}')) AS n_emails,
+       len(regexp_extract_all(
+             regexp_replace(text, '{X.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+             '{X.IPV4_PATTERN}')) AS n_ips,
+       regexp_replace(
+         regexp_replace(text, '{X.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+         '{X.IPV4_PATTERN}', '<IP>', 'g') AS redacted
+FROM aug
+""",
+    covers=("G.text.pii",),
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents deterministically augmented with synthetic
+    emails / IPv4s (the fixture corpus has none), so counts and masked
+    text are non-trivial and identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+                F.concat(F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com"))),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(
+                F.lit(" via 192.168.0."),
+                (F.col("doc_id") % 64).cast("string"))).otherwise(F.lit("")),
+        ).alias("text"))
+    return X.pii_redact(aug)
+
+
+@register(
+    "sample_hash_split",
+    oracle=f"""
+SELECT doc_id, lang, b AS bucket,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, lang,
+             {sql_md5_long("doc_id::VARCHAR")} % 100 AS b
+      FROM documents)
+""",
+    covers=("G.sample.hash",),
+)
+def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test split assignment — the
+    reproducible (engine- and partitioning-independent) alternative to
+    ``df.sample``.  Pure projection: no shuffle, no RNG state."""
+    d = load_table(spark, sf_dir, "documents")
+    b = md5_long(F.col("doc_id").cast("string")) % 100
+    return d.select(
+        "doc_id", "lang", b.alias("bucket"),
+        F.when(b < 80, "train").when(b < 90, "val")
+         .otherwise("test").alias("split"))
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {sql_md5_long("doc_id::VARCHAR")}, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 25
+""",
+    covers=("G.sample.stratified",),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: fixed-k per language stratum,
+    ordered by content-independent hash — reservoir-sampling semantics
+    without RNG.  One shuffle on the (low-cardinality) stratum key; at
+    scale, strata are processed as independent partitions."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        md5_long(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc())
+    return (d.select("doc_id", "lang",
+                     F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 25))
+
+
+_FPRINT_SQL = f"""(SELECT doc_id, text, {_TOKS} AS toks FROM corpus)"""
+
+_MIN_SHINGLE_SQL = ("list_aggregate([" + sql_md5_long(
+    "array_to_string(list_slice(toks, i, i + 2), ' ')")
+    + " for i in range(1, greatest(len(toks) - 2, 1) + 1)], 'min')")
+
+
+@register(
+    "dedup_clusters",
+    oracle="WITH RECURSIVE " + _CORPUS_CTE + f""",
+keys AS (
+  SELECT doc_id, md5(text) AS k1, {_MIN_SHINGLE_SQL} AS k2
+  FROM {_FPRINT_SQL}
+),
+e1 AS (SELECT r.src, k.doc_id AS dst
+       FROM keys k JOIN (SELECT k1, min(doc_id) AS src
+                         FROM keys GROUP BY k1) r USING (k1)
+       WHERE k.doc_id <> r.src),
+e2 AS (SELECT r.src, k.doc_id AS dst
+       FROM keys k JOIN (SELECT k2, min(doc_id) AS src
+                         FROM keys GROUP BY k2) r USING (k2)
+       WHERE k.doc_id <> r.src),
+edges AS (SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2),
+bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM keys
+  UNION
+  SELECT b.dst, r.root FROM reach r JOIN bidir b ON b.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM cc
+""",
+    covers=("G.dedup.clusters",),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: exact-digest and min-shingle-fingerprint key
+    groups become star edges; hash-to-min label propagation assigns each
+    document its connected component (= duplicate cluster), verified
+    against a DuckDB recursive-CTE reachability oracle.
+
+    The scale path for "keep one per duplicate cluster" when transitive
+    near-dup chains (A~B, B~C, A!~C) make per-pair survivors inconsistent.
+    """
+    corpus = _doc_corpus(spark, sf_dir)
+    keys = X.fingerprint(corpus).select(
+        "doc_id", F.col("md5_full").alias("k1"),
+        F.col("min_shingle_hash").alias("k2"))
+    edges = (D.star_edges(keys.select("doc_id", "k1"), "k1")
+             .unionByName(D.star_edges(keys.select("doc_id", "k2"), "k2"))
+             .distinct())
+    labels = D.connected_components(
+        keys.select(F.col("doc_id").alias("id")), edges)
+    from pyspark.sql import Window
+
+    return (labels.select(F.col("id").alias("doc_id"),
+                          F.col("label").alias("cluster_id"))
+            .withColumn("cluster_size",
+                        F.count(F.lit(1)).over(
+                            Window.partitionBy("cluster_id"))))

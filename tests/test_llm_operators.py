@@ -123,3 +123,64 @@ def test_operators_handle_empty_input(spark):
             "is_view boolean")
     tm = table_metadata(cat)
     assert to_nodes(tm).count() == 0 and to_relations(tm).count() == 0
+
+
+def test_connected_components_chain(spark):
+    """Label propagation must cross a diameter-3 chain (a-b-c-d), not just
+    star graphs: every vertex lands on the component min; the isolated
+    vertex keeps its own id."""
+    from ab_metadata_pusher_spark.operators.dedup import connected_components
+
+    v = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 9]], "id bigint")
+    e = spark.createDataFrame([(2, 1), (3, 2), (4, 3)], "src bigint, dst bigint")
+    got = {r.id: r.label for r in connected_components(v, e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_star_edges_match_clique_connectivity(spark):
+    """Star edges around key-group minima must yield the same components
+    as the full pairwise clique."""
+    from ab_metadata_pusher_spark.operators.dedup import (
+        connected_components, star_edges)
+
+    keys = spark.createDataFrame(
+        [(10, "a"), (11, "a"), (12, "b"), (13, "b"), (14, "c")],
+        "doc_id bigint, k string")
+    edges = star_edges(keys, "k")
+    assert {(r.src, r.dst) for r in edges.collect()} == {(10, 11), (12, 13)}
+    v = keys.select(F.col("doc_id").alias("id"))
+    got = {r.id: r.label for r in connected_components(v, edges).collect()}
+    assert got == {10: 10, 11: 10, 12: 12, 13: 12, 14: 14}
+
+
+def test_pii_redact_leaves_no_matches(spark):
+    """After redaction the text must contain no email/IPv4 pattern hits,
+    and the counts must reflect the pre-redaction text."""
+    from ab_metadata_pusher_spark.operators.text import (
+        EMAIL_PATTERN, IPV4_PATTERN, pii_redact)
+
+    rows = [(1, "mail me at bob.smith@corp.io or 10.1.2.3 and 8.8.8.8"),
+            (2, "no pii here at all")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_ips == 2
+    assert out[2].n_emails == 0 and out[2].n_ips == 0
+    leftover = pii_redact(df).filter(
+        F.col("redacted").rlike(EMAIL_PATTERN)
+        | F.col("redacted").rlike(IPV4_PATTERN)).count()
+    assert leftover == 0
+    assert "<EMAIL>" in out[1].redacted and "<IP>" in out[1].redacted
+
+
+def test_repetition_flags_degenerate_docs(spark):
+    """A one-token-repeated doc must score top_token_ratio 1.0 and fail
+    rep_ok; a diverse doc must pass."""
+    from ab_metadata_pusher_spark.operators.text import repetition_features
+
+    rows = [(1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "ten distinct words make a perfectly healthy small doc ok")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert out[1].top_token_ratio == 1.0 and out[1].dup_bigram_ratio == 0.8889
+    assert not out[1].rep_ok
+    assert out[2].rep_ok and out[2].dup_bigram_ratio == 0.0
