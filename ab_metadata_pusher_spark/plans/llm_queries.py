@@ -813,11 +813,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = X.fingerprint(corpus).select(
         "doc_id", F.col("md5_full").alias("k1"),
         F.col("min_shingle_hash").alias("k2"))
-    edges = (D.star_edges(keys.select("doc_id", "k1"), "k1")
-             .unionByName(D.star_edges(keys.select("doc_id", "k2"), "k2"))
-             .distinct())
-    labels = D.connected_components(
-        keys.select(F.col("doc_id").alias("id")), edges)
+    labels = D.cluster_labels(keys, ["k1", "k2"])
     from pyspark.sql import Window
 
     return (labels.select(F.col("id").alias("doc_id"),

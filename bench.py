@@ -82,7 +82,20 @@ def _unbounded_llm(spark, sf_dir):
             emb, emb.filter(F.col("vec_id") < 8), k=10),
         "similarity_ann_full": lambda: S.ann_lsh_topk(
             emb, emb.filter(F.col("vec_id") < 8), k=10),
+        "text_repetition_full": lambda: X.repetition_features(docs),
+        "text_pii_full": lambda: X.pii_redact(docs_raw),
+        "dedup_clusters_full": lambda: _clusters_full(docs),
     }
+
+
+def _clusters_full(docs):
+    """Unbounded cluster-dedup: fingerprint keys over the FULL documents
+    table -> star edges -> hash-to-min connected components (the iterative
+    loop runs inside the timed build)."""
+    keys = X.fingerprint(docs).select(
+        "doc_id", F.col("md5_full").alias("k1"),
+        F.col("min_shingle_hash").alias("k2"))
+    return D.cluster_labels(keys, ["k1", "k2"])
 
 
 def main() -> None:
