@@ -821,3 +821,152 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cluster_size",
                         F.count(F.lit(1)).over(
                             Window.partitionBy("cluster_id"))))
+
+
+# ---------------------------------------------------------------------------
+# Training-set construction: decontamination, incremental dedup, packing
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # shingle width for contamination detection
+
+_DECON_CTE = f"""
+evalset AS (
+  SELECT doc_id + 5000000 AS eval_id,
+         substr(text, instr(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 97 = 0
+),
+corp_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([array_to_string(list_slice(toks, i, i + {_DECON_N - 1}), ' ')
+                   for i in range(1, greatest(len(toks) - {_DECON_N - 1}, 1) + 1)])
+             AS shingle
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+),
+eval_sh AS (
+  SELECT DISTINCT eval_id, shingle FROM (
+    SELECT eval_id,
+           unnest([array_to_string(list_slice(toks, i, i + {_DECON_N - 1}), ' ')
+                   for i in range(1, greatest(len(toks) - {_DECON_N - 1}, 1) + 1)])
+             AS shingle
+    FROM (SELECT eval_id, {_TOKS} AS toks FROM evalset))
+)"""
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle="WITH " + _DECON_CTE + """
+SELECT c.doc_id, e.eval_id, count(*) AS n_shared
+FROM corp_sh c JOIN eval_sh e USING (shingle)
+GROUP BY c.doc_id, e.eval_id
+""",
+    covers=("G.decontaminate",),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag corpus documents sharing >= 1
+    8-token shingle with a (synthetic) benchmark set — the derived eval
+    docs are first-token-dropped copies of every 97th document, so true
+    contamination exists and the hit list is deterministic.
+
+    Same equi-join-on-shingle pattern as Jaccard dedup, but across two
+    sets; at 100 TB the eval side is tiny (benchmarks are ~1e5 docs) so
+    the shingle join broadcasts and the corpus side never shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    evalset = (d.filter(F.col("doc_id") % 97 == 0)
+               .select((F.col("doc_id") + 5_000_000).alias("eval_id"),
+                       F.expr("substring(text, instr(text, ' ') + 1)")
+                        .alias("text")))
+    corp_sh = (d.select("doc_id", F.explode(
+        X.shingle_array(X.tokens("text"), _DECON_N)).alias("shingle"))
+        .distinct())
+    eval_sh = (evalset.select("eval_id", F.explode(
+        X.shingle_array(X.tokens("text"), _DECON_N)).alias("shingle"))
+        .distinct())
+    return (corp_sh.join(F.broadcast(eval_sh), "shingle")
+            .groupBy("doc_id", "eval_id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+WITH existing AS (
+  SELECT DISTINCT md5(text) AS content_md5 FROM documents WHERE doc_id < 300
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 200
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 100
+)
+SELECT b.doc_id, md5(b.text) AS content_md5
+FROM batch b LEFT JOIN existing e ON md5(b.text) = e.content_md5
+WHERE e.content_md5 IS NULL
+""",
+    covers=("G.dedup.incremental",),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: anti-join a new batch against the digest
+    set of the already-ingested corpus — only genuinely novel content
+    survives.  The batch deliberately overlaps the existing range
+    (ids 200-299) and re-ships copies of ids < 100, so the anti-join
+    actually filters.
+
+    At scale the digest set is a 16-byte-keyed table orders of magnitude
+    smaller than the corpus; the anti-join shuffles digests, not text,
+    and broadcasts whenever the ingested-digest partition fits.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    existing = (d.filter(F.col("doc_id") < 300)
+                .select(F.md5(F.col("text").cast("binary"))
+                        .alias("content_md5")).distinct())
+    batch = (d.filter(F.col("doc_id") >= 200).select("doc_id", "text")
+             .unionByName(
+                 d.filter(F.col("doc_id") < 100)
+                 .select((F.col("doc_id") + 3_000_000).alias("doc_id"),
+                         "text")))
+    return (batch
+            .select("doc_id",
+                    F.md5(F.col("text").cast("binary")).alias("content_md5"))
+            .join(existing, "content_md5", "left_anti"))
+
+
+_CTX = 512  # tokens per packed block
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+SELECT doc_id, source, n_tokens,
+       (cum - n_tokens) // {_CTX} AS block_id,
+       (cum - n_tokens) % {_CTX} AS block_offset
+FROM (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens,
+         sum(len({_TOKS})) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents)
+""",
+    covers=("G.pack",),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-split sequence packing: per source stream, documents
+    are laid end-to-end in doc_id order and cut into fixed {_CTX}-token
+    blocks (GPT-style packing; docs may straddle block boundaries).
+
+    One running-total window partitioned by ``source`` — the packing
+    parallelism unit at 100 TB is the source/shard key, never a global
+    sort.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(X.tokens("text"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(n).over(w)
+    start = cum - n
+    return d.select(
+        "doc_id", "source", n.alias("n_tokens"),
+        (start / _CTX).cast("long").alias("block_id"),
+        (start % _CTX).alias("block_offset"))

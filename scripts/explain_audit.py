@@ -37,6 +37,8 @@ DEFAULT = [
     "similarity_topk_cosine", "similarity_ann_ivf", "sessionize_events",
     "text_fingerprint", "text_tfidf_top_terms", "rollup_time_buckets",
     "unpivot_lineitem_measures", "subquery_above_avg",
+    "decontaminate_ngram_overlap", "dedup_clusters", "dedup_incremental",
+    "pack_sequences", "sample_stratified", "text_repetition",
 ]
 
 
