@@ -92,3 +92,74 @@ def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases, clicks = _purchases_and_clicks(spark, sf_dir)
     return asof_join_cogrouped(purchases, clicks, key="user_id",
                                right_payload=["event_id"])
+
+
+_GAPFILL_SQL = """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS t0,
+         date_trunc('hour', max(ts)) AS t1
+  FROM events
+),
+hours AS (
+  -- fixed bound + WHERE: generate_series can't take lateral column args
+  SELECT t0 + i * INTERVAL 1 HOUR AS bucket_ts
+  FROM b, generate_series(0, 2000) AS g(i)
+  WHERE t0 + i * INTERVAL 1 HOUR <= t1
+),
+users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS n, round(sum(value), 4) AS s
+  FROM events WHERE user_id < 50
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+grid AS (SELECT u.user_id, h.bucket_ts FROM users u CROSS JOIN hours h),
+j AS (
+  SELECT g.user_id, g.bucket_ts, coalesce(a.n, 0) AS n_events, a.s
+  FROM grid g LEFT JOIN agg a USING (user_id, bucket_ts)
+)
+SELECT user_id, bucket_ts, n_events,
+       coalesce(last_value(s IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0.0) AS locf_value
+FROM j
+"""
+
+
+@register("timeseries_gap_fill", oracle=_GAPFILL_SQL,
+          covers=("G.rollup.gapfill", "G.window.locf"))
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill + LOCF: hourly per-user rollup joined onto the
+    dense (user x hour) grid; missing buckets get count 0 and the last
+    observed value carried forward (``last(..., ignorenulls)`` over an
+    unbounded-preceding frame).
+
+    Scale shape: the hour spine is tiny (one row per hour of retention)
+    and broadcasts; the rollup is map-side combinable; LOCF partitions by
+    user so no global sort exists.  date_trunc returns LTZ even on NTZ
+    input — cast back (the driver may run any host timezone).
+    """
+    from pyspark.sql import Window
+
+    ev_all = load_table(spark, sf_dir, "events")
+    ev = ev_all.filter(F.col("user_id") < 50)
+    bucket = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+    hourly = (ev.groupBy("user_id", bucket.alias("bucket_ts"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 4).alias("s")))
+    bounds = ev_all.agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("t0"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("t1"))
+    hours = bounds.select(F.explode(F.sequence(
+        "t0", "t1", F.expr("interval 1 hour"))).alias("bucket_ts"))
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(hours))
+    j = grid.join(hourly, ["user_id", "bucket_ts"], "left")
+    w = (Window.partitionBy("user_id").orderBy("bucket_ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return j.select(
+        "user_id", "bucket_ts",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.last("s", ignorenulls=True).over(w),
+                   F.lit(0.0)).alias("locf_value"))

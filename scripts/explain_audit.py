@@ -25,7 +25,8 @@ SF_DIR = "/root/testdata/sf0.1"
 #: brute-force similarity broadcasts the tiny query side over the corpus;
 #: IVF cross-joins every vector with the (10-row) centroid table; the
 #: scalar-subquery shape is a broadcast one-row cross join by design.
-EXPECTED_NON_EQUI = {"similarity_topk_cosine", "dedup_embedding_cosine",
+EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
+                     "similarity_topk_cosine", "dedup_embedding_cosine",
                      "join_range_bands", "dedup_simhash_pairs",
                      "similarity_ann_ivf", "text_tfidf_top_terms",
                      "subquery_above_avg", "join_cross_regions"}
@@ -39,6 +40,7 @@ DEFAULT = [
     "unpivot_lineitem_measures", "subquery_above_avg",
     "decontaminate_ngram_overlap", "dedup_clusters", "dedup_incremental",
     "pack_sequences", "sample_stratified", "text_repetition",
+    "timeseries_gap_fill",
 ]
 
 
