@@ -970,3 +970,34 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", n.alias("n_tokens"),
         (start / _CTX).cast("long").alias("block_id"),
         (start % _CTX).alias("block_offset"))
+
+
+@register(
+    "sample_domain_mixture",
+    oracle=f"""
+SELECT doc_id, source, target_permyriad
+FROM (
+  SELECT doc_id, source,
+         (substr(source, 4)::BIGINT + 1) * 500 AS target_permyriad,
+         {sql_md5_long("doc_id::VARCHAR")} % 10000 AS h
+  FROM documents)
+WHERE h < target_permyriad
+""",
+    covers=("G.sample.mixture",),
+)
+def q_sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining domain mixing: each source is down-sampled to its own
+    target rate (here src_i keeps (i+1)*5%) with the same deterministic
+    hash gate as `sample_hash_split` — so a re-run, a different engine, or
+    a different partitioning keeps EXACTLY the same documents.
+
+    Pure projection + filter: no shuffle, no RNG; at 100 TB the mixture
+    is one codegen'd pass and composes with any downstream dedup/pack
+    stage."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = ((F.substring("source", 4, 10).cast("long") + 1) * 500)
+    h = md5_long(F.col("doc_id").cast("string")) % 10000
+    return (d.select("doc_id", "source",
+                     rate.alias("target_permyriad"), h.alias("h"))
+            .filter(F.col("h") < F.col("target_permyriad"))
+            .drop("h"))

@@ -142,6 +142,19 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    j = _dense_user_hour_grid(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("bucket_ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return j.select(
+        "user_id", "bucket_ts",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.last("s", ignorenulls=True).over(w),
+                   F.lit(0.0)).alias("locf_value"))
+
+
+def _dense_user_hour_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user x hour) grid left-joined with the hourly rollup: columns
+    ``user_id, bucket_ts, n (nullable), s (nullable)``."""
     ev_all = load_table(spark, sf_dir, "events")
     ev = ev_all.filter(F.col("user_id") < 50)
     bucket = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
@@ -155,11 +168,101 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t0", "t1", F.expr("interval 1 hour"))).alias("bucket_ts"))
     users = ev.select("user_id").distinct()
     grid = users.crossJoin(F.broadcast(hours))
-    j = grid.join(hourly, ["user_id", "bucket_ts"], "left")
-    w = (Window.partitionBy("user_id").orderBy("bucket_ts")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return grid.join(hourly, ["user_id", "bucket_ts"], "left")
+
+
+_GRID_CTE = """
+b AS (
+  SELECT date_trunc('hour', min(ts)) AS t0,
+         date_trunc('hour', max(ts)) AS t1
+  FROM events
+),
+hours AS (
+  SELECT t0 + i * INTERVAL 1 HOUR AS bucket_ts
+  FROM b, generate_series(0, 2000) AS g(i)
+  WHERE t0 + i * INTERVAL 1 HOUR <= t1
+),
+users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS n, round(sum(value), 4) AS s
+  FROM events WHERE user_id < 50
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+grid AS (SELECT u.user_id, h.bucket_ts FROM users u CROSS JOIN hours h),
+j AS (
+  SELECT g.user_id, g.bucket_ts, a.n, a.s
+  FROM grid g LEFT JOIN agg a USING (user_id, bucket_ts)
+)"""
+
+_INTERP_SQL = "WITH " + _GRID_CTE + """,
+nb AS (
+  SELECT user_id, bucket_ts, n, s,
+         last_value(s IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN s IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(s IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket_ts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN s IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT user_id, bucket_ts,
+       -- floor-scaling, not round(): the blended double is bit-identical
+       -- across engines but round() half-case behavior is not
+       floor(CASE
+         WHEN s IS NOT NULL THEN s
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * (epoch(bucket_ts) - epoch(pt))
+                              / (epoch(nt) - epoch(pt))
+       END * 10000) / 10000 AS interp_value
+FROM nb
+"""
+
+
+@register("timeseries_interpolate", oracle=_INTERP_SQL,
+          covers=("G.rollup.interpolate",))
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps (TimescaleDB ``interpolate``):
+    each missing hourly bucket gets the time-weighted blend of the
+    nearest observed values before and after it; leading/trailing gaps
+    fall back to the single available neighbor.
+
+    Same dense-grid input as `timeseries_gap_fill`; two extra window
+    passes (backward + forward neighbor), both partitioned by user —
+    still no global sort.  TIMESTAMP_NTZ has no direct double cast;
+    route epoch seconds via timestamp_ltz (session pinned UTC).
+    """
+    from pyspark.sql import Window
+
+    j = _dense_user_hour_grid(spark, sf_dir)
+    back = (Window.partitionBy("user_id").orderBy("bucket_ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd = (Window.partitionBy("user_id").orderBy("bucket_ts")
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_ts = F.when(F.col("s").isNotNull(), F.col("bucket_ts"))
+
+    def epoch(c):
+        return c.cast("timestamp_ltz").cast("double")
+
+    pv = F.last("s", ignorenulls=True).over(back)
+    pt = F.last(obs_ts, ignorenulls=True).over(back)
+    nv = F.first("s", ignorenulls=True).over(fwd)
+    nt = F.first(obs_ts, ignorenulls=True).over(fwd)
+    # left-associated exactly like the SQL `a * b / c` — (a*b)/c and
+    # a*(b/c) differ by ULPs, which the hash comparison sees
+    blended = (pv + (nv - pv) * (epoch(F.col("bucket_ts")) - epoch(pt))
+               / (epoch(nt) - epoch(pt)))
+    interp = (F.when(F.col("s").isNotNull(), F.col("s"))
+              .when(pv.isNull(), nv)
+              .when(nv.isNull(), pv)
+              .otherwise(blended))
     return j.select(
         "user_id", "bucket_ts",
-        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-        F.coalesce(F.last("s", ignorenulls=True).over(w),
-                   F.lit(0.0)).alias("locf_value"))
+        (F.floor(interp * 10000) / 10000).alias("interp_value"))

@@ -26,6 +26,7 @@ SF_DIR = "/root/testdata/sf0.1"
 #: IVF cross-joins every vector with the (10-row) centroid table; the
 #: scalar-subquery shape is a broadcast one-row cross join by design.
 EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
+                     "timeseries_interpolate",
                      "similarity_topk_cosine", "dedup_embedding_cosine",
                      "join_range_bands", "dedup_simhash_pairs",
                      "similarity_ann_ivf", "text_tfidf_top_terms",
@@ -40,7 +41,7 @@ DEFAULT = [
     "unpivot_lineitem_measures", "subquery_above_avg",
     "decontaminate_ngram_overlap", "dedup_clusters", "dedup_incremental",
     "pack_sequences", "sample_stratified", "text_repetition",
-    "timeseries_gap_fill",
+    "timeseries_gap_fill", "timeseries_interpolate", "sample_domain_mixture",
 ]
 
 
