@@ -776,3 +776,33 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         "measure", "value")
         .withColumn("value", F.round("value", 2)))
+
+
+@register(
+    "join_salted_revenue",
+    oracle="""
+SELECT s_nationkey,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+    covers=("G.join.skew",),
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join: the fact side scatters over salt
+    buckets, the dimension replicates into each, and the oracle is the
+    PLAIN join — proving salting changes the plan, never the result.
+
+    This is the explicit fallback for skew AQE can't split (one hot key
+    inside a broadcast build side); see operators/skew.py and SCALE.md.
+    """
+    from ab_metadata_pusher_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    return (salted_join(li, sup, "l_suppkey")
+            .groupBy("s_nationkey")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))

@@ -174,3 +174,33 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         E.stream_stream_purchase_clicks(
             E.events_stream(spark, sf_dir), E.events_stream(spark, sf_dir)),
         output_mode="append")
+
+
+@register(
+    "stream_ingest_dedup",
+    oracle="""
+SELECT d.doc_id, md5(d.text) AS content_md5
+FROM documents d
+LEFT JOIN (SELECT DISTINCT md5(text) AS m
+           FROM documents WHERE doc_id < 300) e
+  ON md5(d.text) = e.m
+WHERE e.m IS NULL
+""",
+    covers=("G.stream.ingest_dedup",),
+)
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest with digest dedup: the arriving document
+    stream anti-joins the static already-ingested digest set (ids < 300
+    here), so only novel content survives — the streaming twin of the
+    batch `dedup_incremental` query, same oracle technique."""
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    existing = (load_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 300)
+                .select(F.md5(F.col("text").cast("binary"))
+                        .alias("content_md5"))
+                .distinct())
+    return E.run_to_memory(
+        E.stream_ingest_dedup(E.documents_stream(spark, sf_dir), existing),
+        output_mode="append")

@@ -31,7 +31,33 @@ __all__ = [
     "stateful_user_stats", "stateful_user_stats_tws",
     "stream_static_join_segments",
     "stream_stream_purchase_clicks",
+    "documents_stream", "stream_ingest_dedup",
 ]
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents fixture as a file-source stream — the arriving-corpus
+    side of streaming ingest operators."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+def stream_ingest_dedup(docs: DataFrame,
+                        existing_digests: DataFrame) -> DataFrame:
+    """Streaming ingest dedup: anti-join each arriving micro-batch against
+    the static digest set of the already-ingested corpus — only novel
+    content flows downstream.
+
+    Stream-static left-anti joins are stateless (the static side is
+    re-broadcast per micro-batch), so this scales with batch size, not
+    corpus history; the digest set itself is the compact (16-byte keyed)
+    representation of everything ingested so far.
+    """
+    hashed = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_md5"))
+    return hashed.join(existing_digests, "content_md5", "left_anti")
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
