@@ -1,0 +1,237 @@
+"""Product/corpus analytics beyond the reference's surface (SURVEY.md §2.G
+extension inventory): sequential funnels, cohort retention, time-range
+window frames, histograms, ordered string aggregation, vocabulary
+construction.
+
+The reference has no analytics operators at all (its one owned operator is
+the CSV->SQS publisher, /root/reference/publisher/aws_sqs_csv_puiblisher.py);
+these queries define the behaviour a user of a metadata/event pipeline
+needs next, expressed Spark-first and verified value-for-value against
+DuckDB formulations that use a DIFFERENT algorithm where that makes the
+check stronger (e.g. the funnel: one-pass array fold vs. three-join SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.operators import text as X
+from ab_metadata_pusher_spark.plans.registry import register
+from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS view_ts
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id)
+SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+""",
+    covers=("G.funnel",),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence conversion funnel view -> click -> purchase: per
+    user, the earliest view, the earliest click AFTER that view, and the
+    earliest purchase AFTER that click.
+
+    Spark-first formulation: ONE shuffle (groupBy user_id +
+    collect_list), then a sorted-array fold with F.aggregate — the
+    whole funnel state machine runs inside whole-stage codegen, no
+    self-joins.  The oracle intentionally uses the naive three-join SQL
+    instead, so the two engines agree via different algorithms.
+
+    At 100 TB: per-user event lists are bounded (sessions, not the whole
+    corpus, would be grouped in practice); the fold is O(events/user) with
+    zero extra shuffles, vs. three shuffled self-joins for the SQL shape —
+    this is the difference between 1 and 4 passes over the fact table.
+    """
+    from ab_metadata_pusher_spark.operators.funnel import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, ("view", "click", "purchase"))
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH f AS (SELECT user_id,
+                  CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+      FROM events)
+SELECT f.cohort_week,
+       datediff('week', f.cohort_week, a.active_week) AS week_offset,
+       count(*) AS active_users
+FROM a JOIN f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+""",
+    covers=("G.cohort",),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    event; for each (cohort, week-offset) the count of users still
+    active.  The classic triangle matrix behind every retention chart.
+
+    Both sides of the self-join aggregate on user_id first, so the join
+    input is #users rows, not #events — at 100 TB the two aggregations
+    share one shuffle exchange on user_id (Spark reuses the exchange) and
+    the final groupBy is on a tiny (cohort, offset) key space.  date_trunc
+    returns LTZ even for NTZ input; cast back (session TZ is pinned UTC so
+    the cast is identity — see sources/fixtures.py).
+    """
+    ev = _t(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+                .agg(F.date_trunc("week", F.min("ts"))
+                      .cast("timestamp_ntz").alias("cohort_week")))
+    active = (ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("timestamp_ntz").alias("active_week"))
+        .distinct())
+    return (active.join(firsts, "user_id")
+            .select("cohort_week",
+                    (F.datediff("active_week", "cohort_week") / 7)
+                    .cast("bigint").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("active_users")))
+
+
+@register(
+    "window_range_1h",
+    oracle="""
+SELECT user_id, event_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 2) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+    covers=("G.window.range_interval",),
+)
+def q_window_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour RANGE frame per user: unlike the rowsBetween
+    frames (window_moving_avg), the frame is defined by the ORDER-BY
+    VALUE, so gaps in time shrink the window.  Spark's rangeBetween needs
+    a numeric sort key — microseconds since epoch makes the 1-hour bound
+    exact (3.6e9 us) with no DST hazards (session TZ pinned UTC).
+
+    At 100 TB this is one shuffle on user_id and a per-partition
+    sliding-frame scan; state is bounded by events-per-hour-per-user."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = (Window.partitionBy("user_id").orderBy(us)
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"))
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY bucket
+""",
+    covers=("G.agg.histogram",),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (10k-wide buckets) — the
+    building block for distribution profiling / quality dashboards.  A
+    plain hash aggregate on a derived key: map-side combinable, output is
+    #buckets rows regardless of input scale, so it costs one near-empty
+    shuffle at any SF.  floor(x/width) on doubles is bit-identical across
+    engines (single IEEE divide + floor)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.floor(F.col("o_totalprice") / 10000)
+                       .cast("bigint").alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.min("o_totalprice"), 2).alias("lo"),
+                  F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+SELECT s_nationkey,
+       string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv,
+       count(*) AS n_suppliers
+FROM supplier
+GROUP BY s_nationkey
+""",
+    covers=("G.agg.listagg",),
+)
+def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): collect_list is
+    non-deterministic in arrival order, so the canonical Spark form is
+    collect_list -> array_sort -> array_join, which pins the order
+    regardless of partitioning — the determinism rule every distributed
+    listagg needs.  Per-group payload must fit in memory; at 100 TB cap
+    group size upstream (slice or top-k) before concatenating."""
+    s = _t(spark, sf_dir, "supplier")
+    return (s.groupBy("s_nationkey")
+             .agg(F.array_join(F.array_sort(F.collect_list("s_name")), ",")
+                   .alias("supplier_csv"),
+                  F.count(F.lit(1)).alias("n_suppliers")))
+
+
+@register(
+    "text_vocab",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term
+)
+SELECT term, tf, df,
+       row_number() OVER (ORDER BY tf DESC, term) - 1 AS token_id
+FROM counts WHERE tf >= 10
+""",
+    covers=("G.text.vocab",),
+)
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary: corpus term + document frequencies,
+    a min-count threshold, and dense token ids assigned by (frequency
+    desc, term) — the deterministic id layout a BPE/unigram trainer
+    consumes.
+
+    The heavy part (explode + tf/df aggregation) is fully distributed and
+    map-side combinable.  The id-assigning window is intentionally
+    unpartitioned: after min-count filtering a vocabulary is
+    O(100k-1M) rows even for a 100 TB corpus, so a single-partition
+    row_number over it is the honest, cheap choice (same trick as
+    topk_global)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    counts = (toks.groupBy("term")
+                  .agg(F.count(F.lit(1)).alias("tf"),
+                       F.count_distinct("doc_id").alias("df")))
+    vocab = counts.filter(F.col("tf") >= 10)
+    w = Window.orderBy(F.col("tf").desc(), "term")
+    return vocab.select("term", "tf", "df",
+                        (F.row_number().over(w) - 1).alias("token_id"))

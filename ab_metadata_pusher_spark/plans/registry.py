@@ -50,7 +50,8 @@ def _load_all() -> None:
         metadata_queries,
     )
     for mod in ("relational_queries", "function_queries", "llm_queries",
-                "streaming_queries", "timeseries_queries", "udf_queries"):
+                "streaming_queries", "timeseries_queries", "udf_queries",
+                "analytics_queries"):
         try:
             __import__(f"ab_metadata_pusher_spark.plans.{mod}")
         except ImportError:

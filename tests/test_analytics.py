@@ -1,0 +1,59 @@
+"""Funnel state-machine edge semantics (beyond the registry's oracle
+parity): out-of-order steps, strict-tie behaviour, missing steps, and
+arbitrary step counts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from ab_metadata_pusher_spark.operators.funnel import funnel_steps
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp_ntz, event_type string")
+
+
+def test_funnel_ignores_steps_before_prior(spark):
+    # click@1 precedes the first view@2 -> only click@3 counts
+    ev = _events(spark, [(1, _ts(1), "click"), (1, _ts(2), "view"),
+                         (1, _ts(3), "click"), (1, _ts(4), "purchase")])
+    r = funnel_steps(ev, ("view", "click", "purchase")).collect()[0]
+    assert (r["view_ts"], r["click_ts"], r["purchase_ts"]) == \
+        (_ts(2), _ts(3), _ts(4))
+
+
+def test_funnel_missing_middle_step_blocks_later(spark):
+    # purchase exists but no click after the view -> purchase stays null
+    ev = _events(spark, [(2, _ts(1), "purchase"), (2, _ts(2), "view"),
+                         (2, _ts(3), "purchase")])
+    r = funnel_steps(ev, ("view", "click", "purchase")).collect()[0]
+    assert r["view_ts"] == _ts(2)
+    assert r["click_ts"] is None and r["purchase_ts"] is None
+
+
+def test_funnel_same_timestamp_is_strict(spark):
+    ev = _events(spark, [(3, _ts(5), "view"), (3, _ts(5), "click")])
+    r = funnel_steps(ev, ("view", "click")).collect()[0]
+    assert r["view_ts"] == _ts(5) and r["click_ts"] is None
+
+
+def test_funnel_takes_earliest_valid_of_each_step(spark):
+    ev = _events(spark, [(4, _ts(1), "view"), (4, _ts(9), "view"),
+                         (4, _ts(4), "click"), (4, _ts(2), "click")])
+    r = funnel_steps(ev, ("view", "click")).collect()[0]
+    assert (r["view_ts"], r["click_ts"]) == (_ts(1), _ts(2))
+
+
+def test_funnel_four_steps(spark):
+    ev = _events(spark, [(5, _ts(m), t) for m, t in
+                         [(1, "view"), (2, "click"), (3, "purchase"),
+                          (4, "signup")]])
+    r = funnel_steps(
+        ev, ("view", "click", "purchase", "signup")).collect()[0]
+    assert [r[f"{s}_ts"] for s in ("view", "click", "purchase", "signup")] \
+        == [_ts(1), _ts(2), _ts(3), _ts(4)]
