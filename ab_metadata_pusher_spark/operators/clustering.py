@@ -1,0 +1,109 @@
+"""Distributed k-means (Lloyd iterations) over an embedding column.
+
+The reference has no vector ops at all (SURVEY.md §2.G north star); this
+is the Spark-first shape for clustering a 100 TB embedding corpus:
+
+* **Assign** is a pure map: the k centroids are inlined into the plan as
+  an array-of-structs literal and each row folds over it with
+  ``F.aggregate`` to find its argmin — NO join, NO shuffle, no UDF.  A
+  window/groupBy argmin would shuffle the whole corpus once per
+  iteration; this shuffles zero rows.
+* **Update** is one map-side-combinable shuffle of (corpus x dim)
+  scalars: posexplode to (cluster, pos, value), avg, re-assemble.
+
+Centroids are k x dim doubles (a few KiB) — collecting them to the driver
+between iterations is the correct distributed design, not a shortcut
+(same contract as ml.clustering.KMeans, which this intentionally mirrors
+without the MLlib Vector UDT so results stay oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.operators.similarity import _dbl
+
+__all__ = ["seed_centroids", "assign_clusters", "update_centroids",
+           "kmeans_fit_assign"]
+
+
+def seed_centroids(corpus: DataFrame, k: int,
+                   id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Deterministic seeding: the vectors with the k smallest ids, cluster
+    j seeded from id j (reproducible everywhere, unlike random init)."""
+    rows = (corpus.filter(F.col(id_col) < k)
+            .select(id_col, _dbl(F.col(emb_col)).alias("v")).collect())
+    return [(int(r[id_col]), [float(x) for x in r["v"]]) for r in rows]
+
+
+def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
+    return F.array(*[
+        F.struct(F.lit(c).alias("cluster"),
+                 F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"))
+        for c, vec in centroids])
+
+
+def assign_clusters(corpus: DataFrame,
+                    centroids: list[tuple[int, list[float]]],
+                    id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> DataFrame:
+    """Map-only nearest-centroid assignment by Euclidean distance.
+
+    Ties break toward the lower cluster id (strict ``<`` while folding in
+    ascending cluster order), matching the oracle's ``ORDER BY dist,
+    cluster`` tiebreak.  Output: id, cluster, dist (unrounded double).
+    """
+    cents = _centroid_literal(sorted(centroids))
+    v = _dbl(F.col(emb_col))
+
+    def sq_dist(c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(v, c["cvec"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    # array_min over (d2, cluster) structs is the argmin: struct ordering
+    # compares d2 first, then cluster — the lower cluster id wins ties,
+    # matching the oracle's ORDER BY dist, cluster.  Each distance is
+    # evaluated exactly once (a fold with F.when would inline the
+    # distance expression twice per step).
+    best = F.array_min(F.transform(
+        cents, lambda c: F.struct(sq_dist(c).alias("d2"),
+                                  c["cluster"].alias("cluster"))))
+    return corpus.select(
+        F.col(id_col),
+        best["cluster"].alias("cluster"),
+        F.sqrt(best["d2"]).alias("dist"))
+
+
+def update_centroids(corpus: DataFrame, assigned: DataFrame,
+                     id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Lloyd update: per-cluster element-wise mean.  One shuffle keyed on
+    (cluster, dim-position), map-side combinable; the k x dim result is
+    driver-sized by construction."""
+    per_dim = (corpus.join(assigned.select(id_col, "cluster"), id_col)
+               .select("cluster",
+                       F.posexplode(_dbl(F.col(emb_col))).alias("pos", "x"))
+               .groupBy("cluster", "pos").agg(F.avg("x").alias("m")))
+    rows = (per_dim.groupBy("cluster")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("cvec"))
+            .collect())
+    return [(int(r["cluster"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def kmeans_fit_assign(corpus: DataFrame, k: int = 8, iters: int = 1,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> DataFrame:
+    """Seed, run ``iters`` Lloyd update iterations, return the final
+    assignment (id, cluster, dist).  Each iteration costs one map pass +
+    one (cluster, pos)-keyed shuffle; cache ``corpus`` upstream when
+    iterating more than a couple of times."""
+    cents = seed_centroids(corpus, k, id_col, emb_col)
+    for _ in range(iters):
+        assigned = assign_clusters(corpus, cents, id_col, emb_col)
+        cents = update_centroids(corpus, assigned, id_col, emb_col)
+    return assign_clusters(corpus, cents, id_col, emb_col)

@@ -1001,3 +1001,53 @@ def q_sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                      rate.alias("target_permyriad"), h.alias("h"))
             .filter(F.col("h") < F.col("target_permyriad"))
             .drop("h"))
+
+
+@register(
+    "embedding_kmeans",
+    oracle="""
+WITH c0 AS (
+  SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+a0 AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_distance(v, cvec), cluster) AS rn
+  FROM e CROSS JOIN c0
+),
+m AS (
+  SELECT a0.cluster, gs.pos, avg(e.v[gs.pos]) AS m
+  FROM a0
+  JOIN e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) gs
+  WHERE a0.rn = 1
+  GROUP BY a0.cluster, gs.pos
+),
+c1 AS (SELECT cluster, list(m ORDER BY pos) AS cvec FROM m GROUP BY cluster),
+a1 AS (
+  SELECT vec_id, cluster, list_distance(v, cvec) AS dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_distance(v, cvec), cluster) AS rn
+  FROM e CROSS JOIN c1
+)
+SELECT vec_id, cluster, round(dist, 6) AS dist FROM a1 WHERE rn = 1
+""",
+    covers=("G.similarity.kmeans",),
+)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of k-means (k=8, seeded from vec_id<8)
+    over the embedding corpus, returning the post-update assignment.
+
+    Spark-first: assignment is a MAP-ONLY argmin fold over a centroid
+    literal (operators/clustering.py) — zero joins/shuffles per assign
+    pass; the centroid update is one (cluster, pos)-keyed map-side-
+    combinable shuffle.  The oracle recomputes the identical iteration in
+    SQL via cross join + row_number argmin — different algorithm, same
+    result, which is the strongest form of the check."""
+    from ab_metadata_pusher_spark.operators.clustering import kmeans_fit_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_fit_assign(e, k=8, iters=1)
+    return out.withColumn("dist", F.round("dist", 6))

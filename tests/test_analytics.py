@@ -57,3 +57,31 @@ def test_funnel_four_steps(spark):
         ev, ("view", "click", "purchase", "signup")).collect()[0]
     assert [r[f"{s}_ts"] for s in ("view", "click", "purchase", "signup")] \
         == [_ts(1), _ts(2), _ts(3), _ts(4)]
+
+
+def test_kmeans_separable_clusters(spark):
+    from ab_metadata_pusher_spark.operators.clustering import (
+        assign_clusters, kmeans_fit_assign, seed_centroids, update_centroids,
+    )
+    pts = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [1.0, 0.0]),
+           (3, [0.0, 1.0]), (4, [10.0, 9.0]), (5, [9.0, 10.0])]
+    e = spark.createDataFrame(
+        [(i, v) for i, v in pts], "vec_id bigint, embedding array<double>")
+
+    out = {r["vec_id"]: r["cluster"]
+           for r in kmeans_fit_assign(e, k=2, iters=2).collect()}
+    assert out == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1, 5: 1}
+
+    # centroid update is the mean of the assigned points
+    cents = seed_centroids(e, 2)
+    assigned = assign_clusters(e, cents)
+    updated = dict(update_centroids(e, assigned))
+    assert updated[0] == [1.0 / 3, 1.0 / 3]
+    assert updated[1] == [29.0 / 3, 29.0 / 3]
+
+
+def test_kmeans_tie_breaks_to_lower_cluster(spark):
+    from ab_metadata_pusher_spark.operators.clustering import assign_clusters
+    e = spark.createDataFrame([(9, [5.0])], "vec_id bigint, embedding array<double>")
+    r = assign_clusters(e, [(0, [4.0]), (1, [6.0])]).collect()[0]
+    assert r["cluster"] == 0 and r["dist"] == 1.0
