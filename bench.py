@@ -53,6 +53,11 @@ REGISTRY_BENCH = [
     "stream_tumbling_counts",
     "stream_stateful_user_stats",
     "stream_stream_join",
+    "funnel_steps",
+    "window_range_1h",
+    "cohort_retention",
+    "text_vocab",
+    "embedding_kmeans",
 ]
 
 
