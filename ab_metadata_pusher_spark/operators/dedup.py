@@ -74,7 +74,8 @@ def star_edges(keys: DataFrame, key_col: str,
 
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
-                         max_iter: int = 15) -> DataFrame:
+                         max_iter: int = 15,
+                         shuffle_partitions: int | None = None) -> DataFrame:
     """Min-label propagation ("hash-to-min") connected components.
 
     ``vertices``: one column ``id``.  ``edges``: ``src``/``dst``
@@ -86,35 +87,51 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     100 TB scale the same loop applies with ``localCheckpoint()`` every few
     iterations to truncate lineage; label frames carry two longs per
     vertex, so the shuffle is narrow regardless of document size.
+
+    ``shuffle_partitions`` (optional) pins the shuffle width for the
+    loop's lifetime: like streaming state stores, the label frame should
+    be partitioned by its CARDINALITY, not by CPU count — a metadata
+    graph's label frame is thousands of rows, and 32 near-empty
+    partitions cost more per iteration than they parallelize (same
+    measurement as streaming/events.py run_to_memory).  Size it to
+    ~label_rows / 1e6 partitions on a real cluster.
     """
-    both = (edges.select("src", "dst")
-            .unionByName(edges.select(F.col("dst").alias("src"),
-                                      F.col("src").alias("dst")))
-            .distinct())
-    # The edge list is re-joined every iteration; without caching, each
-    # iteration (and the final consumer) would replay the full upstream
-    # key-extraction lineage (fingerprint hashing etc.) — measured 10.6s
-    # -> 1.5s at sf0.1 with the cache.
-    both.persist()
-    labels = vertices.select(F.col("id"), F.col("id").alias("label"))
-    prev_sum = None
-    for _ in range(max_iter):
-        prop = (both.alias("e")
-                .join(labels.alias("l"), F.col("e.src") == F.col("l.id"))
-                .select(F.col("e.dst").alias("id"), F.col("l.label")))
-        new = (prop.unionByName(labels)
-               .groupBy("id").agg(F.min("label").alias("label")))
-        new.persist()
-        cur_sum = new.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new
-        if prev_sum is not None and cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    # labels is persisted and already materialized by the convergence
-    # action, so the edge cache can go.
-    both.unpersist()
-    return labels
+    spark = vertices.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_conf = spark.conf.get(conf_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
+    try:
+        both = (edges.select("src", "dst")
+                .unionByName(edges.select(F.col("dst").alias("src"),
+                                          F.col("src").alias("dst")))
+                .distinct())
+        # The edge list is re-joined every iteration; without caching, each
+        # iteration (and the final consumer) would replay the full upstream
+        # key-extraction lineage (fingerprint hashing etc.) — measured 10.6s
+        # -> 1.5s at sf0.1 with the cache.
+        both.persist()
+        labels = vertices.select(F.col("id"), F.col("id").alias("label"))
+        prev_sum = None
+        for _ in range(max_iter):
+            prop = (both.alias("e")
+                    .join(labels.alias("l"), F.col("e.src") == F.col("l.id"))
+                    .select(F.col("e.dst").alias("id"), F.col("l.label")))
+            new = (prop.unionByName(labels)
+                   .groupBy("id").agg(F.min("label").alias("label")))
+            new.persist()
+            cur_sum = new.agg(F.sum("label")).collect()[0][0]
+            labels.unpersist()
+            labels = new
+            if prev_sum is not None and cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        # labels is persisted and already materialized by the convergence
+        # action, so the edge cache can go.
+        both.unpersist()
+        return labels
+    finally:
+        spark.conf.set(conf_key, prev_conf)
 
 
 def exact_dedup_keep_min(df: DataFrame, text_col: str = "text",

@@ -152,3 +152,68 @@ def to_relations(tm: DataFrame) -> DataFrame:
         "DESCRIPTION", "DESCRIPTION_OF")
 
     return table_column.unionByName(table_desc).unionByName(col_desc)
+
+
+def degrees(relations: DataFrame) -> DataFrame:
+    """Per-node in/out degree over a relations frame (start_label,
+    start_key, end_label, end_key, ...).
+
+    Two map-side-combinable aggregations + a full-outer join on the node
+    key: the shuffles carry (key, count) pairs only.  Degree profiling is
+    the first sanity check on any generated property graph (e.g. a Table
+    node's out-degree must equal its column count + description edges).
+    """
+    out_deg = (relations.groupBy(
+        F.col("start_label").alias("label"), F.col("start_key").alias("node_key"))
+        .agg(F.count(F.lit(1)).alias("out_deg")))
+    in_deg = (relations.groupBy(
+        F.col("end_label").alias("label"), F.col("end_key").alias("node_key"))
+        .agg(F.count(F.lit(1)).alias("in_deg")))
+    return (out_deg.join(in_deg, ["label", "node_key"], "full_outer")
+            .select("label", "node_key",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
+
+
+def graph_components(relations: DataFrame) -> DataFrame:
+    """Connected components of the relation graph, labelling every node
+    with the lexicographically smallest key in its component.
+
+    String keys are mapped to dense longs by a row_number over the sorted
+    distinct key set, so min-label propagation (operators/dedup.py
+    connected_components — the same loop the dedup clusters use) preserves
+    "min key wins".  The id-assigning window is single-partition by
+    design: the distinct NODE set of a metadata graph is catalog-sized,
+    not corpus-sized.  For billion-node graphs swap the window for
+    zipWithIndex-per-partition offsets; the propagation loop is unchanged.
+    """
+    from ab_metadata_pusher_spark.operators.dedup import connected_components
+    from pyspark.sql import Window
+
+    nodes = (relations.select(F.col("start_key").alias("node_key"))
+             .unionByName(relations.select(F.col("end_key").alias("node_key")))
+             .distinct())
+    id_map = nodes.withColumn(
+        "id", F.row_number().over(Window.orderBy("node_key")).cast("bigint"))
+    # id_map feeds the edge build (twice), the vertex set, and the final
+    # label->key joins; without the cache every consumer replays the
+    # upstream graph build + the id-assigning sort.
+    id_map.persist()
+    edges = (relations
+             .join(id_map.select(F.col("node_key").alias("start_key"),
+                                 F.col("id").alias("src")), "start_key")
+             .join(id_map.select(F.col("node_key").alias("end_key"),
+                                 F.col("id").alias("dst")), "end_key")
+             .select("src", "dst"))
+    # metadata graphs are catalog-sized: a handful of shuffle partitions
+    # beats CPU-count near-empty ones for the propagation loop
+    labels = connected_components(id_map.select("id"), edges,
+                                  shuffle_partitions=8)
+    roots = id_map.select(F.col("id").alias("label"),
+                          F.col("node_key").alias("component_key"))
+    # id_map stays persisted: the returned plan still reads it twice and
+    # unpersisting here would evict the cache before execution.  The
+    # frame is node-count-sized; callers that loop over many graphs can
+    # unpersist after materializing.
+    return (id_map.join(labels, "id").join(roots, "label")
+            .select("node_key", "component_key"))

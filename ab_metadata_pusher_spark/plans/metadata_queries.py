@@ -205,7 +205,7 @@ def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_nodes(table_metadata(catalog_columns(spark, sf_dir)))
 
 
-_RELATIONS_SQL = "WITH " + catalog_values_cte() + "," + _PROJ_CTE + """
+_REL_BODY = """
 SELECT 'Table' AS start_label, table_key AS start_key,
        'Column' AS end_label, table_key || '/' || col_name AS end_key,
        'COLUMN' AS type, 'COLUMN_OF' AS reverse_type
@@ -221,8 +221,66 @@ SELECT 'Column', table_key || '/' || col_name,
 FROM proj WHERE col_description <> ''
 """
 
+_RELATIONS_SQL = "WITH " + catalog_values_cte() + "," + _PROJ_CTE + _REL_BODY
+
 
 @register("metadata_relations", oracle=_RELATIONS_SQL, covers=("C2",))
 def q_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph relationships (FIXTURES.md B4 contract)."""
     return to_relations(table_metadata(catalog_columns(spark, sf_dir)))
+
+
+_GRAPH_PREFIX = ("WITH " + catalog_values_cte() + "," + _PROJ_CTE
+                 + ",\nrels AS (" + _REL_BODY + ")")
+
+
+@register(
+    "metadata_graph_degree",
+    oracle=_GRAPH_PREFIX + """,
+o AS (SELECT start_label AS label, start_key AS node_key, count(*) AS out_deg
+      FROM rels GROUP BY 1, 2),
+i AS (SELECT end_label AS label, end_key AS node_key, count(*) AS in_deg
+      FROM rels GROUP BY 1, 2)
+SELECT coalesce(o.label, i.label) AS label,
+       coalesce(o.node_key, i.node_key) AS node_key,
+       coalesce(o.out_deg, 0) AS out_deg,
+       coalesce(i.in_deg, 0) AS in_deg
+FROM o FULL JOIN i ON o.label = i.label AND o.node_key = i.node_key
+""",
+    covers=("C2", "G.graph.degree"),
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out degree of the generated metadata graph — e.g. a
+    Table node's out-degree = its column count (+1 if described).  The
+    first structural audit any property-graph publisher needs before
+    pushing to a graph store (the reference pushes blind:
+    publisher/aws_sqs_csv_puiblisher.py:99-143 never inspects shape)."""
+    from ab_metadata_pusher_spark.operators.graph import degrees
+
+    return degrees(to_relations(table_metadata(catalog_columns(spark, sf_dir))))
+
+
+@register(
+    "metadata_graph_components",
+    oracle=_GRAPH_PREFIX + """,
+nodes AS (SELECT start_key AS node_key FROM rels
+          UNION SELECT end_key FROM rels)
+SELECT node_key,
+       array_to_string(string_split(node_key, '/')[1:4], '/') AS component_key
+FROM nodes
+""",
+    covers=("C2", "G.graph.components"),
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the metadata graph via REAL min-label
+    propagation (the same loop as dedup_clusters, over the actual edge
+    list).  The oracle never runs a graph algorithm: by the key contract
+    (SURVEY.md §1.1b) every component is exactly one table's star, whose
+    lexicographic-min key is the table key — i.e. the first four
+    '/'-parts of any member key.  Two independent routes to the same
+    answer: if either the generated edges or the propagation loop drift,
+    the hashes diverge."""
+    from ab_metadata_pusher_spark.operators.graph import graph_components
+
+    return graph_components(
+        to_relations(table_metadata(catalog_columns(spark, sf_dir))))
