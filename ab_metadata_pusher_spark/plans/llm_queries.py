@@ -1051,3 +1051,39 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     out = kmeans_fit_assign(e, k=8, iters=1)
     return out.withColumn("dist", F.round("dist", 6))
+
+
+@register(
+    "text_bigrams",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+b AS (
+  SELECT p[1] AS w1, p[2] AS w2
+  FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+        FROM t WHERE len(l) >= 2)
+)
+SELECT w1, w2, count(*) AS n
+FROM b GROUP BY w1, w2 HAVING count(*) >= 5
+""",
+    covers=("G.text.ngram",),
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (the n-gram LM / contamination-analysis
+    primitive): adjacent-pair extraction is zip_with over two slices of
+    the token array — pure array expressions, no self-join, no Python —
+    then one map-side-combinable count.  At 100 TB the explode output is
+    ~tokens-per-corpus rows of two short strings; thresholding (n >= 5)
+    keeps the result vocabulary-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = X.tokens("text")
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    return (docs.select(F.explode(pairs).alias("p"))
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 5))

@@ -284,3 +284,55 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return graph_components(
         to_relations(table_metadata(catalog_columns(spark, sf_dir))))
+
+
+@register(
+    "metadata_snapshot_diff",
+    oracle="WITH " + catalog_values_cte() + """,
+a AS (SELECT table_name, col_name, col_type FROM catalog_columns),
+b AS (SELECT table_name, col_name,
+             CASE WHEN table_name = 'lineitem' AND col_name = 'l_quantity'
+                  THEN 'decimal(12,2)' ELSE col_type END AS col_type
+      FROM catalog_columns
+      WHERE table_name <> 'part'
+        AND NOT (table_name = 'orders' AND col_name = 'o_orderpriority')),
+d AS (SELECT coalesce(a.table_name, b.table_name) AS table_name,
+             coalesce(a.col_name, b.col_name) AS col_name,
+             a.col_type AS old_type, b.col_type AS new_type,
+             CASE WHEN b.col_type IS NULL THEN 'removed'
+                  WHEN a.col_type IS NULL THEN 'added'
+                  WHEN a.col_type <> b.col_type THEN 'type_changed'
+             END AS status
+      FROM a FULL JOIN b
+        ON a.table_name = b.table_name AND a.col_name = b.col_name)
+SELECT * FROM d WHERE status IS NOT NULL
+""",
+    covers=("G.metadata.diff", "B5"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata drift detection: diff two catalog snapshots into
+    added / removed / type_changed column events — the incremental twin
+    of the reference's full-republish model (its publisher resends the
+    ENTIRE graph every cron tick, publisher/aws_sqs_csv_puiblisher.py:
+    99-143; diffing snapshots is what makes push-on-change possible).
+
+    Snapshot B is a deterministic mutation of A (a dropped table, a
+    dropped column, one type change) so both engines derive it
+    independently.  Full-outer join on the column identity; catalog
+    frames are metadata-sized, so the join broadcasts."""
+    a = catalog_columns(spark, sf_dir).select(
+        "table_name", "col_name", "col_type")
+    t, c = F.col("table_name"), F.col("col_name")
+    b = (a.filter(t != "part")
+          .filter(~((t == "orders") & (c == "o_orderpriority")))
+          .withColumn("col_type", F.when(
+              (t == "lineitem") & (c == "l_quantity"),
+              F.lit("decimal(12,2)")).otherwise(F.col("col_type"))))
+    joined = (a.withColumnRenamed("col_type", "old_type")
+               .join(b.withColumnRenamed("col_type", "new_type"),
+                     ["table_name", "col_name"], "full_outer"))
+    status = (F.when(F.col("new_type").isNull(), "removed")
+               .when(F.col("old_type").isNull(), "added")
+               .when(F.col("old_type") != F.col("new_type"), "type_changed"))
+    return (joined.withColumn("status", status)
+            .filter(F.col("status").isNotNull()))

@@ -85,3 +85,38 @@ def test_kmeans_tie_breaks_to_lower_cluster(spark):
     e = spark.createDataFrame([(9, [5.0])], "vec_id bigint, embedding array<double>")
     r = assign_clusters(e, [(0, [4.0]), (1, [6.0])]).collect()[0]
     assert r["cluster"] == 0 and r["dist"] == 1.0
+
+
+def test_funnel_randomized_vs_bruteforce(spark):
+    # fixed-seed randomized differential: many users, shuffled event
+    # streams, compared against a pure-Python funnel reference
+    import random
+
+    rng = random.Random(1234)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randint(0, 12)):
+            rows.append((u, _ts(rng.randint(0, 59)), rng.choice(types)))
+    rows = [r for r in rows if r[0] != 0] or [(1, _ts(0), "view")]
+
+    def brute(evs):
+        evs = sorted(evs, key=lambda e: (e[1], e[2]))
+        got, prev = {}, None
+        for step in ("view", "click", "purchase"):
+            hit = next((ts for _, ts, t in evs
+                        if t == step and (prev is None or ts > prev)), None)
+            got[step] = prev = hit
+            if hit is None:
+                break
+        return (got.get("view"), got.get("click"), got.get("purchase"))
+
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r[0], []).append(r)
+    expected = {u: brute(evs) for u, evs in by_user.items()}
+
+    ev = _events(spark, rows)
+    out = {r["user_id"]: (r["view_ts"], r["click_ts"], r["purchase_ts"])
+           for r in funnel_steps(ev, ("view", "click", "purchase")).collect()}
+    assert out == expected
