@@ -42,6 +42,9 @@ DEFAULT = [
     "decontaminate_ngram_overlap", "dedup_clusters", "dedup_incremental",
     "pack_sequences", "sample_stratified", "text_repetition",
     "timeseries_gap_fill", "timeseries_interpolate", "sample_domain_mixture",
+    "funnel_steps", "cohort_retention", "window_range_1h", "agg_histogram",
+    "agg_string_concat", "text_vocab", "text_bigrams", "embedding_kmeans",
+    "metadata_graph_degree", "metadata_snapshot_diff",
 ]
 
 
