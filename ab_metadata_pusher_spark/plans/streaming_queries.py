@@ -204,3 +204,34 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.run_to_memory(
         E.stream_ingest_dedup(E.documents_stream(spark, sf_dir), existing),
         output_mode="append")
+
+
+@register(
+    "stream_funnel_steps",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS view_ts
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id)
+SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+""",
+    covers=("G.stream.funnel",),
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user funnel state machine (applyInPandasWithState):
+    over an AvailableNow replay the final update-mode emission equals the
+    batch funnel fold, so this query, the batch `funnel_steps`, AND the
+    oracle's three-join SQL are three independent routes to one result."""
+    return E.run_to_memory(
+        E.stateful_funnel(E.events_stream(spark, sf_dir)),
+        output_mode="update")

@@ -338,3 +338,55 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
     return (events.groupBy("user_id").transformWithStateInPandas(
         UserStats(), outputStructType=out_schema, outputMode="Update",
         timeMode="None"))
+
+
+def stateful_funnel(events: DataFrame,
+                    steps: tuple[str, ...] = ("view", "click", "purchase")
+                    ) -> DataFrame:
+    """Streaming twin of operators/funnel.py: the per-user step state
+    machine runs in explicit GroupState (one nullable epoch-micros slot
+    per step), advanced by each micro-batch and emitted in update mode.
+
+    Filled steps are monotonic — a later batch can only fill LATER
+    steps, never rewrite earlier ones — so in-order replay converges to
+    exactly the batch funnel (the oracle).  Out-of-order arrivals that
+    should have filled an earlier step are dropped by design (add a
+    watermark + per-batch sort upstream to bound that, as
+    stream_dedup_watermark does for duplicates).  State is
+    len(steps) longs per user: bounded, skew-proof.
+    """
+    import pandas as pd  # local: keep module import Spark-session-free
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = len(steps)
+    out_schema = "user_id bigint, " + ", ".join(
+        f"{s}_ts timestamp_ntz" for s in steps)
+    state_schema = ", ".join(f"s{i}_us bigint" for i in range(n))
+
+    def update(key: tuple, pdfs, state: GroupState):
+        vals = list(state.get) if state.exists else [None] * n
+        ev = pd.concat([pdf[["ts", "event_type"]] for pdf in pdfs])
+        ev = ev.sort_values(["ts", "event_type"])
+        for ts, et in zip(ev["ts"], ev["event_type"]):
+            if et not in steps:
+                continue
+            i = steps.index(et)
+            t_us = int(ts.value // 1000)
+            if vals[i] is None and (
+                    i == 0 or (vals[i - 1] is not None
+                               and t_us > vals[i - 1])):
+                vals[i] = t_us
+        state.update(tuple(vals))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            **{f"{s}_ts": [pd.Timestamp(vals[i], unit="us")
+                           if vals[i] is not None else pd.NaT]
+               for i, s in enumerate(steps)},
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)

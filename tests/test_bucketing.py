@@ -49,3 +49,43 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucket_db):
         assert joined.count() == shuffled.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_range_clustered_layout_prunes(spark, sf_dir, tmp_path):
+    """write_clustered must produce disjoint per-file key ranges (the
+    precondition for footer-stats file skipping) with rows sorted inside
+    each file."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.sinks.layout import (
+        file_key_ranges, write_clustered,
+    )
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    path = str(tmp_path / "li_clustered")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_clustered(li, path, "l_orderkey", n_files=8)
+
+    ranges = file_key_ranges(spark, path, "l_orderkey").collect()
+    assert len(ranges) == 8
+    spans = sorted((r["key_min"], r["key_max"]) for r in ranges)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert lo1 <= hi1 < lo2  # disjoint, ordered ranges
+
+    # rows are sorted within every file (page-level pruning precondition)
+    import pandas as pd
+    from pathlib import Path
+    for f in Path(path).glob("*.parquet"):
+        keys = pd.read_parquet(f, columns=["l_orderkey"])["l_orderkey"]
+        assert keys.is_monotonic_increasing
+
+    # and a point-lookup plan actually pushes the predicate to the scan
+    probe = spans[3][0]
+    plan_df = spark.read.parquet(path).filter(F.col("l_orderkey") == probe)
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey" \
+        in buf.getvalue()
