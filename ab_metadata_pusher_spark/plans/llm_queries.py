@@ -1087,3 +1087,72 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p.w1", "p.w2")
             .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= 5))
+
+
+@register(
+    "text_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT sum(c) AS n FROM vocab)
+SELECT doc_id,
+       round(avg(-ln(c * 1.0 / n)), 4) AS lm_score,
+       count(*) AS n_tokens
+FROM toks JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY doc_id
+""",
+    covers=("G.text.lm_score",),
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy (the KenLM-style quality score used to
+    filter web corpora): score(doc) = mean over tokens of -ln p(token),
+    p from corpus-wide unigram frequencies.
+
+    Spark shape: one explode -> map-side-combinable vocab count (vocab
+    rows ~ |V|, tiny vs corpus) -> broadcast vocab back onto the token
+    stream -> per-doc avg.  At 100 TB the token stream never shuffles on
+    token: the vocab aggregate shuffles |V| x partitions partial rows and
+    the scoring join is broadcast, so the only full-data shuffle is the
+    final per-doc aggregation keyed by doc_id (high-cardinality, even)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = toks.join(F.broadcast(vocab), "term").join(F.broadcast(total))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4)
+                  .alias("lm_score"),
+                 F.count(F.lit(1)).alias("n_tokens")))
+
+
+@register(
+    "sample_length_curriculum",
+    oracle="""
+SELECT CAST(least(n_chars // 200, 9) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents
+GROUP BY 1
+""",
+    covers=("G.sample.curriculum",),
+)
+def q_sample_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed curriculum manifest: fixed-width doc-length
+    buckets (200-char steps, top bucket open) with per-bucket stats —
+    the batch-shape planning step for sequence-length curricula and
+    bucketed batching.  Pure arithmetic bucketing keeps it a single
+    map-side-combinable aggregate; no width_bucket dependency so the
+    DuckDB oracle is the identical expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 200), F.lit(9)).cast("long")
+    return (docs.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.round(F.avg("n_chars"), 2).alias("avg_chars")))

@@ -806,3 +806,108 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s_nationkey")
             .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+""",
+    covers=("G.setop.all",),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) intersection — keeps min(count_left, count_right)
+    copies of each row, unlike the distinct-ifying ``intersect``.  Spark
+    plans it as a count-compare aggregate + generate, one shuffle per
+    side on the full row; at 100 TB both sides pre-aggregate map-side so
+    the shuffle carries (row, count) not raw duplicates."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    right = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return left.intersectAll(right)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+SELECT l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT ALL
+SELECT l_linenumber FROM lineitem WHERE l_returnflag = 'A'
+""",
+    covers=("G.setop.all",),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference — keeps count_left - count_right copies
+    (floored at zero); same count-compare physical shape as
+    ``intersectAll``."""
+    li = _t(spark, sf_dir, "lineitem")
+    left = li.filter(F.col("l_returnflag") == "R").select("l_linenumber")
+    right = li.filter(F.col("l_returnflag") == "A").select("l_linenumber")
+    return left.exceptAll(right)
+
+
+@register(
+    "agg_bool_bitwise",
+    oracle="""
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       bit_and(o_orderkey % 256) AS key_bit_and,
+       bit_or(o_orderkey % 256) AS key_bit_or,
+       bit_xor(o_orderkey % 256) AS key_bit_xor
+FROM orders
+GROUP BY o_orderstatus
+""",
+    covers=("G.agg.bool",),
+)
+def q_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean every/any and bitwise-reduce aggregates — all fully
+    map-side-combinable (commutative + associative), so the shuffle is
+    #groups rows regardless of input size."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 256
+    return (o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bit_and(k).alias("key_bit_and"),
+        F.bit_or(k).alias("key_bit_or"),
+        F.bit_xor(k).alias("key_bit_xor")))
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+SELECT n.n_name, t.o_orderkey, t.o_totalprice
+FROM nation n, LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 3
+) t
+""",
+    covers=("G.join.lateral",),
+)
+def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (top-3 orders per nation).
+    Spark decorrelates the ORDER BY + LIMIT lateral into a window
+    rank-filter over one join — verify with .explain that no
+    nation-at-a-time re-execution survives; DuckDB runs the same SQL
+    natively.  The decorrelated plan is the scale story: one shuffle by
+    nation key, not 25 correlated scans."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql("""
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM _lat_nation n
+        JOIN LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM _lat_orders o JOIN _lat_customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 3
+        ) t
+    """)
