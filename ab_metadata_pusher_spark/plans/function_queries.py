@@ -310,3 +310,32 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("per_user"),
         F.lit("2024-13-45").try_cast("date").alias("bad_date"),
     )
+
+
+@register(
+    "scalar_regexp_funcs",
+    oracle="""
+SELECT event_id,
+       regexp_extract_all(props, '[0-9]+') AS digit_runs,
+       len(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+       regexp_matches(props, '"k": [0-9]{2}') AS has_2digit_k
+FROM events
+""",
+    covers=("G.fn.regexp",),
+)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family over the props JSON blob: extract-all (list
+    output), match-count, global replace (masking — the same primitive
+    the PII scrubber builds on), and boolean match.  Patterns stay in
+    the RE2 ∩ java.util.regex common subset so both engines agree;
+    all JVM-side codegen, no UDFs."""
+    ev = _t(spark, sf_dir, "events")
+    runs = F.regexp_extract_all("props", F.lit("[0-9]+"), 0)
+    return ev.select(
+        "event_id",
+        runs.alias("digit_runs"),
+        F.size(runs).alias("n_digit_runs"),
+        F.regexp_replace("props", "[0-9]+", "#").alias("masked"),
+        F.col("props").rlike('"k": [0-9]{2}').alias("has_2digit_k"),
+    )

@@ -1156,3 +1156,57 @@ def q_sample_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("n_chars").alias("min_chars"),
                  F.max("n_chars").alias("max_chars"),
                  F.round(F.avg("n_chars"), 2).alias("avg_chars")))
+
+
+@register(
+    "dedup_chunks",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         array_to_string(l[i.i*20+1 : i.i*20+20], ' ') AS chunk
+  FROM t, (SELECT unnest(generate_series(0, 63)) AS i) i
+  WHERE i.i*20 < len(l)
+),
+d AS (SELECT chunk, count(*) AS n FROM c GROUP BY chunk)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS dup_frac
+FROM c JOIN d USING (chunk)
+GROUP BY doc_id
+""",
+    covers=("G.dedup.paragraph",),
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph/line-level) exact dedup, CCNet-style: cut
+    each doc into fixed 20-token chunks, count identical chunks across
+    the WHOLE corpus, and report each doc's duplicated-chunk fraction —
+    the signal used to strip boilerplate lines from web corpora.
+
+    The fixture text has no newlines, so fixed-width token windows stand
+    in for paragraphs; the operator shape (chunk -> global count ->
+    re-join -> per-doc ratio) is identical.  At 100 TB: the chunk
+    explode is ~corpus-token-size but map-local; both the chunk count
+    and the count-back join shuffle hash-evenly on chunk text, and the
+    re-join can instead broadcast the duplicated-only subset (n > 1,
+    usually tiny) when boilerplate is sparse."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (docs.select("doc_id", X.tokens("text").alias("l"))
+         .filter(F.size("l") > 0))
+    n_last = F.floor((F.size("l") - 1) / 20).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_last),
+        lambda i: F.array_join(F.slice(F.col("l"), i * 20 + 1, F.lit(20)), " "))
+    c = t.select("doc_id", F.explode(chunks).alias("chunk"))
+    d = c.groupBy("chunk").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (c.join(d, "chunk")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(dup).alias("n_dup_chunks"),
+                 F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_frac")))

@@ -336,3 +336,39 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                .when(F.col("old_type") != F.col("new_type"), "type_changed"))
     return (joined.withColumn("status", status)
             .filter(F.col("status").isNotNull()))
+
+
+@register(
+    "metadata_graph_two_hop",
+    oracle=_GRAPH_PREFIX + """,
+p AS (
+  SELECT r1.start_label AS start_label, r1.start_key AS start_key,
+         r2.end_key AS end_key
+  FROM rels r1 JOIN rels r2
+    ON r1.end_key = r2.start_key AND r1.end_label = r2.start_label
+)
+SELECT start_label, start_key,
+       count(*) AS n_paths,
+       count(DISTINCT end_key) AS n_two_hop
+FROM p GROUP BY 1, 2
+""",
+    covers=("C2", "G.graph.twohop"),
+)
+def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reachability counts over the metadata graph: one edge-list
+    self-join (end -> start) + grouped count/distinct — e.g. a Schema
+    node's 2-hop set is every column/description under its tables.  At
+    graph scale the self-join shuffles the edge list twice on node key;
+    for power-law graphs pre-aggregate the high-degree hub side first
+    (the same skew playbook as operators/skew.py)."""
+    rels = to_relations(table_metadata(catalog_columns(spark, sf_dir)))
+    r1 = rels.select(F.col("start_label"), F.col("start_key"),
+                     F.col("end_label").alias("m_label"),
+                     F.col("end_key").alias("m_key"))
+    r2 = rels.select(F.col("start_label").alias("m_label"),
+                     F.col("start_key").alias("m_key"),
+                     F.col("end_key").alias("end_key"))
+    return (r1.join(r2, ["m_label", "m_key"])
+            .groupBy("start_label", "start_key")
+            .agg(F.count(F.lit(1)).alias("n_paths"),
+                 F.count_distinct("end_key").alias("n_two_hop")))

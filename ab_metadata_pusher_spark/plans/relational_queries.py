@@ -911,3 +911,67 @@ def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           LIMIT 3
         ) t
     """)
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH l AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderpriority END AS k,
+         count(*) AS n_left
+  FROM orders WHERE o_totalprice < 150000 GROUP BY 1
+),
+r AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderpriority END AS k,
+         count(*) AS n_right
+  FROM orders WHERE o_totalprice >= 150000 GROUP BY 1
+)
+SELECT l.k AS k, l.n_left, r.n_right
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+""",
+    covers=("G.join.null_safe",),
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping — required when a join key is a
+    legitimately-absent attribute (here: order priority nulled out for
+    in-progress orders).  Spark hashes the null bucket like any value,
+    so it stays a hash join (one shuffle per side on k), not a
+    cartesian fallback."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.when(F.col("o_orderstatus") == "P", F.lit(None)) \
+         .otherwise(F.col("o_orderpriority")).alias("k")
+    left = (o.filter(F.col("o_totalprice") < 150000)
+            .groupBy(k).agg(F.count(F.lit(1)).alias("n_left")).alias("l"))
+    right = (o.filter(F.col("o_totalprice") >= 150000)
+             .groupBy(k).agg(F.count(F.lit(1)).alias("n_right")).alias("r"))
+    return (left.join(right, F.col("l.k").eqNullSafe(F.col("r.k")))
+            .select(F.col("l.k").alias("k"), "n_left", "n_right"))
+
+
+@register(
+    "agg_regression",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    covers=("G.agg.regr",),
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept/R²/corr) — all
+    moment-based, so they reduce map-side to six partial sums per group
+    and merge exactly; one tiny shuffle at any data size."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (li.groupBy("l_returnflag").agg(
+        F.round(F.corr(y, x), 6).alias("corr_price_qty"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n")))

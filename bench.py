@@ -58,6 +58,7 @@ REGISTRY_BENCH = [
     "cohort_retention",
     "text_vocab",
     "embedding_kmeans",
+    "text_lm_score",
 ]
 
 
