@@ -1121,7 +1121,10 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c").alias("n"))
+    # total token count from the doc scan directly (sum of per-doc sizes)
+    # rather than re-aggregating the vocab subtree — one fewer explode and
+    # one fewer term-keyed shuffle in the physical plan.
+    total = docs.agg(F.sum(F.size(X.tokens("text"))).alias("n"))
     scored = toks.join(F.broadcast(vocab), "term").join(F.broadcast(total))
     return (scored.groupBy("doc_id")
             .agg(F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4)

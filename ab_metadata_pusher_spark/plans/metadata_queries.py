@@ -368,7 +368,7 @@ def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = rels.select(F.col("start_label").alias("m_label"),
                      F.col("start_key").alias("m_key"),
                      F.col("end_key").alias("end_key"))
-    return (r1.join(r2, ["m_label", "m_key"])
+    return (r1.join(F.broadcast(r2), ["m_label", "m_key"])
             .groupBy("start_label", "start_key")
             .agg(F.count(F.lit(1)).alias("n_paths"),
                  F.count_distinct("end_key").alias("n_two_hop")))

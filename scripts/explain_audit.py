@@ -30,7 +30,9 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      "similarity_topk_cosine", "dedup_embedding_cosine",
                      "join_range_bands", "dedup_simhash_pairs",
                      "similarity_ann_ivf", "text_tfidf_top_terms",
-                     "subquery_above_avg", "join_cross_regions"}
+                     "subquery_above_avg", "join_cross_regions",
+                     # 1-row corpus-total broadcast onto the token stream
+                     "text_lm_score"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -45,6 +47,9 @@ DEFAULT = [
     "funnel_steps", "cohort_retention", "window_range_1h", "agg_histogram",
     "agg_string_concat", "text_vocab", "text_bigrams", "embedding_kmeans",
     "metadata_graph_degree", "metadata_snapshot_diff",
+    "join_lateral_topk", "join_null_safe", "dedup_chunks", "text_lm_score",
+    "metadata_graph_two_hop", "agg_regression", "setop_intersect_all",
+    "agg_bool_bitwise", "sample_length_curriculum",
 ]
 
 
