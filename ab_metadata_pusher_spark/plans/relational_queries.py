@@ -975,3 +975,77 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.regr_count(y, x).alias("n")))
+
+
+@register(
+    "agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_quantity, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT l_returnflag, l_quantity, n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, l_quantity) AS rn
+  FROM c
+)
+SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+FROM r WHERE rn = 1
+""",
+    covers=("G.agg.mode",),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, ties -> smallest value):
+    value-count aggregate then a single argmax per group via max_by on a
+    (count, -value) struct — no window, no per-group sort.  Both phases
+    are map-side combinable; the oracle uses the explicit
+    row_number formulation because SQL mode() leaves ties undefined."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (li.groupBy("l_returnflag", "l_quantity")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (counts.groupBy("l_returnflag")
+            .agg(F.max_by("l_quantity",
+                          F.struct(F.col("n"), -F.col("l_quantity")))
+                  .alias("mode_qty"),
+                 F.max(F.struct(F.col("n"), -F.col("l_quantity")))
+                  .getField("n").alias("mode_count")))
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       round(last_value(v IGNORE NULLS) OVER w, 4) AS last_good_v,
+       round(first_value(v IGNORE NULLS) OVER w, 4) AS first_good_v,
+       round(nth_value(v, 2 IGNORE NULLS) OVER w, 4) AS second_good_v
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    covers=("G.window.ignore_nulls",),
+)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation (last/first/nth non-null seen so
+    far) over a sensor-style stream where error events carry no value —
+    the general form of LOCF.  Partitioned by user (high cardinality),
+    growing frame: per-row state is O(1) for first/last and O(k) for
+    nth, independent of partition size."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)) \
+         .otherwise(F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    e = ev.select("event_id", "user_id", "ts", v.alias("v"))
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("last_good_v"),
+        F.round(F.first("v", ignorenulls=True).over(w), 4)
+         .alias("first_good_v"),
+        F.round(F.nth_value("v", 2, ignoreNulls=True).over(w), 4)
+         .alias("second_good_v"))

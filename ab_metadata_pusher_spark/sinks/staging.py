@@ -81,6 +81,48 @@ class StagingArea:
         return spark.read.parquet(
             os.path.join(self._resolve(), "relationships"))
 
+    # -- interchange formats (ORC / JSON-lines) ----------------------------
+
+    _INTERCHANGE_FORMATS = ("orc", "json")
+
+    def write_interchange(self, nodes: DataFrame, relations: DataFrame,
+                          fmt: str = "json") -> None:
+        """Alternative staging encodings for downstream systems that can't
+        read parquet: ORC (self-describing columnar, types survive natively)
+        or JSON-lines (one record per line — the same record shape the SQS
+        envelope carries, aws_sqs_csv_puiblisher.py:157-159).  JSON is
+        schemaless on disk, so the engine schema is written to a
+        ``_engine_schema.json`` sidecar inside the directory (underscore
+        prefix: Spark readers ignore it as metadata, like ``_SUCCESS``)
+        and the read path restores the exact pre-staging schema from it."""
+        if fmt not in self._INTERCHANGE_FORMATS:
+            raise ValueError(f"unsupported interchange format: {fmt!r}")
+        for df, name in ((nodes, "nodes"), (relations, "relationships")):
+            path = os.path.join(self.base_dir, f"{name}_{fmt}")
+            df.write.mode("overwrite").format(fmt).save(path)
+            if fmt == "json":
+                sidecar = os.path.join(path, "_engine_schema.json")
+                with open(sidecar, "w", encoding="utf-8") as f:
+                    f.write(df.schema.json())
+
+    def _read_interchange(self, spark: SparkSession, name: str,
+                          fmt: str) -> DataFrame:
+        path = os.path.join(self.base_dir, f"{name}_{fmt}")
+        if fmt == "json":
+            sidecar = os.path.join(path, "_engine_schema.json")
+            with open(sidecar, encoding="utf-8") as f:
+                schema = T.StructType.fromJson(__import__("json").load(f))
+            return spark.read.schema(schema).json(path)
+        return spark.read.format(fmt).load(path)
+
+    def read_interchange_nodes(self, spark: SparkSession,
+                               fmt: str = "json") -> DataFrame:
+        return self._read_interchange(spark, "nodes", fmt)
+
+    def read_interchange_relations(self, spark: SparkSession,
+                                   fmt: str = "json") -> DataFrame:
+        return self._read_interchange(spark, "relationships", fmt)
+
     # -- legacy CSV mode (reference on-disk contract) ----------------------
 
     def write_legacy_csv(self, nodes: DataFrame, relations: DataFrame) -> None:

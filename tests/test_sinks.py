@@ -318,3 +318,32 @@ def test_staging_legacy_csv_restores_types(spark, sf_dir, tmp_path):
     rel_back = area.read_legacy_relations(spark)
     assert sorted(map(tuple, rel_back.collect())) == \
            sorted(map(tuple, relations.collect()))
+
+
+@pytest.mark.parametrize("fmt", ["orc", "json"])
+def test_staging_interchange_roundtrip(spark, sf_dir, tmp_path, fmt):
+    """ORC/JSON-lines interchange staging restores the exact engine schema
+    and row set (JSON via the _engine_schema.json sidecar)."""
+    nodes, relations = _graph(spark, sf_dir)
+    area = StagingArea(str(tmp_path / f"inter_{fmt}"))
+    area.write_interchange(nodes, relations, fmt=fmt)
+
+    # file-source reads are always nullable in Spark, so the lossless
+    # contract is (name, type) + values, not the nullability flags
+    def shape(df):
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
+    back = area.read_interchange_nodes(spark, fmt=fmt)
+    assert shape(back) == shape(nodes)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, nodes.collect()))
+    back_rel = area.read_interchange_relations(spark, fmt=fmt)
+    assert shape(back_rel) == shape(relations)
+    assert back_rel.count() == relations.count()
+
+
+def test_staging_interchange_rejects_unknown_format(spark, sf_dir, tmp_path):
+    nodes, relations = _graph(spark, sf_dir)
+    area = StagingArea(str(tmp_path / "inter_bad"))
+    with pytest.raises(ValueError, match="unsupported interchange"):
+        area.write_interchange(nodes, relations, fmt="avro")
