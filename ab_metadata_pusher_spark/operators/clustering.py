@@ -107,3 +107,41 @@ def kmeans_fit_assign(corpus: DataFrame, k: int = 8, iters: int = 1,
         assigned = assign_clusters(corpus, cents, id_col, emb_col)
         cents = update_centroids(corpus, assigned, id_col, emb_col)
     return assign_clusters(corpus, cents, id_col, emb_col)
+
+
+def pq_fit_assign(corpus: DataFrame, m: int = 4, k: int = 4,
+                  iters: int = 1, id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> DataFrame:
+    """Product quantization: split the d-dim embedding into ``m``
+    contiguous subspaces and run an independent k-means (same Lloyd
+    machinery as above) in each, returning one row per (vector,
+    subspace) with its assigned code and quantization error.
+
+    PQ is the storage-side half of large-scale ANN (IVF-PQ): m codes of
+    log2(k) bits replace d floats per vector.  Scale shape: each
+    subspace's assign pass is map-only over a sliced array (no shuffle),
+    each update shuffles (code, pos) scalar partials; the m subspace
+    plans are independent — they union without any cross-subspace
+    exchange, and the codebooks (m x k x d/m doubles) stay driver-sized
+    by construction."""
+    d = corpus.select(F.size(F.col(emb_col)).alias("d")).first()["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by {m} subspaces")
+    w = d // m
+    outs = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(emb_col), s * w + 1, w).alias("_sub"))
+        cents = seed_centroids(sub, k, id_col, "_sub")
+        for _ in range(iters):
+            assigned = assign_clusters(sub, cents, id_col, "_sub")
+            cents = update_centroids(sub, assigned, id_col, "_sub")
+        outs.append(assign_clusters(sub, cents, id_col, "_sub")
+                    .select(id_col, F.lit(s).alias("subspace"),
+                            F.col("cluster").alias("code"),
+                            F.col("dist").alias("qerr")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

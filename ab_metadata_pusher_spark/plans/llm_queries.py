@@ -1213,3 +1213,54 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_chunks"),
                  F.sum(dup).alias("n_dup_chunks"),
                  F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_frac")))
+
+
+@register(
+    "similarity_pq",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, s.s AS s, v[s.s*16+1 : s.s*16+16] AS sv
+  FROM e, (SELECT unnest(generate_series(0, 3)) AS s) s
+),
+c0 AS (SELECT s, vec_id AS code, sv AS cvec FROM sub WHERE vec_id < 4),
+a0 AS (
+  SELECT sub.vec_id, sub.s, c0.code,
+         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                            ORDER BY list_distance(sv, cvec), code) AS rn
+  FROM sub JOIN c0 ON sub.s = c0.s
+),
+m AS (
+  SELECT a0.s, a0.code, gs.pos, avg(sub.sv[gs.pos]) AS mv
+  FROM a0
+  JOIN sub ON a0.vec_id = sub.vec_id AND a0.s = sub.s
+  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS pos) gs
+  WHERE a0.rn = 1
+  GROUP BY a0.s, a0.code, gs.pos
+),
+c1 AS (SELECT s, code, list(mv ORDER BY pos) AS cvec FROM m GROUP BY s, code),
+a1 AS (
+  SELECT sub.vec_id, sub.s, c1.code, list_distance(sv, cvec) AS dist,
+         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                            ORDER BY list_distance(sv, cvec), code) AS rn
+  FROM sub JOIN c1 ON sub.s = c1.s
+)
+SELECT vec_id, s AS subspace, code, round(dist, 6) AS qerr
+FROM a1 WHERE rn = 1
+""",
+    covers=("G.similarity.pq",),
+)
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook fit + assignment (4 subspaces x 4
+    codes, one Lloyd iteration, seeded from vec_id<4) — the compression
+    half of IVF-PQ ANN indexing: 64 floats become 4 small codes.
+
+    Spark-first: per-subspace assignment is a map-only argmin fold over
+    a codebook literal on a sliced array (operators/clustering.py
+    pq_fit_assign); the oracle recomputes the identical fit in SQL via
+    cross join + row_number argmin — different algorithm, same result."""
+    from ab_metadata_pusher_spark.operators.clustering import pq_fit_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_fit_assign(e, m=4, k=4, iters=1) \
+        .withColumn("qerr", F.round("qerr", 6))
