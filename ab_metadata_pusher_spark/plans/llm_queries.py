@@ -314,8 +314,9 @@ FROM scored WHERE rank <= {k}
           covers=("G.similarity.ann",))
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 — the sub-linear scale path.
-    No oracle (approximate by construction); recall vs brute force is
-    asserted in tests/test_llm_operators.py."""
+    The oracle recomputes the same deterministic planes/buckets in SQL;
+    recall vs brute force is asserted in tests/test_llm_operators.py
+    and measured by the similarity_ann_recall query."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
@@ -1264,3 +1265,54 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return pq_fit_assign(e, m=4, k=4, iters=1) \
         .withColumn("qerr", F.round("qerr", 6))
+
+
+_BRUTE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                     neighbor_id) AS rank
+  FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank
+FROM scored WHERE rank <= 5
+"""
+
+
+@register(
+    "similarity_ann_recall",
+    oracle=f"""
+WITH brute AS (SELECT * FROM ({_BRUTE_TOPK_SQL}) tb),
+approx AS (SELECT * FROM ({_lsh_sql()}) ta)
+SELECT b.query_id,
+       round(count(a.neighbor_id) / 5.0, 4) AS recall_at_5
+FROM brute b
+LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+""",
+    covers=("G.similarity.recall",),
+)
+def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the hyperplane-LSH path against exact brute force —
+    the evaluation operator every ANN deployment needs before trusting
+    an index (tune n_planes/nprobe until recall clears target).
+
+    Both sides are the registry's own operators; at 100 TB recall is
+    estimated on a sampled query set (here: the 5 fixed queries), so the
+    brute-force side stays cheap no matter the corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    brute = S.topk_cosine_bruteforce(e, q, k=5)
+    approx = (S.ann_lsh_topk(e, q, k=5)
+              .select("query_id", "neighbor_id", F.lit(1).alias("hit")))
+    return (brute.select("query_id", "neighbor_id")
+            .join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.round(F.count("hit") / 5.0, 4).alias("recall_at_5")))
