@@ -146,6 +146,11 @@ def main() -> None:
     # touching the measured data
     reg["metadata_nodes"](spark, "/root/testdata/sf0.001") \
         .write.format("noop").mode("overwrite").save()
+    # sort-based aggregate shape (exact percentile / percentile_approx):
+    # its ObjectHashAggregate codegen is distinct from the hash-agg shapes
+    # above and measured ~3s of one-time JIT when first hit at full SF
+    reg["agg_percentiles"](spark, "/root/testdata/sf0.001") \
+        .write.format("noop").mode("overwrite").save()
 
     for name in REGISTRY_BENCH:
         run(name, lambda name=name: reg[name](spark, SF_DIR))
