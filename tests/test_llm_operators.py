@@ -184,3 +184,23 @@ def test_repetition_flags_degenerate_docs(spark):
     assert out[1].top_token_ratio == 1.0 and out[1].dup_bigram_ratio == 0.8889
     assert not out[1].rep_ok
     assert out[2].rep_ok and out[2].dup_bigram_ratio == 0.0
+
+
+def test_pq_fit_assign_contract(spark):
+    """PQ: m x corpus rows out, codes within [0, k), qerr >= 0, and a
+    non-divisible subspace split fails loudly."""
+    import pytest as _pytest
+
+    from ab_metadata_pusher_spark.operators.clustering import pq_fit_assign
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .filter("vec_id < 50")
+    out = pq_fit_assign(e, m=4, k=4, iters=1).collect()
+    assert len(out) == 50 * 4
+    assert all(0 <= r["code"] < 4 for r in out)
+    assert all(r["qerr"] >= 0.0 for r in out)
+    assert {r["subspace"] for r in out} == {0, 1, 2, 3}
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_fit_assign(e, m=7, k=4)
