@@ -279,3 +279,36 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 6,
         .select(F.col("a.sid").alias("sid_a"), F.col("b.sid").alias("sid_b"),
                 "hamming")
     )
+
+
+def lsh_verified_pairs(df: DataFrame, threshold: float,
+                       k: int = 16, bands: int = 4, n: int = 3) -> DataFrame:
+    """Candidate-then-verify near-dup pipeline: LSH banding proposes
+    pairs, exact n-gram Jaccard is computed ONLY on those pairs — the
+    production shape (LSH alone over-generates, exact-all-pairs is n²).
+
+    Scale: the verify intersection joins shingles restricted through the
+    candidate list, so its cost is sum over candidate pairs of |A|
+    shingles — proportional to true near-dup density, never corpus².
+    Output: sid_a, sid_b, jaccard (>= threshold).
+    """
+    cand = lsh_candidate_pairs(df, k, bands, n)
+    sh = doc_shingles(df, n)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    expanded = cand.join(
+        sh.select(F.col("sid").alias("sid_a"), "shingle"), "sid_a")
+    inter = (expanded.join(
+        sh.select(F.col("sid").alias("sid_b"), "shingle"),
+        ["sid_b", "shingle"])
+        .groupBy("sid_a", "sid_b")
+        .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("sid").alias("sid_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("sid").alias("sid_b"), F.col("n_sh").alias("nb"))
+    return (inter.join(sa, "sid_a").join(sb, "sid_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter")
+                                / (F.col("na") + F.col("nb")
+                                   - F.col("n_inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("sid_a", "sid_b", "jaccard"))

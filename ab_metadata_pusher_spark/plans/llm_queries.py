@@ -1316,3 +1316,33 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(approx, ["query_id", "neighbor_id"], "left")
             .groupBy("query_id")
             .agg(F.round(F.count("hit") / 5.0, 4).alias("recall_at_5")))
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle="WITH " + _CORPUS_CTE + "," + _SHINGLES_CTE + f""",
+cand AS (SELECT * FROM ({_minhash_sql()}) t),
+sizes AS (SELECT sid, count(*) AS n_sh FROM sh GROUP BY sid),
+inter AS (
+  SELECT c.sid_a, c.sid_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.sid = c.sid_a
+  JOIN sh b ON b.sid = c.sid_b AND b.shingle = a.shingle
+  GROUP BY c.sid_a, c.sid_b
+)
+SELECT i.sid_a, i.sid_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.sid = i.sid_a
+JOIN sizes sb ON sb.sid = i.sid_b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_T}
+""",
+    covers=("G.dedup.verify",),
+)
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup pipeline: MinHash-LSH candidate
+    generation followed by exact Jaccard verification restricted to the
+    candidate pairs (operators/dedup.py lsh_verified_pairs) — LSH alone
+    over-generates, exact-everything is corpus²; candidate-then-verify
+    is the shape that holds at 100 TB."""
+    return D.lsh_verified_pairs(_doc_corpus(spark, sf_dir), _JACCARD_T)
