@@ -106,3 +106,27 @@ def q_udtf_span_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.sentence, s.n_chars
         FROM _udtf_docs d, LATERAL sentence_split(d.text) s
     """)
+
+
+@register(
+    "posexplode_outer_runs",
+    oracle="""
+SELECT event_id, u.s.pos AS pos, u.s.run AS run
+FROM (SELECT event_id, regexp_extract_all(props, '[0-9]{2}') AS arr
+      FROM events) t
+LEFT JOIN LATERAL unnest(
+    list_transform(arr, (x, ix) -> {'pos': ix - 1, 'run': x})) AS u(s)
+  ON true
+""",
+    covers=("G.udtf.explode_outer",),
+)
+def q_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER generator semantics: rows whose array is empty survive with
+    NULL (pos, run) instead of disappearing — the difference between
+    explode and explode_outer matters whenever the exploded attribute is
+    optional (e.g. docs with zero images).  Same map-local Generate node
+    as inner explode, so the scale story is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.regexp_extract_all("props", F.lit("[0-9]{2}"), 0)
+    return ev.select("event_id",
+                     F.posexplode_outer(arr).alias("pos", "run"))
