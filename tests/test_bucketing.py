@@ -89,3 +89,37 @@ def test_range_clustered_layout_prunes(spark, sf_dir, tmp_path):
         plan_df.explain("formatted")
     assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey" \
         in buf.getvalue()
+
+
+def test_zordered_layout_prunes_on_both_keys(spark, sf_dir, tmp_path):
+    """write_zordered must let footer min/max stats skip files for
+    predicates on EITHER key — the property single-key range clustering
+    cannot provide for the second key."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.sinks.layout import (
+        file_key_ranges, write_clustered, write_zordered,
+    )
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    zpath = str(tmp_path / "orders_z")
+    write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], n_files=8)
+
+    def overlapping(path, key, value):
+        ranges = file_key_ranges(spark, path, key).collect()
+        assert len(ranges) == 8
+        return sum(1 for r in ranges if r["key_min"] <= value <= r["key_max"])
+
+    mid = orders.agg(F.expr("percentile(o_custkey, 0.5)")).first()[0]
+    midp = orders.agg(F.expr("percentile(o_totalprice, 0.5)")).first()[0]
+
+    # z-order: point predicates on BOTH dimensions skip files
+    assert overlapping(zpath, "o_custkey", mid) < 8
+    assert overlapping(zpath, "o_totalprice", midp) < 8
+
+    # single-key clustering: prunes its own key, NOT the second one
+    cpath = str(tmp_path / "orders_c")
+    write_clustered(orders, cpath, "o_custkey", n_files=8)
+    assert overlapping(cpath, "o_custkey", mid) < 8
+    assert overlapping(cpath, "o_totalprice", midp) == 8
