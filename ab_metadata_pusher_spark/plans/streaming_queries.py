@@ -235,3 +235,36 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.run_to_memory(
         E.stateful_funnel(E.events_stream(spark, sf_dir)),
         output_mode="update")
+
+
+@register(
+    "stream_quality_filter",
+    oracle="""
+SELECT doc_id, len(toks) AS n_tokens,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 4) AS alpha_ratio
+FROM (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents)
+WHERE len(toks) BETWEEN 10 AND 1000
+  AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+      / greatest(length(text), 1) >= 0.5
+""",
+    covers=("G.stream.quality",),
+)
+def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest quality gate: the arriving document stream is
+    scored (token count, alpha ratio — operators/text.py) and low-quality
+    docs are dropped before they ever reach storage — together with
+    stream_ingest_dedup this is the front door of a streaming corpus
+    pipeline.  Stateless map+filter per micro-batch: no watermark, no
+    state store, scales with batch size only."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators import text as X
+
+    scored = X.quality_features(E.documents_stream(spark, sf_dir))
+    return E.run_to_memory(
+        scored.filter(F.col("len_ok") & (F.col("alpha_ratio") >= 0.5))
+              .select("doc_id", "n_tokens", "alpha_ratio"),
+        output_mode="append")
