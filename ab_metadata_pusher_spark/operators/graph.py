@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "table_key", "column_key", "to_nodes", "to_relations",
-    "NODE_COLUMNS", "RELATION_COLUMNS",
+    "NODE_COLUMNS", "RELATION_COLUMNS", "pagerank",
 ]
 
 NODE_COLUMNS = ("label", "key", "name", "description", "col_type",
@@ -217,3 +217,52 @@ def graph_components(relations: DataFrame) -> DataFrame:
     # unpersist after materializing.
     return (id_map.join(labels, "id").join(roots, "label")
             .select("node_key", "component_key"))
+
+
+def pagerank(relations: DataFrame, iters: int = 3,
+             damping: float = 0.85,
+             broadcast_ranks: bool = True) -> DataFrame:
+    """Fixed-iteration PageRank over a relations frame (start_key ->
+    end_key directed edges): ``pr'(v) = (1-d)/N + d * sum_{u->v}
+    pr(u)/out_deg(u)``, starting uniform at 1/N.  Dangling-node mass
+    (Description nodes have no out-edges) intentionally leaks — the
+    contract is the plain power-iteration step, identical on any engine,
+    so a fixed iteration count is exactly reproducible.
+
+    Each iteration is ONE shuffle: join current ranks to the out-degree-
+    annotated edge list (reused across iterations, so it is persisted)
+    and re-aggregate by destination; the left join back to the vertex
+    set keeps zero-in-degree nodes at the teleport floor.  N comes from
+    a driver-side count — the vertex set of a metadata graph is
+    catalog-sized.
+
+    ``broadcast_ranks=True`` (default) hints the rank/contribution side
+    of every join: a metadata graph's vertex frame is KB-sized, and the
+    hint turns 3 iterations of sort-merge-join chains into map-side
+    broadcast joins against the one persisted edge list.  For web-scale
+    graphs pass False (ranks no longer fit in one executor) and
+    checkpoint every few iterations to truncate lineage.
+    """
+    edges = relations.select(F.col("start_key").alias("src"),
+                             F.col("end_key").alias("dst"))
+    nodes = (edges.select(F.col("src").alias("node_key"))
+             .unionByName(edges.select(F.col("dst").alias("node_key")))
+             .distinct())
+    hint = F.broadcast if broadcast_ranks else (lambda df: df)
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e = edges.join(hint(out_deg), "src").persist()
+    nodes.persist()
+    n = nodes.count()
+    teleport = F.lit((1.0 - damping) / n)
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (e.join(hint(pr), e.src == pr.node_key)
+                    .select(F.col("dst").alias("node_key"),
+                            (F.col("pr") / F.col("out_deg")).alias("c"))
+                    .groupBy("node_key")
+                    .agg(F.sum("c").alias("in_mass")))
+        pr = (nodes.join(hint(contribs), "node_key", "left")
+              .select("node_key",
+                      (teleport + F.lit(damping)
+                       * F.coalesce("in_mass", F.lit(0.0))).alias("pr")))
+    return pr.select("node_key", F.round("pr", 6).alias("pagerank"))

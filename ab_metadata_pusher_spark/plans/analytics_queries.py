@@ -235,3 +235,43 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("tf").desc(), "term")
     return vocab.select("term", "tf", "df",
                         (F.row_number().over(w) - 1).alias("token_id"))
+
+
+@register(
+    "window_gap_islands",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS grp
+  FROM events)
+SELECT user_id, event_type,
+       min(ts) AS island_start, max(ts) AS island_end,
+       count(*) AS run_len
+FROM r GROUP BY user_id, event_type, grp
+""",
+    covers=("G.window.islands",),
+)
+def q_window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE same-type events per
+    user (e.g. "5 views in a row before the first click") via the classic
+    difference-of-row-numbers trick — two window passes and a group-by,
+    no self-join, no iteration.
+
+    Measured plan (scripts/explain_audit.py): ONE exchange total —
+    hash-partitioning by user_id satisfies the clustered distribution of
+    BOTH windows (the second clusters on a superset key) and of the final
+    aggregate, so the two sorts and the group-by all reuse the first
+    shuffle, vs. the O(n^2) self-join naive formulation."""
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    grp = (F.row_number().over(w_all)
+           - F.row_number().over(w_typ)).alias("grp")
+    return (ev.select("user_id", "event_type", "ts", "event_id", grp)
+            .groupBy("user_id", "event_type", "grp")
+            .agg(F.min("ts").alias("island_start"),
+                 F.max("ts").alias("island_end"),
+                 F.count(F.lit(1)).alias("run_len"))
+            .drop("grp"))

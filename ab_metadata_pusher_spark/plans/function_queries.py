@@ -339,3 +339,35 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("props", "[0-9]+", "#").alias("masked"),
         F.col("props").rlike('"k": [0-9]{2}').alias("has_2digit_k"),
     )
+
+
+@register(
+    "scalar_variant_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       CAST(NULL AS INTEGER) AS missing_int,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
+FROM events
+""",
+    covers=("G.fn.variant",),
+)
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    parse_json once into a binary-encoded variant, then typed path
+    extraction with variant_get / try_variant_get — the open-schema
+    answer to from_json-with-a-fixed-schema when event properties drift.
+
+    Scale rationale: variant parse happens ONCE per row into a columnar
+    binary encoding; every downstream path access is a cheap typed probe
+    (no re-parse, no string round-trip), which is the difference between
+    O(paths) JSON parses and O(1) at 100 TB.  The oracle reads the same
+    paths with DuckDB's JSON extraction — typed results must agree
+    exactly; the variant encoding itself never leaves the plan."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
+        (F.variant_get(v, "$.k", "int") % 10).alias("k_mod"))

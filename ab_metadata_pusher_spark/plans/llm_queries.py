@@ -1346,3 +1346,154 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-generates, exact-everything is corpus²; candidate-then-verify
     is the shape that holds at 100 TB."""
     return D.lsh_verified_pairs(_doc_corpus(spark, sf_dir), _JACCARD_T)
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+SELECT doc_id, n_chars_used, round(ent, 4) AS char_entropy
+FROM (
+  SELECT doc_id, len(cs) AS n_chars_used,
+         -list_sum(list_transform(list_distinct(cs), c ->
+            (len(list_filter(cs, x -> x = c)) * 1.0 / len(cs))
+            * log2(len(list_filter(cs, x -> x = c)) * 1.0 / len(cs)))) AS ent
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ''), x -> x <> '') AS cs
+        FROM documents)
+  WHERE len(cs) > 0)
+""",
+    covers=("G.text.entropy",),
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the cheapest
+    gibberish/boilerplate detector in a corpus quality stack (random
+    bytes score high, repeated padding scores near zero; natural text
+    sits ~4 bits/char).
+
+    Entirely JVM-side higher-order functions: split-to-chars, then for
+    each DISTINCT char count its occurrences with F.filter and fold
+    -p*log2(p) with F.aggregate — no explode, no shuffle, no Python.
+    O(len * alphabet) per doc stays cheap because natural-text alphabets
+    are tiny (~70 symbols); for megabyte documents switch to the
+    explode + two-level groupBy histogram, which trades the quadratic
+    term for one shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    cs = F.filter(F.split("text", ""), lambda x: x != "")
+    n = F.size(cs).cast("double")
+    ent = -F.aggregate(
+        F.array_distinct(cs), F.lit(0.0),
+        lambda acc, c: acc + _plogp(F.size(F.filter(cs, lambda x: x == c)), n))
+    return (d.select("doc_id", F.size(cs).alias("n_chars_used"),
+                     F.round(ent, 4).alias("char_entropy"))
+            .filter(F.col("n_chars_used") > 0))
+
+
+def _plogp(cnt, n):
+    p = cnt.cast("double") / n
+    return p * F.log2(p)
+
+
+@register(
+    "sample_temperature",
+    oracle="""
+WITH s AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+           FROM documents GROUP BY source)
+SELECT source, n_docs, total_chars,
+       round(sqrt(total_chars) / sum(sqrt(total_chars)) OVER (), 6) AS weight,
+       round(sqrt(total_chars) / sum(sqrt(total_chars)) OVER ()
+             * sum(n_docs) OVER (), 2) AS target_docs
+FROM s
+""",
+    covers=("G.sample.temperature",),
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced domain mixture (the multilingual-sampling
+    trick from the XLM-R / mT5 papers): domain weight ∝ size^(1/T) with
+    T=2, so small domains are up-weighted relative to proportional
+    sampling and no domain dominates.  Emits the per-source weight and
+    the implied document budget a sampler downstream would draw.
+
+    One aggregation to domain granularity (map-side combinable), then
+    the normalisation runs over the DOMAIN frame — thousands of rows at
+    worst, so the empty-frame window (one partition) is free; the 100 TB
+    input is touched exactly once."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"))
+    w = Window.partitionBy()
+    raw = F.sqrt("total_chars")
+    weight = raw / F.sum(raw).over(w)
+    return s.select(
+        "source", "n_docs", "total_chars",
+        F.round(weight, 6).alias("weight"),
+        F.round(weight * F.sum("n_docs").over(w), 2).alias("target_docs"))
+
+
+@register(
+    "dedup_keep_best",
+    oracle="WITH RECURSIVE " + _CORPUS_CTE + f""",
+keys AS (
+  SELECT doc_id, md5(text) AS k1, {_MIN_SHINGLE_SQL} AS k2
+  FROM {_FPRINT_SQL}
+),
+e1 AS (SELECT r.src, k.doc_id AS dst
+       FROM keys k JOIN (SELECT k1, min(doc_id) AS src
+                         FROM keys GROUP BY k1) r USING (k1)
+       WHERE k.doc_id <> r.src),
+e2 AS (SELECT r.src, k.doc_id AS dst
+       FROM keys k JOIN (SELECT k2, min(doc_id) AS src
+                         FROM keys GROUP BY k2) r USING (k2)
+       WHERE k.doc_id <> r.src),
+edges AS (SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2),
+bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM keys
+  UNION
+  SELECT b.dst, r.root FROM reach r JOIN bidir b ON b.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id),
+nt AS (SELECT doc_id, len({_TOKS}) AS n_toks FROM corpus),
+ranked AS (
+  SELECT cc.doc_id, cc.cluster_id, nt.n_toks,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY nt.n_toks DESC, cc.doc_id) AS rn
+  FROM cc JOIN nt USING (doc_id))
+SELECT cluster_id, doc_id AS kept_id, n_toks, cluster_size
+FROM ranked WHERE rn = 1
+""",
+    covers=("G.dedup.keep_best",),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: per duplicate CLUSTER (the
+    connected components of dedup_clusters), keep the copy with the most
+    tokens (ties to the smallest id) instead of an arbitrary first — how
+    production corpus dedup picks the least-truncated variant of a near-
+    dup family.
+
+    Composition of two already-verified stages (cluster labels + token
+    counts) plus one window rank per cluster; cluster frames carry
+    (id, label, count) only, so the extra cost over plain clustering is
+    one narrow join and a per-cluster top-1 — bounded by cluster size,
+    which the LSH banding keeps small by construction."""
+    from pyspark.sql import Window
+
+    corpus = _doc_corpus(spark, sf_dir)
+    keys = X.fingerprint(corpus).select(
+        "doc_id", F.col("md5_full").alias("k1"),
+        F.col("min_shingle_hash").alias("k2"))
+    labels = D.cluster_labels(keys, ["k1", "k2"]).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    ntoks = corpus.select("doc_id", F.size(X.tokens("text")).alias("n_toks"))
+    w = Window.partitionBy("cluster_id")
+    rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_toks"), F.asc("doc_id"))
+    return (labels.join(ntoks, "doc_id")
+            .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+            .withColumn("rn", F.row_number().over(rank))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("kept_id"),
+                    "n_toks", "cluster_size"))

@@ -14,7 +14,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ab_metadata_pusher_spark.operators.graph import to_nodes, to_relations
+from ab_metadata_pusher_spark.operators.graph import (
+    pagerank, to_nodes, to_relations,
+)
 from ab_metadata_pusher_spark.operators.metadata import table_metadata
 from ab_metadata_pusher_spark.plans.registry import register
 from ab_metadata_pusher_spark.sources.catalog import (
@@ -372,3 +374,42 @@ def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("start_label", "start_key")
             .agg(F.count(F.lit(1)).alias("n_paths"),
                  F.count_distinct("end_key").alias("n_two_hop")))
+
+
+_PR_STEP = """
+SELECT nodes.k,
+       0.15 / (SELECT n FROM nn)
+       + 0.85 * coalesce(sum({prev}.pr / od.out_deg), 0) AS pr
+FROM nodes
+LEFT JOIN rels ON rels.end_key = nodes.k
+LEFT JOIN {prev} ON {prev}.k = rels.start_key
+LEFT JOIN od ON od.k = rels.start_key
+GROUP BY nodes.k
+"""
+
+
+@register(
+    "metadata_graph_pagerank",
+    oracle=_GRAPH_PREFIX + """,
+nodes AS (SELECT start_key AS k FROM rels UNION SELECT end_key FROM rels),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT start_key AS k, count(*) AS out_deg FROM rels GROUP BY 1),
+p0 AS (SELECT k, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+p1 AS (""" + _PR_STEP.format(prev="p0") + """),
+p2 AS (""" + _PR_STEP.format(prev="p1") + """),
+p3 AS (""" + _PR_STEP.format(prev="p2") + """)
+SELECT k AS node_key, round(pr, 6) AS pagerank FROM p3
+""",
+    covers=("C2", "G.graph.pagerank"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node importance over the generated metadata graph: three power
+    iterations of PageRank (operators/graph.py pagerank).  Edges point
+    Table->Column->Description, so rank flows into the leaves while the
+    teleport floor keeps the Table sources nonzero.  A fixed iteration
+    count (not convergence-to-epsilon) is the contract, so the DuckDB
+    oracle can unroll the SAME three steps as chained CTEs and the value
+    hashes must agree — a genuinely iterative distributed algorithm
+    checked value-for-value against a non-iterative engine."""
+    return pagerank(
+        to_relations(table_metadata(catalog_columns(spark, sf_dir))))

@@ -1049,3 +1049,72 @@ def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("first_good_v"),
         F.round(F.nth_value("v", 2, ignoreNulls=True).over(w), 4)
          .alias("second_good_v"))
+
+
+@register(
+    "subquery_not_in",
+    oracle="""
+SELECT o_orderkey, nullif(o_custkey, 7) AS cust
+FROM orders
+WHERE nullif(o_custkey, 7) NOT IN
+      (SELECT c_custkey FROM customer WHERE c_acctbal < 100)
+""",
+    covers=("G.subquery.not_in",),
+)
+def q_subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a nullable outer column — SQL's three-valued-logic
+    trap: ``NULL NOT IN (...)`` is NULL, so rows whose probe key is NULL
+    must be DROPPED, where a naive left-anti join would keep them (NULL
+    matches nothing, so anti-join retains the row).  The nullif()
+    synthesizes NULL probes the fixtures don't have.
+
+    Expressed as real SQL so Catalyst plans its null-aware anti join
+    rather than a hand-rolled join+filter; the oracle runs the identical
+    predicate.  At scale this stays a broadcast anti join while the
+    subquery side is provably small; if the subquery side could contain
+    NULLs, Spark falls back to a non-splittable single-key lookup — the
+    docstring-level moral is to add an IS NOT NULL guard on the subquery
+    column whenever the schema allows it."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_ni_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_ni_customer")
+    return spark.sql("""
+        SELECT o_orderkey, nullif(o_custkey, 7) AS cust
+        FROM _ni_orders
+        WHERE nullif(o_custkey, 7) NOT IN
+              (SELECT c_custkey FROM _ni_customer WHERE c_acctbal < 100)
+    """)
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       count(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+       round(sum(l_extendedprice) FILTER (WHERE year(l_shipdate) = 1995), 2)
+           AS rev_1995,
+       round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4)
+           AS avg_qty_f
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    covers=("G.agg.filtered",),
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause): four differently-
+    predicated aggregates in ONE pass over the fact table — the
+    dashboard-query staple that would otherwise be four scans or a
+    pre-pivot.  Spark spells it count_if / aggregate-over-CASE; both
+    compile to the same partial-aggregable expressions, so the shuffle
+    carries one row per (group, 4 accumulators) and map-side combine
+    does the heavy lifting regardless of group skew."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+        F.round(F.sum(F.when(F.year("l_shipdate") == 1995,
+                             F.col("l_extendedprice"))), 2)
+         .alias("rev_1995"),
+        F.round(F.avg(F.when(F.col("l_linestatus") == "F",
+                             F.col("l_quantity"))), 4)
+         .alias("avg_qty_f")))

@@ -268,3 +268,41 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("len_ok") & (F.col("alpha_ratio") >= 0.5))
               .select("doc_id", "n_tokens", "alpha_ratio"),
         output_mode="append")
+
+
+@register(
+    "stream_ohlc",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '15 minutes', {_EVENTS_TS}) AS win_start,
+       event_type,
+       round(arg_min(value, ts), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(arg_max(value, ts), 4) AS close,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    covers=("G.stream.ohlc",),
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candlesticks: the batch rollup_ohlc semantics as a
+    watermarked tumbling-window aggregate — min_by/max_by are ordinary
+    declarative aggregates, so the SAME open/high/low/close expressions
+    run incrementally per micro-batch with (ts, value) pairs as the only
+    window state.  Late data beyond the watermark is dropped instead of
+    reopening closed candles — the streaming-correctness tradeoff the
+    batch rollup never has to make."""
+    from pyspark.sql import functions as F
+
+    ev = E.events_stream(spark, sf_dir)
+    agg = (ev.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+           .agg(F.round(F.min_by("value", "ts"), 4).alias("open"),
+                F.round(F.max("value"), 4).alias("high"),
+                F.round(F.min("value"), 4).alias("low"),
+                F.round(F.max_by("value", "ts"), 4).alias("close"),
+                F.count(F.lit(1)).alias("n_events"))
+           .select(F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+                   "event_type", "open", "high", "low", "close", "n_events"))
+    return E.run_to_memory(agg)

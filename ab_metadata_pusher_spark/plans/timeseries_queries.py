@@ -266,3 +266,44 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "user_id", "bucket_ts",
         (F.floor(interp * 10000) / 10000).alias("interp_value"))
+
+
+@register(
+    "rollup_ohlc",
+    oracle="""
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_1d,
+       round(arg_min(value, ts), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(arg_max(value, ts), 4) AS close,
+       count(*) AS n_events,
+       round(sum(value), 4) AS volume
+FROM events
+GROUP BY 1, 2
+""",
+    covers=("G.rollup.ohlc",),
+)
+def q_rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (event_type, day) — the canonical
+    hypertable downsample (TimescaleDB's ohlc/candlestick_agg shape):
+    open/close are the first/last value BY TIME, not by value, via
+    min_by/max_by, fused with high/low/count/volume into one aggregate
+    pass.
+
+    One shuffle on (event_type, day); every function here has a partial
+    (min_by carries one (ts, value) pair per group per mapper), so the
+    map side reduces ~events/bucket-fold before the exchange.  At 100 TB
+    with time-partitioned input, partition pruning cuts the scan to the
+    requested range and AQE coalesces the post-agg output; bars per
+    (type, day) are bounded, so no skew handling is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    # date_trunc yields LTZ even on NTZ input; cast back (identity under
+    # the UTC session conf load_table pins)
+    bucket = F.date_trunc("day", "ts").cast("timestamp_ntz")
+    return (ev.groupBy("event_type", bucket.alias("bucket_1d"))
+            .agg(F.round(F.min_by("value", "ts"), 4).alias("open"),
+                 F.round(F.max("value"), 4).alias("high"),
+                 F.round(F.min("value"), 4).alias("low"),
+                 F.round(F.max_by("value", "ts"), 4).alias("close"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("volume")))

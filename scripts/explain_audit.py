@@ -50,6 +50,9 @@ DEFAULT = [
     "join_lateral_topk", "join_null_safe", "dedup_chunks", "text_lm_score",
     "metadata_graph_two_hop", "agg_regression", "setop_intersect_all",
     "agg_bool_bitwise", "sample_length_curriculum",
+    "rollup_ohlc", "text_char_entropy", "sample_temperature",
+    "metadata_graph_pagerank", "subquery_not_in", "agg_filtered",
+    "window_gap_islands", "dedup_keep_best",
 ]
 
 

@@ -123,3 +123,37 @@ def test_zordered_layout_prunes_on_both_keys(spark, sf_dir, tmp_path):
     write_clustered(orders, cpath, "o_custkey", n_files=8)
     assert overlapping(cpath, "o_custkey", mid) < 8
     assert overlapping(cpath, "o_totalprice", midp) == 8
+
+
+def test_dynamic_partition_pruning_on_staged_events(spark, sf_dir, tmp_path):
+    """A fact table partitioned by a derived day column, joined to a
+    filtered dim, must plan a dynamicpruning subquery on the partition
+    column — Spark's runtime answer to 'only read the partitions the dim
+    filter selects', which at 100 TB is the difference between scanning
+    one day and scanning three years."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    # the dim must be a real scan with a non-foldable filter: a filter on
+    # a LocalRelation constant-folds away, and without a selective
+    # predicate node the DPP rule declines to insert the subquery
+    dimpath = str(tmp_path / "dim_days")
+    (ev.select("day").distinct()
+     .withColumn("rank", F.dense_rank().over(Window.orderBy("day")))
+     .write.mode("overwrite").parquet(dimpath))
+
+    fact = spark.read.parquet(path)
+    dim = spark.read.parquet(dimpath).filter(F.col("rank") == 1)
+    joined = fact.join(dim, "day")
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), \
+        "expected a dynamic-partition-pruning subquery:\n" + plan
+    assert joined.select("day").distinct().count() == 1

@@ -204,3 +204,23 @@ def test_pq_fit_assign_contract(spark):
 
     with _pytest.raises(ValueError, match="not divisible"):
         pq_fit_assign(e, m=7, k=4)
+
+
+def test_pagerank_hand_computed_star(spark):
+    """Three iterations on a 3-node star a->b, a->c must equal the
+    hand-computed power iteration: after the first step a stays at the
+    teleport floor, so b and c are floor + d * (floor-propagated a)/2
+    thereafter; dangling mass (b, c have no out-edges) leaks by design."""
+    from ab_metadata_pusher_spark.operators.graph import pagerank
+
+    rels = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "start_key string, end_key string")
+    got = {r.node_key: r.pagerank for r in pagerank(rels).collect()}
+    n, d = 3, 0.85
+    floor = (1 - d) / n
+    pr_a = 1 / n
+    for _ in range(3):
+        pr_b = floor + d * pr_a / 2
+        pr_a = floor
+    expect = {"a": round(floor, 6), "b": round(pr_b, 6), "c": round(pr_b, 6)}
+    assert got == expect
