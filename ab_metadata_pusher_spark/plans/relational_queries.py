@@ -1118,3 +1118,112 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(F.col("l_linestatus") == "F",
                              F.col("l_quantity"))), 4)
          .alias("avg_qty_f")))
+
+
+_BIN_W = 50_000  # bin width for the binned range join (divides every band edge)
+
+
+@register(
+    "join_range_binned",
+    oracle="WITH " + _BANDS_CTE + """
+SELECT b.band, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""",
+    covers=("G.join.range.binned",),
+)
+def q_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHUFFLE-scalable range join: explode each interval into the
+    fixed-width bins it covers, equi-join point-side bin to interval-side
+    bin, re-check the exact predicate, aggregate.  Same result as
+    join_range_bands (the oracle is identical), different physical
+    strategy: a hash join on the bin key instead of a broadcast nested
+    loop — the form that survives when the interval table is itself too
+    big to broadcast (the Databricks range-join-hint trick, expressed as
+    a plain composition).
+
+    Cost: interval side inflates by (span / bin_width) rows — pick the
+    width near the median interval span so most intervals land in O(1)
+    bins; the point side computes one integer bin, and the join is an
+    ordinary shuffled (or AQE-broadcast, as here) equi-join that salts,
+    prunes and skew-splits like any other."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "lo long, hi long, band string")
+    binned_bands = bands.select(
+        "lo", "hi", "band",
+        F.explode(F.sequence(
+            (F.col("lo") / _BIN_W).cast("long"),
+            ((F.col("hi") - 1) / _BIN_W).cast("long"))).alias("bin"))
+    pts = o.select("o_totalprice",
+                   (F.col("o_totalprice") / _BIN_W).cast("long").alias("bin"))
+    return (pts.join(binned_bands, "bin")
+            .filter((F.col("o_totalprice") >= F.col("lo"))
+                    & (F.col("o_totalprice") < F.col("hi")))
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+@register(
+    "window_moving_median",
+    oracle="""
+SELECT user_id, ts,
+       round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+           AS med5
+FROM events
+""",
+    covers=("G.window.median",),
+)
+def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median (5-row lookback per user) — the robust-smoothing
+    window Spark has no native frame function for: composed as
+    sort_array(collect_list) over the frame + order-statistic pick,
+    handling odd/even frames with the ceil/floor+1 midpoint average.
+    The oracle uses DuckDB's NATIVE median-over-frame — two different
+    algorithms, same values.
+
+    The composed form carries the frame contents (bounded: 5 values) per
+    row, so state is O(frame), exactly like any built-in frame aggregate;
+    at 100 TB it shuffles once on user_id like every other window here.
+    A Pandas UDAF would be the escape hatch for large frames."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, Window.currentRow))
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.ceil(n / 2).cast("int")              # upper median index (1-based)
+    hi = (F.floor(n / 2) + 1).cast("int")       # lower median index (1-based)
+    med = (F.element_at(arr, lo) + F.element_at(arr, hi)) / 2
+    return ev.select("user_id", "ts", F.round(med, 4).alias("med5"))
+
+
+@register(
+    "setop_union_evolve",
+    oracle="""
+SELECT event_id, user_id, source, value FROM (
+  SELECT event_id, user_id, 'v1' AS source
+  FROM events WHERE event_id % 3 = 0
+  UNION ALL BY NAME
+  SELECT event_id, user_id, value, 'v2' AS source
+  FROM events WHERE event_id % 3 = 1)
+""",
+    covers=("G.setop.evolve",),
+)
+def q_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: v1 rows predate the `value` column, v2
+    rows carry it — `unionByName(allowMissingColumns=True)` aligns by
+    NAME and null-fills the missing column (DuckDB's UNION ALL BY NAME),
+    where positional UNION would silently mis-bind columns.  The daily
+    reality of long-lived event streams: readers must union epochs of
+    the schema, and name-based alignment is the only shape that stays
+    correct as columns accrete.  Pure narrow op — no shuffle; the union
+    is a scan-concat."""
+    ev = _t(spark, sf_dir, "events")
+    v1 = (ev.filter(F.col("event_id") % 3 == 0)
+          .select("event_id", "user_id", F.lit("v1").alias("source")))
+    v2 = (ev.filter(F.col("event_id") % 3 == 1)
+          .select("event_id", "user_id", "value", F.lit("v2").alias("source")))
+    return v1.unionByName(v2, allowMissingColumns=True)

@@ -39,6 +39,9 @@ STATIC = [
      "tests/test_sinks.py test_staging_legacy_csv_contract"),
     ("A7", "BigQuery source (reference roadmap)",
      "sources/bigquery.py BigQueryCatalogSource", "tests/test_sources.py"),
+    ("A8", "Envelope read-back as a Python Data Source (partition/file)",
+     "sources/envelope_source.py EnvelopeDataSource",
+     "tests/test_sources.py test_envelope_datasource_roundtrip"),
     ("C1", "Transform hook (noop default)",
      "pipeline.py Pipeline.transform", "tests/test_sinks.py"),
     ("D1", "Graph staging writer (parquet canonical + legacy CSV)",
@@ -54,6 +57,9 @@ STATIC = [
     ("D4", "ORC / JSON-lines interchange staging (schema-sidecar round-trip)",
      "sinks/staging.py write_interchange/read_interchange_*",
      "tests/test_sinks.py test_staging_interchange_roundtrip"),
+    ("D5", "Dynamic partition pruning over day-partitioned staging",
+     "(Spark built-in, proven: filtered dim join plans a dynamicpruning subquery)",
+     "tests/test_bucketing.py test_dynamic_partition_pruning_on_staged_events"),
     ("E1", "Record union nodes-then-relations",
      "sinks/envelope.py pack_envelopes ordering", "tests/test_sinks.py"),
     ("E2", "JSON envelope assembly",

@@ -50,3 +50,47 @@ def test_pipeline_transform_hook(spark, sf_dir, tmp_path):
     assert res.succeeded and res.staged
     names = [r["name"] for r in p.staging.read_nodes(spark).collect()]
     assert names and all(n == n.upper() for n in names)
+
+
+def test_envelope_datasource_roundtrip(spark, sf_dir, tmp_path):
+    """Publish-side envelopes read back through the custom Python data
+    source must reproduce every node/relation record, with one input
+    partition per envelope file (the queue-drain parallelism contract)."""
+    import json
+
+    from ab_metadata_pusher_spark.operators.graph import to_nodes, to_relations
+    from ab_metadata_pusher_spark.operators.metadata import table_metadata
+    from ab_metadata_pusher_spark.sinks.envelope import pack_envelopes
+    from ab_metadata_pusher_spark.sources.catalog import catalog_columns
+    from ab_metadata_pusher_spark.sources.envelope_source import (
+        EnvelopeDataSource,
+    )
+
+    tm = table_metadata(catalog_columns(spark, sf_dir))
+    nodes, rels = to_nodes(tm), to_relations(tm)
+    node_recs = [r.asDict() for r in nodes.collect()]
+    rel_recs = [r.asDict() for r in rels.collect()]
+
+    # small max_bytes forces several chunks -> several files/partitions
+    bodies = list(pack_envelopes(node_recs, rel_recs, tag="t1",
+                                 max_bytes=4096))
+    assert len(bodies) > 1
+    for i, body in enumerate(bodies):
+        (tmp_path / f"chunk_{i:04d}.json").write_text(body)
+
+    spark.dataSource.register(EnvelopeDataSource)
+    df = (spark.read.format("metadata_envelope")
+          .option("path", str(tmp_path)).load())
+
+    assert df.rdd.getNumPartitions() == len(bodies)
+    got_nodes = df.filter("kind = 'node'")
+    got_rels = df.filter("kind = 'relation'")
+    assert got_nodes.count() == len(node_recs)
+    assert got_rels.count() == len(rel_recs)
+    # value-level spot check: every node key survives, tags stamped
+    assert ({r.key for r in got_nodes.select("key").collect()}
+            == {r["key"] for r in node_recs})
+    assert df.filter("tag <> 't1'").count() == 0
+    # chunk provenance is dense 0..of-1
+    chunks = {r.chunk for r in df.select("chunk").distinct().collect()}
+    assert chunks == set(range(len(bodies)))
