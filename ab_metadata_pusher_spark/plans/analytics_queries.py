@@ -275,3 +275,156 @@ def q_window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("ts").alias("island_end"),
                  F.count(F.lit(1)).alias("run_len"))
             .drop("grp"))
+
+
+# --------------------------------------------------------------------------
+# Graph analytics over the part co-occurrence graph
+# --------------------------------------------------------------------------
+# Edges: two parts are connected when some order contains both (lineitem
+# self-join on l_orderkey).  The reference has no graph surface at all
+# (SURVEY.md §2.G); these queries show the standard "graph analytics as
+# relational algebra" decomposition Spark executes well at scale.
+
+_COOCCUR = """
+SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+FROM lineitem x JOIN lineitem y
+  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+"""
+
+
+def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-occurrence pairs with a < b (canonical orientation)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.alias("x")
+    y = li.alias("y")
+    return (x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+                   & (F.col("x.l_partkey") < F.col("y.l_partkey")))
+            .select(F.col("x.l_partkey").alias("a"),
+                    F.col("y.l_partkey").alias("b"))
+            .distinct())
+
+
+@register(
+    "graph_triangles",
+    oracle="WITH e AS (" + _COOCCUR + """)
+SELECT (SELECT count(*) FROM (SELECT a FROM e UNION SELECT b FROM e)) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*)
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+""",
+    covers=("G.graph.triangles",),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-occurrence graph — the clustering
+    primitive, as pure relational algebra: canonically-oriented edge list
+    (a < b), wedge join (e1.b = e2.a gives a<b<c paths), closing-edge
+    semi-check.  The a<b<c orientation counts each triangle exactly once
+    AND bounds the wedge join by the smaller-degree endpoint — the same
+    degree-orientation trick the specialized triangle literature uses.
+
+    At 100 TB the wedge join is the cost: it shuffles the edge list twice
+    on node key; skewed hub nodes dominate, so the production form salts
+    hubs or caps degree first (drop nodes with deg > k before wedging) —
+    both are one extra groupBy on this same edge frame."""
+    e = _cooccur_edges(spark, sf_dir).cache()
+    nodes = (e.select(F.col("a").alias("n"))
+             .union(e.select("b")).distinct()
+             .agg(F.count(F.lit(1)).alias("n_nodes")))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+           .join(e3, (F.col("e3.a") == F.col("e1.a"))
+                 & (F.col("e3.b") == F.col("e2.b")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+@register(
+    "graph_bfs_distance",
+    oracle="WITH RECURSIVE eh AS (" + _COOCCUR + """),
+edges AS (SELECT a AS src, b AS dst FROM eh
+          UNION ALL SELECT b, a FROM eh),
+bfs(node, dist) AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+  UNION
+  SELECT e.dst, bfs.dist + 1
+  FROM bfs JOIN edges e ON e.src = bfs.node
+  WHERE bfs.dist < 3)
+SELECT node, min(dist) AS dist FROM bfs GROUP BY node
+""",
+    covers=("G.graph.bfs",),
+)
+def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS: hop distance (<= 3) from part 1 through the
+    co-occurrence graph — the iterative frontier-expansion pattern
+    (Pregel's BFS) as a driver loop of joins.  Each step joins the
+    CURRENT frontier (small) against the edge list and anti-joins the
+    visited set, so per-step work is frontier x degree, not |V| x |E|;
+    the fixed hop budget makes the plan finite and the oracle expressible
+    as a bounded recursive CTE (min-dist over level-stamped expansion —
+    a different algorithm, same values).
+
+    At 100 TB: cache the edge frame once (reused every step), partition
+    it by src so each frontier join co-locates, and checkpoint the
+    visited set every few steps to cut lineage depth."""
+    eh = _cooccur_edges(spark, sf_dir)
+    edges = (eh.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .union(eh.select(F.col("b"), F.col("a"))).cache())
+    part = _t(spark, sf_dir, "part")
+    frontier = (part.filter(F.col("p_partkey") == 1)
+                .select(F.col("p_partkey").alias("node"),
+                        F.lit(0).alias("dist")))
+    visited = frontier
+    for step in (1, 2, 3):
+        frontier = (frontier.join(edges, frontier.node == edges.src)
+                    .select(F.col("dst").alias("node"),
+                            F.lit(step).alias("dist"))
+                    .distinct()
+                    .join(visited, "node", "left_anti"))
+        visited = visited.union(frontier)
+    return visited
+
+
+@register(
+    "analytics_outliers_mad",
+    oracle="""
+WITH s AS (SELECT user_id, median(value) AS med, mad(value) AS mad
+           FROM events GROUP BY user_id)
+SELECT e.user_id,
+       round(s.med, 4) AS med,
+       round(s.mad, 4) AS mad,
+       count(*) AS n_events,
+       coalesce(sum(CASE WHEN abs(e.value - s.med) > 3 * s.mad
+                         THEN 1 ELSE 0 END), 0) AS n_outliers
+FROM events e JOIN s USING (user_id)
+GROUP BY e.user_id, s.med, s.mad
+""",
+    covers=("G.analytics.outliers",),
+)
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median / MAD (median absolute
+    deviation) per user, then count events beyond 3 MADs — the
+    quality-filter shape a corpus pipeline uses where mean/stddev would
+    be dragged by the very outliers it hunts.  Two exact-median passes
+    (groupBy median -> broadcast back -> groupBy median of deviations ->
+    broadcast back), each group stat broadcast to the row side, so the
+    event table is scanned, never shuffled.  The oracle leans on DuckDB's
+    NATIVE mad() aggregate — different implementation, same values.
+
+    At 100 TB swap F.median for percentile_approx(value, 0.5) — one
+    map-side-combinable sketch pass per stat instead of exact
+    sort-based medians."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = (ev.join(F.broadcast(med), "user_id")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
+    return (dev.join(F.broadcast(mad), "user_id")
+            .groupBy("user_id")
+            .agg(F.round(F.min("med"), 4).alias("med"),
+                 F.round(F.min("mad"), 4).alias("mad"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.coalesce(F.sum(
+                     F.when(F.col("adev") > 3 * F.col("mad"), 1)
+                      .otherwise(0)), F.lit(0)).alias("n_outliers")))
