@@ -1536,3 +1536,145 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("a.p_name").alias("left_name"),
                     F.col("b.p_name").alias("right_name"),
                     lev.alias("lev")))
+
+
+_BM25_TERMS = ("hash", "join", "filter")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN {_BM25_TERMS!r} GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN {_BM25_TERMS!r} GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                      + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS bm25,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY rank LIMIT 10
+""",
+    covers=("G.text.bm25",),
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval for a fixed 3-term query: the full-text
+    ranking function (tf saturation via k1, length normalization via b)
+    on top of the same tf/df/doc-length statistics the TF-IDF query
+    builds.  Top-10 docs by summed per-term score.
+
+    Spark-first: tf is filtered to the query terms BEFORE the groupBy
+    (predicate pushdown shrinks the shuffle to query-term postings
+    only); df and the corpus stats are one-row / vocabulary-sized
+    broadcasts; the final top-k is a single-partition window over an
+    already tiny scored set.  At 100 TB the per-term postings are the
+    only large frame, and they shuffle once on doc_id."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    qtoks = toks.filter(F.col("term").isin(*_BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtoks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = (F.col("tf") + _BM25_K1 * (1 - _BM25_B
+                                      + _BM25_B * F.col("dl") / F.col("avgdl")))
+    per_term = idf * F.col("tf") * (_BM25_K1 + 1) / norm
+    scored = (tf.join(F.broadcast(df), "term")
+              .join(F.broadcast(dl), "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.sum(per_term).alias("score")))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (scored.select("doc_id", F.round("score", 6).alias("bm25"),
+                          F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= 10))
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents)
+SELECT term, count(*) AS df,
+       list_sort(list(doc_id)) AS postings
+FROM toks GROUP BY term
+""",
+    covers=("G.text.inverted_index",),
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> sorted posting list of doc ids —
+    the search-engine core as one explode + distinct + groupBy
+    collect.  Postings come back sorted (sort_array) so downstream
+    intersection/merge operators can stream them.
+
+    At 100 TB posting lists for stopword-frequency terms are the skew
+    hazard: the production form splits postings into fixed-size blocks
+    ((term, block_no) keys — delta-encoded doc ids per block), which is
+    one extra modulo on this same plan; the df column already computed
+    here is exactly the stat needed to pick block counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+            .distinct())
+    return (toks.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.sort_array(F.collect_list("doc_id")).alias("postings")))
+
+
+#: 2^60 — md5_long's range; maps the hash to a uniform (0, 1] double.
+_U_DENOM = float(1 << 60)
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+SELECT doc_id, n_chars, rank FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (
+           ORDER BY -ln(({sql_md5_long("doc_id::VARCHAR")} + 1)
+                        / {_U_DENOM!r}) / n_chars,
+                    doc_id) AS rank
+  FROM documents)
+WHERE rank <= 50
+""",
+    covers=("G.sample.weighted",),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each doc draws u = hash-uniform(0,1], gets key
+    -ln(u)/weight, and the 50 SMALLEST keys are the sample — longer docs
+    (weight = n_chars) proportionally likelier, yet fully reproducible
+    across engines and partitionings because u comes from md5, not RNG
+    state.  Both sides compute the identical key expression.
+
+    At 100 TB this is THE distributed weighted-sample: the key is a pure
+    per-row projection (no coordination), and top-k by key is a
+    per-partition heap + single merge — no global sort, no shuffle of
+    the data itself."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (md5_long(F.col("doc_id").cast("string")) + 1) / F.lit(_U_DENOM)
+    key = -F.log(u) / F.col("n_chars")
+    w = Window.orderBy(key, F.col("doc_id"))
+    return (d.select("doc_id", "n_chars",
+                     F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= 50))

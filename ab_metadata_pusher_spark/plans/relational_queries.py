@@ -1227,3 +1227,38 @@ def q_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = (ev.filter(F.col("event_id") % 3 == 1)
           .select("event_id", "user_id", "value", F.lit("v2").alias("source")))
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@register(
+    "cdc_latest_snapshot",
+    oracle="""
+SELECT user_id, value AS current_value, ts AS updated_at
+FROM (SELECT user_id, value, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+""",
+    covers=("G.cdc.upsert",),
+)
+def q_cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog -> current snapshot (MERGE semantics without a
+    mutable table): treat events as an upsert stream keyed by user_id
+    ('error' rows are deletes), apply last-writer-wins by (ts, event_id)
+    version order, and drop keys whose final op is a delete.  One
+    window over one shuffle on the key — the compaction every
+    table-format (Delta/Iceberg/Hudi CDC read) runs under the hood.
+
+    At 100 TB: this plan IS the periodic compaction job; between
+    compactions the same logic serves reads as a view over
+    base UNION changelog.  AQE handles hot-key skew in the window
+    shuffle; the rn=1 filter is a WindowGroupLimit pushdown (top-1 per
+    key computed with a per-partition running max, not a full sort)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    return (ev.select("user_id", "value", "ts", "event_type",
+                      F.row_number().over(w).alias("rn"))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select("user_id", F.col("value").alias("current_value"),
+                    F.col("ts").alias("updated_at")))
