@@ -371,3 +371,46 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "int").alias("k_int"),
         F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
         (F.variant_get(v, "$.k", "int") % 10).alias("k_mod"))
+
+
+@register(
+    "map_higher_order_funcs",
+    oracle="""
+SELECT user_id, event_type, n, avg_value
+FROM (SELECT user_id, event_type, count(*) AS n,
+             round(sum(value) / count(*), 4) AS avg_value
+      FROM events GROUP BY user_id, event_type)
+WHERE n >= 12
+""",
+    covers=("G.fn.map.higher_order",),
+)
+def q_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions end-to-end: build TWO per-user maps
+    (event_type -> count, event_type -> sum) with map_from_entries,
+    merge them positionally-by-key with map_zip_with into avg = sum/n,
+    prune rare keys with map_filter, then explode back to rows.  The
+    whole map pipeline is JVM-side codegen — no Python — and the oracle
+    states the same result as a flat aggregation, so the driver verifies
+    the map algebra against plain relational algebra.
+
+    At 100 TB: maps keep per-user state one-row-wide (the groupBy
+    shuffles once on user_id; key cardinality = event types, bounded),
+    the form to prefer when downstream wants per-entity dictionaries
+    (feature stores, per-user mixture weights) rather than tall rows."""
+    ev = _t(spark, sf_dir, "events")
+    per = (ev.groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")))
+    maps = (per.groupBy("user_id")
+            .agg(F.map_from_entries(
+                     F.collect_list(F.struct("event_type", "n"))).alias("cnt"),
+                 F.map_from_entries(
+                     F.collect_list(F.struct("event_type", "s"))).alias("sums")))
+    zipped = F.map_zip_with(
+        "cnt", "sums", lambda k, n, s: F.struct(
+            n.alias("n"), F.round(s / n, 4).alias("avg_value")))
+    kept = F.map_filter(zipped, lambda k, v: v.getField("n") >= 12)
+    return (maps.select("user_id",
+                        F.explode(kept).alias("event_type", "st"))
+            .select("user_id", "event_type",
+                    F.col("st.n").alias("n"),
+                    F.col("st.avg_value").alias("avg_value")))

@@ -130,3 +130,52 @@ def q_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.regexp_extract_all("props", F.lit("[0-9]{2}"), 0)
     return ev.select("event_id",
                      F.posexplode_outer(arr).alias("pos", "run"))
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_aggregate(
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+           'sum')), 4) AS l2_norm,
+       round(embedding[1] / sqrt(list_aggregate(
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+           'sum')), 6) AS first_unit
+FROM embeddings
+""",
+    covers=("G.udf.map_in_arrow",),
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy Arrow batch processing (``mapInArrow``): L2-normalize
+    the embedding column operating directly on pyarrow RecordBatches —
+    no pandas materialization at all, the lowest-overhead Python escape
+    hatch Spark offers.  Each batch's list column is flattened to one
+    contiguous numpy view, normalized vectorized, and rebuilt as a
+    FixedSizeList-backed ListArray.
+
+    This is the template for the multimodal decode path
+    (operators/multimodal.py): when per-row payloads are large binaries,
+    skipping the Arrow->pandas object-boxing both halves memory and
+    avoids the object-dtype copy.  Partition-count preserved, no
+    shuffle; at 100 TB tune spark.sql.execution.arrow.maxRecordsPerBatch
+    so a batch of vectors fits the worker's L3."""
+    import numpy as np
+    import pyarrow as pa
+
+    def normalize(batches):
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            emb = batch.column("embedding")
+            flat = np.asarray(emb.flatten(), dtype=np.float64) \
+                .reshape(len(batch), -1)
+            norms = np.sqrt((flat * flat).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [vec_id,
+                 pa.array(np.round(norms, 4)),
+                 pa.array(np.round(flat[:, 0] / norms, 6))],
+                ["vec_id", "l2_norm", "first_unit"])
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(normalize,
+                        "vec_id long, l2_norm double, first_unit double")
