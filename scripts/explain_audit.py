@@ -32,7 +32,10 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      "similarity_ann_ivf", "text_tfidf_top_terms",
                      "subquery_above_avg", "join_cross_regions",
                      # 1-row corpus-total broadcast onto the token stream
-                     "text_lm_score"}
+                     "text_lm_score",
+                     # 1-row aggregate cross joins (n_nodes x n_edges x
+                     # n_triangles); corpus-stats broadcast in BM25
+                     "graph_triangles", "text_bm25"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -53,6 +56,11 @@ DEFAULT = [
     "rollup_ohlc", "text_char_entropy", "sample_temperature",
     "metadata_graph_pagerank", "subquery_not_in", "agg_filtered",
     "window_gap_islands", "dedup_keep_best",
+    "join_range_binned", "window_moving_median", "setop_union_evolve",
+    "graph_triangles", "graph_bfs_distance", "analytics_outliers_mad",
+    "dedup_edit_distance", "text_bm25", "text_inverted_index",
+    "sample_weighted", "cdc_latest_snapshot", "cdc_scd2_intervals",
+    "map_higher_order_funcs",
 ]
 
 
