@@ -413,3 +413,40 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked value-for-value against a non-iterative engine."""
     return pagerank(
         to_relations(table_metadata(catalog_columns(spark, sf_dir))))
+
+
+_TC_RECURSION = """
+reach(root, node, depth) AS (
+  SELECT start_key, end_key, 1 FROM rels WHERE start_label = 'Table'
+  UNION ALL
+  SELECT r.root, e.end_key, r.depth + 1
+  FROM reach r JOIN rels e ON e.start_key = r.node)
+SELECT root, node, min(depth) AS depth
+FROM reach GROUP BY root, node
+"""
+
+
+@register(
+    "metadata_graph_closure",
+    oracle=(_GRAPH_PREFIX.replace("WITH ", "WITH RECURSIVE ", 1)
+            + ",\n" + _TC_RECURSION),
+    covers=("C2", "G.sql.recursive_cte"),
+)
+def q_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the metadata graph via Spark 4's NATIVE
+    recursive CTE (`WITH RECURSIVE`): everything reachable from each
+    Table node with its minimum hop depth.  Same SQL dialect runs on
+    both engines — Spark executes the recursion as an iterative
+    union-loop of joins (each level is a distributed join against the
+    full edge relation), DuckDB as its own recursive operator; the
+    min-depth aggregate makes the result path-multiplicity-independent.
+
+    Complements graph_bfs_distance (the hand-rolled driver-loop BFS):
+    same algorithmic shape, but here the ENGINE owns the loop —
+    termination on empty frontier, no fixed hop budget.  At 100 TB the
+    per-level join shuffles on node key exactly like the manual loop;
+    prefer the manual loop when you need checkpointing or frontier
+    dedup that the CTE planner doesn't yet do."""
+    rels = to_relations(table_metadata(catalog_columns(spark, sf_dir)))
+    rels.createOrReplaceTempView("rels")
+    return spark.sql("WITH RECURSIVE " + _TC_RECURSION)

@@ -1305,3 +1305,26 @@ def q_cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
         F.row_number().over(w).alias("version"))
+
+
+@register("agg_hll_sketch_union", covers=("G.agg.sketch_union",))
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count architecture:
+    build one Datasketches HLL sketch per (priority, status) cell
+    (hll_sketch_agg), persist-then-UNION the sketches up to priority
+    totals (hll_union_agg) without ever re-touching the rows.  This is
+    how a 1000-executor cluster serves "distinct users per day AND per
+    month AND overall" from one pass over the data: the re-aggregation
+    cost is sketch-sized (~KB), not data-sized.
+
+    No oracle (estimates are sketch-impl-specific); the driver records
+    rows-only, and tests/test_sketches.py bounds the estimate against
+    the exact count (<2% at HLL lgK=12).  Estimates are returned rounded
+    to longs — stable across runs since the sketch is deterministic for
+    a given input multiset."""
+    o = _t(spark, sf_dir, "orders")
+    cells = (o.groupBy("o_orderpriority", "o_orderstatus")
+             .agg(F.hll_sketch_agg("o_custkey").alias("sk")))
+    return (cells.groupBy("o_orderpriority")
+            .agg(F.hll_sketch_estimate(
+                F.hll_union_agg("sk")).alias("approx_customers")))

@@ -60,6 +60,9 @@ STATIC = [
     ("D5", "Dynamic partition pruning over day-partitioned staging",
      "(Spark built-in, proven: filtered dim join plans a dynamicpruning subquery)",
      "tests/test_bucketing.py test_dynamic_partition_pruning_on_staged_events"),
+    ("D6", "Bloom runtime join filter pruning the fact probe side",
+     "(Spark built-in, proven: bloom_filter_agg + might_contain in plan)",
+     "tests/test_bucketing.py test_bloom_runtime_filter_prunes_probe_side"),
     ("E1", "Record union nodes-then-relations",
      "sinks/envelope.py pack_envelopes ordering", "tests/test_sinks.py"),
     ("E2", "JSON envelope assembly",
@@ -90,6 +93,9 @@ STATIC = [
      "tests/test_streaming.py"),
     ("F6", "Env-var config contract",
      "config.py env + jobs.py job_from_env", "tests/test_sinks.py"),
+    ("E8", "One-pass per-action metrics (df.observe accumulators)",
+     "(Spark built-in; engine usage proven with Observation)",
+     "tests/test_observability.py"),
     ("F7", "Logging config",
      "pipeline.py stdlib logging (driver code)", "—"),
 ]

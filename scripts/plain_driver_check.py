@@ -82,6 +82,9 @@ def main() -> int:
         try:
             sdf = qs[name](spark, args.sf_dir)
             s = norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+            if name not in oracles:  # rows-only query (no oracle by design)
+                print(f"WEAK  {name}: rows={len(s)}")
+                continue
             rel = con.sql(oracles[name])
             d = norm(list(rel.columns), [tuple(r) for r in rel.fetchall()])
             ok = s == d

@@ -157,3 +157,48 @@ def test_dynamic_partition_pruning_on_staged_events(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), \
         "expected a dynamic-partition-pruning subquery:\n" + plan
     assert joined.select("day").distinct().count() == 1
+
+
+def test_bloom_runtime_filter_prunes_probe_side(spark, sf_dir):
+    """A selective dim filter must inject a Bloom runtime filter on the
+    fact side of a shuffle join (bloom_filter_agg on the build side,
+    might_contain guarding the probe scan) — Spark's row-group-level
+    answer to semi-join pushdown when broadcast is off the table.
+
+    The size thresholds are scaled to the fixture: at 100 TB the
+    defaults (probe side >= 10 GB) gate this on exactly the joins where
+    it pays; applicationSideScanSizeThreshold=0 stands in for a fact
+    table that large."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = (load_table(spark, sf_dir, "orders")
+             .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderstatus").count())
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # and the filtered plan still computes the right answer
+        expect = (li.join(o, li.l_orderkey == o.o_orderkey)
+                  .groupBy("o_orderstatus").count().collect())
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, expect))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
