@@ -1328,3 +1328,49 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cells.groupBy("o_orderpriority")
             .agg(F.hll_sketch_estimate(
                 F.hll_union_agg("sk")).alias("approx_customers")))
+
+
+@register(
+    "join_temporal_dim",
+    oracle="""
+SELECT b.user_id, b.ts, b.event_id,
+       (SELECT round(s.value, 2)
+        FROM events s
+        WHERE s.event_type = 'signup' AND s.user_id = b.user_id
+          AND s.ts <= b.ts
+        ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS plan_in_effect
+FROM events b WHERE b.event_type = 'purchase'
+""",
+    covers=("G.join.temporal",),
+)
+def q_join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join WITHOUT a join: each
+    purchase picks up the signup 'plan' in effect at its timestamp.  The
+    sorted-union trick: tag dimension-change rows and fact rows, union,
+    ONE window ordered (ts, dim-first, event_id) per user, and
+    last_value(ignore nulls) carries the current dimension value onto
+    every fact row.  The oracle states the same semantics as a
+    correlated top-1 subquery — maximally different algorithm.
+
+    This beats the range-join formulation at scale: one shuffle on the
+    entity key and a linear merge per partition, versus an interval
+    join's candidate explosion.  It is the batch twin of the streaming
+    as-of pattern, and the lookup side of cdc_scd2_intervals: the same
+    window that stamps validity intervals can instead deliver the value
+    in effect directly onto consumers."""
+    ev = _t(spark, sf_dir, "events")
+    dim = (ev.filter(F.col("event_type") == "signup")
+           .select("user_id", "ts", "event_id",
+                   F.round("value", 2).alias("plan"), F.lit(1).alias("is_dim")))
+    fact = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", "event_id",
+                    F.lit(None).cast("double").alias("plan"),
+                    F.lit(0).alias("is_dim")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", F.desc("is_dim"), "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (dim.unionByName(fact)
+            .withColumn("plan_in_effect",
+                        F.last("plan", ignorenulls=True).over(w))
+            .filter(F.col("is_dim") == 0)
+            .select("user_id", "ts", "event_id", "plan_in_effect"))

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["write_clustered", "file_key_ranges", "zorder_value",
-           "write_zordered"]
+           "write_zordered", "write_compacted"]
 
 
 def write_clustered(df: DataFrame, path: str, key: str,
@@ -87,3 +87,27 @@ def write_zordered(df: DataFrame, path: str, keys: list[str],
        .sortWithinPartitions("_z")
        .drop("_z")
        .write.mode("overwrite").parquet(path))
+
+
+def write_compacted(df: DataFrame, path: str, target_file_bytes: int,
+                    size_ratio: float = 1.0) -> int:
+    """Bin-pack ``df`` into parquet files near ``target_file_bytes`` each
+    — the small-file compaction every long-running 100 TB lake needs:
+    streaming micro-batches and per-partition writers leave thousands of
+    KB-sized files whose open/footer cost dominates scans; periodic
+    compaction rewrites them at the scan-optimal size (HDFS-block-ish,
+    128 MB-1 GB).
+
+    File count comes from the OPTIMIZER's size estimate
+    (``sizeInBytes`` of the optimized plan — no extra pass over the
+    data).  For scan-rooted plans that's the source files' on-disk
+    (already-compressed) bytes, so ``size_ratio`` defaults to 1;
+    shuffled/derived plans estimate decompressed widths, where a
+    measured 0.2-0.3 ratio applies — feed actual output sizes back to
+    calibrate per-table.  Round-robin repartition spreads rows evenly
+    regardless of key skew.  Returns the file count written."""
+    est = int(df._jdf.queryExecution().optimizedPlan()
+              .stats().sizeInBytes())
+    n = max(1, -(-int(est * size_ratio) // target_file_bytes))
+    df.repartition(n).write.mode("overwrite").parquet(path)
+    return n

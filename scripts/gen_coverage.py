@@ -63,6 +63,9 @@ STATIC = [
     ("D6", "Bloom runtime join filter pruning the fact probe side",
      "(Spark built-in, proven: bloom_filter_agg + might_contain in plan)",
      "tests/test_bucketing.py test_bloom_runtime_filter_prunes_probe_side"),
+    ("D7", "Small-file compaction to target file size (plan-stats sized)",
+     "sinks/layout.py write_compacted",
+     "tests/test_bucketing.py test_compaction_bin_packs_to_target_size"),
     ("E1", "Record union nodes-then-relations",
      "sinks/envelope.py pack_envelopes ordering", "tests/test_sinks.py"),
     ("E2", "JSON envelope assembly",

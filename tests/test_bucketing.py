@@ -202,3 +202,26 @@ def test_bloom_runtime_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_compaction_bin_packs_to_target_size(spark, sf_dir, tmp_path):
+    """write_compacted must (a) produce file counts that scale inversely
+    with the target size, (b) keep every row, and (c) land mean actual
+    file size within ~4x of target (estimator is plan-stats-based, not
+    a data pass — calibration, not precision, is the contract)."""
+    from ab_metadata_pusher_spark.sinks.layout import write_compacted
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    small = str(tmp_path / "small")
+    big = str(tmp_path / "big")
+    n_small = write_compacted(ev, small, target_file_bytes=64 * 1024)
+    n_big = write_compacted(ev, big, target_file_bytes=512 * 1024)
+    assert n_small > n_big >= 1
+    got = spark.read.parquet(small)
+    assert got.count() == ev.count()
+    import pathlib
+    files = [f for f in pathlib.Path(small).glob("*.parquet")]
+    assert len(files) == n_small
+    mean = sum(f.stat().st_size for f in files) / len(files)
+    assert 64 * 1024 / 4 < mean < 64 * 1024 * 4, mean
