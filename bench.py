@@ -59,6 +59,9 @@ REGISTRY_BENCH = [
     "text_vocab",
     "embedding_kmeans",
     "text_lm_score",
+    "graph_triangles",
+    "text_bm25",
+    "join_temporal_dim",
 ]
 
 

@@ -42,10 +42,17 @@ STATIC = [
     ("A8", "Envelope read-back as a Python Data Source (partition/file)",
      "sources/envelope_source.py EnvelopeDataSource",
      "tests/test_sources.py test_envelope_datasource_roundtrip"),
+    ("A9", "Media-file ingest (binaryFile source, magic-byte sniff, re-pack)",
+     "sources/binary_files.py read_media_dir/pack_to_table",
+     "tests/test_sources.py test_binaryfile_media_ingest_sniffs_and_packs"),
+    ("A10", "Schema-evolution read (mergeSchema + partition discovery)",
+     "(Spark built-in; engine usage proven)",
+     "tests/test_sources.py test_parquet_merge_schema_reads_evolved_epochs"),
     ("C1", "Transform hook (noop default)",
      "pipeline.py Pipeline.transform", "tests/test_sinks.py"),
     ("D1", "Graph staging writer (parquet canonical + legacy CSV)",
-     "sinks/staging.py StagingArea", "tests/test_sinks.py"),
+     "sinks/staging.py StagingArea",
+     "tests/test_sinks.py; tests/test_golden.py (byte-pinned CSV)"),
     ("D2", "Staging handoff contract (loader dir == publisher dir)",
      "sinks/staging.py (single base_dir)", "tests/test_sinks.py"),
     ("D3", "Range-clustered parquet layout (file-skipping writes)",
@@ -67,8 +74,9 @@ STATIC = [
      "sinks/layout.py write_compacted",
      "tests/test_bucketing.py test_compaction_bin_packs_to_target_size"),
     ("E1", "Record union nodes-then-relations",
-     "sinks/envelope.py pack_envelopes ordering", "tests/test_sinks.py"),
-    ("E2", "JSON envelope assembly",
+     "sinks/envelope.py pack_envelopes ordering",
+     "tests/test_sinks.py; tests/test_golden.py (byte-pinned)"),
+    ("E2", "JSON envelope assembly (byte-pinned golden)",
      "sinks/envelope.py envelope_json", "tests/test_sinks.py"),
     ("E3", "SQS publish with 256 KiB chunking + SendMessageBatch",
      "sinks/sqs.py SqsPublisher", "tests/test_sinks.py (stubbed client)"),

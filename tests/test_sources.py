@@ -94,3 +94,68 @@ def test_envelope_datasource_roundtrip(spark, sf_dir, tmp_path):
     # chunk provenance is dense 0..of-1
     chunks = {r.chunk for r in df.select("chunk").distinct().collect()}
     assert chunks == set(range(len(bodies)))
+
+
+def test_binaryfile_media_ingest_sniffs_and_packs(spark, tmp_path):
+    """binaryFile media ingest: distributed dir read, JVM-side magic-byte
+    type sniffing (no UDF), glob pushdown, and parquet re-pack round-trip
+    — the multimodal pipeline's front door."""
+    from ab_metadata_pusher_spark.sources.binary_files import (
+        pack_to_table, read_media_dir,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"x" * 40)
+    (media / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"y" * 30)
+    (media / "c.wav").write_bytes(b"RIFF1234WAVE" + b"z" * 20)
+    (media / "d.txt").write_bytes(b"not media")
+    sub = media / "nested"
+    sub.mkdir()
+    (sub / "e.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"q" * 10)
+
+    df = read_media_dir(spark, str(media))
+    got = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert got["a.png"]["media_type"] == "image/png"
+    assert got["b.jpg"]["media_type"] == "image/jpeg"
+    assert got["c.wav"]["media_type"] == "audio/wav"
+    assert got["d.txt"]["media_type"] == "application/octet-stream"
+    assert got["e.png"]["media_type"] == "image/png"  # recursive lookup
+    assert got["a.png"]["n_bytes"] == 48
+    assert got["a.png"]["content"][:4] == b"\x89PNG"
+    # media_id is a deterministic function of path
+    assert len({r["media_id"] for r in got.values()}) == 5
+
+    only_png = read_media_dir(spark, str(media), glob="*.png")
+    assert only_png.count() == 2
+
+    out = tmp_path / "packed"
+    n = pack_to_table(df, str(out))
+    assert n == 1  # tiny corpus -> one right-sized file
+    back = spark.read.parquet(str(out))
+    assert back.count() == 5
+    assert dict(back.dtypes)["content"] == "binary"
+
+
+def test_parquet_merge_schema_reads_evolved_epochs(spark, tmp_path):
+    """Schema-evolution READ path (pairs with the setop_union_evolve
+    query): epoch 1 predates the `value` column, epoch 2 carries it;
+    mergeSchema=true unions the schemas by NAME with null-fill, so
+    long-lived staging dirs stay readable as columns accrete."""
+    from pyspark.sql import Row
+
+    base = str(tmp_path / "epochs")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [Row(event_id=1, user_id=10), Row(event_id=2, user_id=20)], 1)) \
+        .write.parquet(base + "/epoch=1")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [Row(event_id=3, user_id=30, value=1.5)], 1)) \
+        .write.parquet(base + "/epoch=2")
+
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"event_id", "user_id", "value", "epoch"}
+    rows = {r["event_id"]: r for r in df.collect()}
+    assert rows[1]["value"] is None and rows[3]["value"] == 1.5
+    assert rows[1]["epoch"] == 1 and rows[3]["epoch"] == 2  # discovery
