@@ -450,3 +450,33 @@ def q_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     rels = to_relations(table_metadata(catalog_columns(spark, sf_dir)))
     rels.createOrReplaceTempView("rels")
     return spark.sql("WITH RECURSIVE " + _TC_RECURSION)
+
+
+@register(
+    "metadata_profile_columns",
+    oracle="""
+WITH tall AS (
+  SELECT 'c_custkey' AS col_name, CAST(c_custkey AS VARCHAR) AS val FROM customer
+  UNION ALL SELECT 'c_name', c_name FROM customer
+  UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+  UNION ALL SELECT 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer)
+SELECT col_name, count(*) AS n_rows,
+       coalesce(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END), 0) AS n_nulls,
+       count(DISTINCT val) AS n_distinct,
+       min(val) AS min_value, max(val) AS max_value
+FROM tall GROUP BY col_name
+""",
+    covers=("G.profile.columns",),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats profile of the customer table — the catalog-stats
+    companion to the schema extraction queries (A2/B1): row counts, null
+    counts, exact distincts, string-cast min/max for EVERY column from
+    one unpivot + one groupBy (operators/profile.py).  The oracle
+    rebuilds the same stats from a UNION ALL per column — different
+    shape (5 scans vs 1), same values, so the unpivot math is what's
+    actually verified."""
+    from ab_metadata_pusher_spark.operators.profile import profile_columns
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+    return profile_columns(load_table(spark, sf_dir, "customer"))

@@ -1374,3 +1374,84 @@ def q_join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.last("plan", ignorenulls=True).over(w))
             .filter(F.col("is_dim") == 0)
             .select("user_id", "ts", "event_id", "plan_in_effect"))
+
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CASE WHEN percent_rank() OVER w <= 0.1 THEN 'top_decile'
+            WHEN cume_dist() OVER w >= 0.9 THEN 'bottom_decile'
+            ELSE 'mid' END AS band
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC,
+             o_orderkey)
+""",
+    covers=("G.window.distribution",),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank (rank-1)/(n-1) and
+    cume_dist over per-priority price order, banded into deciles — the
+    relative-standing primitives behind curriculum difficulty scores and
+    per-domain percentile cutoffs (sample_length_curriculum uses ntile;
+    these are its continuous cousins).  Same single shuffle + sort as
+    any rank window; tie-broken deterministically for the oracle."""
+    ev = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey")
+    pr, cd = F.percent_rank().over(w), F.cume_dist().over(w)
+    return ev.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(pr, 6).alias("pct_rank"),
+        F.round(cd, 6).alias("cume"),
+        F.when(pr <= 0.1, "top_decile")
+         .when(cd >= 0.9, "bottom_decile")
+         .otherwise("mid").alias("band"))
+
+
+@register(
+    "quality_fk_violations",
+    oracle="""
+SELECT 'orders.o_custkey->customer' AS fk, count(*) AS n_orphans
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders', count(*)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'lineitem.l_partkey->part', count(*)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_partkey IS NULL
+""",
+    covers=("G.quality.referential",),
+)
+def q_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for each FK edge via anti joins — the data-quality gate a pipeline
+    runs BEFORE publishing a graph built on those joins (the engine's
+    metadata graph assumes exactly these edges hold).  Each anti join
+    broadcasts the key side when small and degenerates to one shuffle
+    otherwise; the three audits share nothing and run in parallel.
+
+    At 100 TB: anti join beats except/distinct formulations because it
+    never materializes the distinct key set, and a Bloom runtime filter
+    (proven in tests/test_bucketing.py) prunes the probe scan."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def orphans(fact, key, dim, dim_key, label):
+        return (fact.join(dim, fact[key] == dim[dim_key], "left_anti")
+                .agg(F.count(F.lit(1)).alias("n_orphans"))
+                .select(F.lit(label).alias("fk"), "n_orphans"))
+
+    return (orphans(o, "o_custkey", c, "c_custkey",
+                    "orders.o_custkey->customer")
+            .unionByName(orphans(li, "l_orderkey", o, "o_orderkey",
+                                 "lineitem.l_orderkey->orders"))
+            .unionByName(orphans(li, "l_partkey", p, "p_partkey",
+                                 "lineitem.l_partkey->part")))
