@@ -306,3 +306,37 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("win.start").cast("timestamp_ntz").alias("win_start"),
                    "event_type", "open", "high", "low", "close", "n_events"))
     return E.run_to_memory(agg)
+
+
+@register(
+    "stream_topk_window",
+    oracle=f"""
+SELECT win_start, event_type, n_events, rk FROM (
+  SELECT time_bucket(INTERVAL '5 minutes', {_EVENTS_TS}) AS win_start,
+         event_type, count(*) AS n_events,
+         row_number() OVER (
+           PARTITION BY time_bucket(INTERVAL '5 minutes', {_EVENTS_TS})
+           ORDER BY count(*) DESC, event_type) AS rk
+  FROM events GROUP BY 1, 2)
+WHERE rk <= 2
+""",
+    covers=("G.stream.topk",),
+)
+def q_stream_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k per window — the two-stage serving pattern: the
+    STREAM maintains watermarked per-(window, key) counts (incremental,
+    state bounded by watermark); the top-2-per-window rank runs as a
+    batch window over the materialized sink, whose cardinality is
+    windows x event types, not events.  Ranking inside the stream would
+    need complete-mode re-emission of whole windows; pre-aggregate +
+    serve-time rank is how production dashboards actually do trending-k
+    at scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = E.run_to_memory(E.tumbling_counts(E.events_stream(spark, sf_dir)))
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), "event_type")
+    return (counts.select("win_start", "event_type", "n_events",
+                          F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 2))

@@ -307,3 +307,54 @@ def q_rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max_by("value", "ts"), 4).alias("close"),
                  F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 4).alias("volume")))
+
+
+@register(
+    "sessionize_builtin_window",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS newsess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 1800 SECOND AS session_end,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id, session_idx
+""",
+    covers=("G.sessionize", "G.rollup.session_window"),
+)
+def q_sessionize_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE F.session_window aggregate
+    (the third sessionizer: JVM windows, pandas cogroup, and now the
+    built-in) — one groupBy whose key is a dynamically-merged session
+    range; the engine merges overlapping [ts, ts+gap) intervals
+    per key during aggregation.  The oracle derives the SAME sessions
+    with the lag/islands SQL — two genuinely different algorithms
+    (interval merge vs change-point prefix sums) agreeing value-for-value,
+    including the session_end = last_event + gap convention.
+
+    At 100 TB this is the one to prefer: no window sort pass — partial
+    session aggregation happens map-side before the shuffle, and the
+    same operator runs UNCHANGED over a stream (stream_session_windows)
+    with watermark-driven state eviction."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (ev.groupBy("user_id", sw)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("session_window.start")
+                     .cast("timestamp_ntz").alias("session_start"),
+                    F.col("session_window.end")
+                     .cast("timestamp_ntz").alias("session_end"),
+                    "n_events"))
