@@ -107,6 +107,9 @@ STATIC = [
     ("E8", "One-pass per-action metrics (df.observe accumulators)",
      "(Spark built-in; engine usage proven with Observation)",
      "tests/test_observability.py"),
+    ("F8", "Checkpointed exactly-once restart (file stream resume)",
+     "(Spark built-in; engine usage proven end-to-end)",
+     "tests/test_streaming.py test_checkpoint_restart_resumes_without_reprocessing"),
     ("F7", "Logging config",
      "pipeline.py stdlib logging (driver code)", "—"),
 ]

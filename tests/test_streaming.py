@@ -70,3 +70,49 @@ def test_transform_with_state_matches_apply_in_pandas(spark, sf_dir):
         E.stateful_user_stats_tws(E.events_stream(spark, sf_dir)),
         output_mode="update")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
+    """Exactly-once resume: a checkpointed file-source stream, stopped and
+    restarted after new files arrive, must process ONLY the unseen files
+    — the recovery contract the reference's one-shot cron publisher
+    cannot offer (a crashed run either loses or resends everything).
+
+    This is the engine-level guarantee under streaming/events.py's
+    'set a checkpoint dir for exactly-once ticks' deployment note."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(name: str, ids: list[int]) -> None:
+        spark.createDataFrame(
+            spark.sparkContext.parallelize([(i,) for i in ids], 1),
+            "id long").write.parquet(str(src / name))
+
+    add_file("f1", [1, 2])
+    add_file("f2", [3, 4])
+
+    seen: list[tuple[int, list[int]]] = []
+
+    def run_once() -> None:
+        stream = (spark.readStream.schema("id long")
+                  .option("recursiveFileLookup", "true")
+                  .parquet(str(src)))
+        q = (stream.writeStream
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(lambda df, bid: seen.append(
+                 (bid, sorted(r["id"] for r in df.collect()))))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    first = sorted(i for _, ids in seen for i in ids)
+    assert first == [1, 2, 3, 4]
+
+    add_file("f3", [5, 6])
+    seen.clear()
+    run_once()
+    second = sorted(i for _, ids in seen for i in ids)
+    assert second == [5, 6], f"reprocessed old data: {second}"
