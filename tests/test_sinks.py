@@ -347,3 +347,27 @@ def test_staging_interchange_rejects_unknown_format(spark, sf_dir, tmp_path):
     area = StagingArea(str(tmp_path / "inter_bad"))
     with pytest.raises(ValueError, match="unsupported interchange"):
         area.write_interchange(nodes, relations, fmt="avro")
+
+
+def test_corpus_demo_runs_end_to_end(spark, capsys):
+    """The corpus-pipeline composition demo (ingest -> quality -> dedup ->
+    decontaminate -> pack -> clustered write) must run end-to-end and
+    report sane stage metrics at sf0.001."""
+    import importlib.util
+    import json as _json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_demo",
+        Path(__file__).resolve().parent.parent / "scripts" / "corpus_demo.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main("/root/testdata/sf0.001")
+    stages = [_json.loads(line) for line in
+              capsys.readouterr().out.splitlines()
+              if line.startswith('{"stage"')]
+    names = [s["stage"] for s in stages]
+    assert names[-1] == "DONE" and len(names) == 8
+    by = {s["stage"]: s for s in stages}
+    assert by["write_clustered"]["rows_out"] <= by["ingest_annotate"]["rows_in"]
+    assert by["write_clustered"]["rows_out"] > 0
