@@ -1455,3 +1455,21 @@ def q_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "lineitem.l_orderkey->orders"))
             .unionByName(orphans(li, "l_partkey", p, "p_partkey",
                                  "lineitem.l_partkey->part")))
+
+
+@register("agg_approx_percentiles", covers=("G.agg.approx_percentile",))
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (Greenwald-Khanna via approx_percentile,
+    relative error 0.001) per order priority — the one-pass mergeable
+    companion to agg_percentiles' exact sort-based formulation: at
+    100 TB the exact form needs a per-group sort of the whole column;
+    the sketch is map-side combinable and never materializes the sort.
+
+    No oracle (GK sketch cutpoints are engine-specific); rows-only from
+    the driver, while tests/test_sketches.py bounds every estimate
+    against the exact percentile at the configured accuracy."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.percentile_approx(
+                     "o_totalprice", [0.5, 0.95, 0.99], 1000)
+                 .alias("approx_p50_p95_p99")))

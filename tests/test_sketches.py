@@ -31,3 +31,24 @@ def test_hll_sketch_column_is_mergeable_binary(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")).first()["e"]
     exact = o.agg(F.count_distinct("o_custkey").alias("n")).first()["n"]
     assert abs(total - exact) / exact < 0.02
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """GK-sketch quantiles must land within 1% RELATIVE RANK of the
+    exact percentiles (accuracy=1000 -> eps 0.001 on rank; value check
+    done via the exact values at rank +/- 1% around each quantile)."""
+    from pyspark.sql import functions as F
+
+    approx = {r["o_orderpriority"]: r["approx_p50_p95_p99"]
+              for r in queries()["agg_approx_percentiles"](spark, sf_dir)
+              .collect()}
+    o = load_table(spark, sf_dir, "orders")
+    for prio, est in approx.items():
+        vals = sorted(r["o_totalprice"] for r in
+                      o.filter(F.col("o_orderpriority") == prio)
+                      .select("o_totalprice").collect())
+        n = len(vals)
+        for q, e in zip((0.5, 0.95, 0.99), est):
+            lo = vals[max(0, int((q - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.01) * n))]
+            assert lo <= e <= hi, (prio, q, e, lo, hi)
