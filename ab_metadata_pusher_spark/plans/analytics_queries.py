@@ -383,11 +383,16 @@ def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(0).alias("dist")))
     visited = frontier
     for step in (1, 2, 3):
-        frontier = (frontier.join(edges, frontier.node == edges.src)
+        # frontier and visited are node-sized (tiny next to the edge
+        # list) — broadcast them EXPLICITLY so the planner never
+        # guesses the edge side small (its size estimate for a join
+        # output is unreliable, and broadcasting 2|E| rows OOMs).
+        frontier = (edges.join(F.broadcast(frontier),
+                               edges.src == frontier.node)
                     .select(F.col("dst").alias("node"),
                             F.lit(step).alias("dist"))
                     .distinct()
-                    .join(visited, "node", "left_anti"))
+                    .join(F.broadcast(visited), "node", "left_anti"))
         visited = visited.union(frontier)
     return visited
 

@@ -378,7 +378,8 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, event_type, n, avg_value
 FROM (SELECT user_id, event_type, count(*) AS n,
-             round(sum(value) / count(*), 4) AS avg_value
+             round(sum(CAST(round(value * 100, 0) AS BIGINT))
+                   / count(*) / 100.0, 4) AS avg_value
       FROM events GROUP BY user_id, event_type)
 WHERE n >= 12
 """,
@@ -396,10 +397,17 @@ def q_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: maps keep per-user state one-row-wide (the groupBy
     shuffles once on user_id; key cardinality = event types, bounded),
     the form to prefer when downstream wants per-entity dictionaries
-    (feature stores, per-user mixture weights) rather than tall rows."""
+    (feature stores, per-user mixture weights) rather than tall rows.
+
+    Sums accumulate FIXED-POINT cents (exact longs), not doubles:
+    double summation order differs between engines and partitionings,
+    and at 10× the gate's SF a group landed exactly on a round-half
+    boundary — integer sums make the map algebra engine-exact at every
+    scale (the same discipline money columns need in production)."""
     ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     per = (ev.groupBy("user_id", "event_type")
-           .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")))
+           .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s")))
     maps = (per.groupBy("user_id")
             .agg(F.map_from_entries(
                      F.collect_list(F.struct("event_type", "n"))).alias("cnt"),
@@ -407,7 +415,7 @@ def q_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.collect_list(F.struct("event_type", "s"))).alias("sums")))
     zipped = F.map_zip_with(
         "cnt", "sums", lambda k, n, s: F.struct(
-            n.alias("n"), F.round(s / n, 4).alias("avg_value")))
+            n.alias("n"), F.round(s / n / 100.0, 4).alias("avg_value")))
     kept = F.map_filter(zipped, lambda k, v: v.getField("n") >= 12)
     return (maps.select("user_id",
                         F.explode(kept).alias("event_type", "st"))
