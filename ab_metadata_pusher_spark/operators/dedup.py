@@ -266,18 +266,44 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 6,
                   bits: int = 32) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance (sid_a < sid_b).
 
-    Test-scale formulation joins all pairs directly; the scale path blocks
-    on bit-prefix rotations first (same output, bounded fan-out).
+    Blocked, not all-pairs (Manku et al., WWW'07): the fingerprint splits
+    into ``max_hamming + 1`` disjoint bit-blocks; a pair within the
+    Hamming budget must agree EXACTLY on at least one block (pigeonhole),
+    so candidates come from per-block equi-joins and only candidates pay
+    the XOR/bit_count verify.  Output is identical to the all-pairs
+    formulation — blocking is lossless — but the plan is a shuffled
+    equi-join on (block_idx, block_value), never a BroadcastNestedLoop.
+
+    Scale: per-block bucket fan-out is ~n²/2^w for block width
+    w = bits/(max_hamming+1); at corpus scale use bits=64 (w≈9 at
+    hamming 6) or tighten max_hamming so buckets stay small.
     """
     s = simhash(df, bits)
-    a, b = s.alias("a"), s.alias("b")
-    return (
-        a.join(b, F.col("a.sid") < F.col("b.sid"))
-        .withColumn("hamming", F.bit_count(
-            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
-        .filter(F.col("hamming") <= max_hamming)
+    nb = max_hamming + 1
+    bounds = [round(j * bits / nb) for j in range(nb + 1)]
+    blocks = F.array(*[
+        F.struct(
+            F.lit(j).alias("blk"),
+            F.shiftright(F.col("simhash"), bounds[j])
+             .bitwiseAND(F.lit((1 << (bounds[j + 1] - bounds[j])) - 1))
+             .alias("val"))
+        for j in range(nb)])
+    keyed = (s.select("sid", "simhash", F.explode(blocks).alias("b"))
+             .select("sid", "simhash", F.col("b.blk").alias("blk"),
+                     F.col("b.val").alias("val")))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.sid") < F.col("b.sid")))
         .select(F.col("a.sid").alias("sid_a"), F.col("b.sid").alias("sid_b"),
-                "hamming")
+                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
+        .distinct())
+    return (
+        cand.withColumn("hamming", F.bit_count(
+            F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("sid_a", "sid_b", "hamming")
     )
 
 

@@ -406,8 +406,8 @@ SELECT e.user_id,
        round(s.med, 4) AS med,
        round(s.mad, 4) AS mad,
        count(*) AS n_events,
-       coalesce(sum(CASE WHEN abs(e.value - s.med) > 3 * s.mad
-                         THEN 1 ELSE 0 END), 0) AS n_outliers
+       CAST(coalesce(sum(CASE WHEN abs(e.value - s.med) > 3 * s.mad
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
 FROM events e JOIN s USING (user_id)
 GROUP BY e.user_id, s.med, s.mad
 """,

@@ -90,14 +90,14 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey,
        round(p_retailprice, 1) AS price_r1,
-       floor(p_retailprice) AS price_floor,
-       ceil(p_retailprice) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
        abs(p_size - 25) AS size_dist,
        round(sqrt(p_retailprice), 6) AS price_sqrt,
        round(ln(p_retailprice), 6) AS price_ln,
        round(pow(p_size, 2), 1) AS size_sq,
        p_size % 7 AS size_mod,
-       sign(p_size - 25) AS size_sign,
+       CAST(sign(p_size - 25) AS DOUBLE) AS size_sign,
        greatest(p_size, 10) AS size_min10,
        least(p_size, 40) AS size_max40
 FROM part
@@ -378,8 +378,9 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, event_type, n, avg_value
 FROM (SELECT user_id, event_type, count(*) AS n,
-             round(sum(CAST(round(value * 100, 0) AS BIGINT))
-                   / count(*) / 100.0, 4) AS avg_value
+             CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) * 200
+                   + count(*)) // (2 * count(*)) AS DOUBLE) / 10000
+               AS avg_value
       FROM events GROUP BY user_id, event_type)
 WHERE n >= 12
 """,
@@ -413,9 +414,14 @@ def q_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.collect_list(F.struct("event_type", "n"))).alias("cnt"),
                  F.map_from_entries(
                      F.collect_list(F.struct("event_type", "s"))).alias("sums")))
+    # avg at 4 decimals via half-up INTEGER division, then one exact
+    # int->double conversion: round(double, 4) straddles half boundaries
+    # differently across engines (Spark rounds the shortest decimal repr,
+    # DuckDB the binary double), but (2*s*100 + n) // (2*n) is engine-exact.
     zipped = F.map_zip_with(
         "cnt", "sums", lambda k, n, s: F.struct(
-            n.alias("n"), F.round(s / n / 100.0, 4).alias("avg_value")))
+            n.alias("n"),
+            (F.floor((s * 200 + n) / (n * 2)) / 10000.0).alias("avg_value")))
     kept = F.map_filter(zipped, lambda k, v: v.getField("n") >= 12)
     return (maps.select("user_id",
                         F.explode(kept).alias("event_type", "st"))

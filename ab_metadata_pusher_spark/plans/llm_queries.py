@@ -939,8 +939,8 @@ _CTX = 512  # tokens per packed block
     "pack_sequences",
     oracle=f"""
 SELECT doc_id, source, n_tokens,
-       (cum - n_tokens) // {_CTX} AS block_id,
-       (cum - n_tokens) % {_CTX} AS block_offset
+       CAST((cum - n_tokens) // {_CTX} AS BIGINT) AS block_id,
+       CAST((cum - n_tokens) % {_CTX} AS BIGINT) AS block_offset
 FROM (
   SELECT doc_id, source, len({_TOKS}) AS n_tokens,
          sum(len({_TOKS})) OVER (
@@ -1178,7 +1178,7 @@ c AS (
 d AS (SELECT chunk, count(*) AS n FROM c GROUP BY chunk)
 SELECT doc_id,
        count(*) AS n_chunks,
-       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
        round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
          AS dup_frac
 FROM c JOIN d USING (chunk)
@@ -1396,7 +1396,7 @@ def _plogp(cnt, n):
 @register(
     "sample_temperature",
     oracle="""
-WITH s AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+WITH s AS (SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
            FROM documents GROUP BY source)
 SELECT source, n_docs, total_chars,
        round(sqrt(total_chars) / sum(sqrt(total_chars)) OVER (), 6) AS weight,

@@ -462,7 +462,7 @@ WITH tall AS (
   UNION ALL SELECT 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
   UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer)
 SELECT col_name, count(*) AS n_rows,
-       coalesce(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END), 0) AS n_nulls,
+       CAST(coalesce(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
        count(DISTINCT val) AS n_distinct,
        min(val) AS min_value, max(val) AS max_value
 FROM tall GROUP BY col_name

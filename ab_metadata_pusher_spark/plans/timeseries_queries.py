@@ -57,8 +57,8 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT user_id, ts,
-         sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM g
 )
 SELECT user_id, session_idx, count(*) AS n_events,
@@ -321,8 +321,8 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT user_id, ts,
-         sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM g
 )
 SELECT user_id,

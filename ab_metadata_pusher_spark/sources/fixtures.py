@@ -20,6 +20,27 @@ FIXTURE_TABLES: tuple[str, ...] = (
 )
 
 
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP_NTZ whatever the file encoding.
+
+    The driver has shipped events.parquet with ``ts`` as parquet
+    TIMESTAMP(NANOS) (loads as a nanosecond LongType under the legacy
+    conf), and later as TIMESTAMP(MICROS) (loads natively as a timestamp).
+    Dispatch on the loaded dtype so either encoding — and any future flip
+    back — produces the same TIMESTAMP_NTZ column.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype is None:
+        return df
+    if dtype == "bigint":
+        # nanos-as-long → microsecond TIMESTAMP_NTZ (DuckDB's ns->us cast).
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"))
+    if dtype != "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The caller's session may not be ours (the driver passes its own):
     # pin the two confs correctness depends on.  Both are runtime-settable.
@@ -27,16 +48,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # so DuckDB oracles hash-match regardless of host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS,false), which Spark has no
-        # native type for; a plain session throws PARQUET_TYPE_ILLEGAL on
-        # this file without the legacy conf.
+        # Tolerate the TIMESTAMP(NANOS) encoding (Spark has no native type
+        # for it; a plain session throws PARQUET_TYPE_ILLEGAL without the
+        # legacy conf).  Harmless when the file is already micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as a nanosecond long — convert to a microsecond
-        # TIMESTAMP_NTZ, matching DuckDB's ns->us cast.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"))
+        df = _normalize_event_ts(df)
     return df
 
 

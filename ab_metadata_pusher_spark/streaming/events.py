@@ -81,9 +81,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Watermarks require TIMESTAMP (not NTZ) — unlike the batch loader's
     # NTZ conversion; with the session pinned to UTC the wall-clock values
     # match the batch path exactly (every output casts back to NTZ).
-    return sdf.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))) \
-        .select(*raw_schema.fieldNames())
+    # Dispatch on the loaded dtype like the batch loader: the driver has
+    # shipped ts as nanos-long and as native timestamp across rounds.
+    ts_type = raw_schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type != "timestamp":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf.select(*raw_schema.fieldNames())
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete",

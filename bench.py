@@ -116,13 +116,50 @@ def main() -> None:
 
     reg = queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def run(name: str, build) -> None:
+        # Fault-isolated: a failing query records an error entry instead of
+        # killing the run — the JSON summary line must always print.
         t0 = time.time()
-        df = build()
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = build()
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            return
         timings[name] = round(time.time() - t0, 3)
 
+    try:
+        _warmup(spark, reg)
+    except Exception as exc:  # noqa: BLE001
+        # A dead warmup only costs JIT time on the first measured query.
+        errors["_warmup"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    for name in REGISTRY_BENCH:
+        run(name, lambda name=name: reg[name](spark, SF_DIR))
+    try:
+        llm = _unbounded_llm(spark, SF_DIR)
+    except Exception as exc:  # noqa: BLE001
+        errors["_unbounded_llm_setup"] = f"{type(exc).__name__}: {exc}"[:300]
+        llm = {}
+    for name, build in llm.items():
+        run(name, build)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
+
+
+def _warmup(spark, reg) -> None:
     # warmup: JVM + parquet footers + whole-stage-codegen JIT for the
     # operator shapes under test (agg/join/union/window), so the first
     # measured query doesn't pay one-time compilation (~6s observed).
@@ -154,20 +191,6 @@ def main() -> None:
     # above and measured ~3s of one-time JIT when first hit at full SF
     reg["agg_percentiles"](spark, "/root/testdata/sf0.001") \
         .write.format("noop").mode("overwrite").save()
-
-    for name in REGISTRY_BENCH:
-        run(name, lambda name=name: reg[name](spark, SF_DIR))
-    for name, build in _unbounded_llm(spark, SF_DIR).items():
-        run(name, build)
-
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
-        "metric": "headline_queries_total_sec",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf),
-    }))
 
 
 if __name__ == "__main__":

@@ -23,17 +23,29 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+STRICT_TYPES = False
+
+
 def norm_cell(v):
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v) if STRICT_TYPES else v
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 6)
+        r = "NaN" if math.isnan(v) else round(v, 6)
+        # strict: a float cell and an int cell with equal value (0 vs 0.0)
+        # hash-differ in the driver's stringifying comparator — surface it.
+        return ("f", r) if STRICT_TYPES else r
+    if isinstance(v, int):
+        return ("i", v) if STRICT_TYPES else v
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
+    if type(v).__name__ == "Decimal":
+        return ("d", str(v)) if STRICT_TYPES else float(v)
     return v
 
 
@@ -48,8 +60,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--smoke-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--strict-types", action="store_true",
+                    help="treat int/float/Decimal cells of equal value as "
+                         "mismatching (models a stringifying hasher)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    global STRICT_TYPES
+    STRICT_TYPES = args.strict_types
 
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", REPO / "__spark_entry__.py")
