@@ -75,7 +75,8 @@ def star_edges(keys: DataFrame, key_col: str,
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          max_iter: int = 15,
-                         shuffle_partitions: int | None = None) -> DataFrame:
+                         shuffle_partitions: int | None = None,
+                         checkpoint_every: int = 3) -> DataFrame:
     """Min-label propagation ("hash-to-min") connected components.
 
     ``vertices``: one column ``id``.  ``edges``: ``src``/``dst``
@@ -83,10 +84,11 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     shuffle — join labels onto edges, union, groupBy-min — and the
     iteration count is the graph diameter, which for dedup graphs (star
     edges around key groups) is a small constant.  Convergence is detected
-    by the (monotonically decreasing) sum of labels going stable.  At
-    100 TB scale the same loop applies with ``localCheckpoint()`` every few
-    iterations to truncate lineage; label frames carry two longs per
-    vertex, so the shuffle is narrow regardless of document size.
+    by the (monotonically decreasing) sum of labels going stable.  Every
+    ``checkpoint_every`` iterations the label frame is
+    ``localCheckpoint``-ed so plan lineage stays bounded however long the
+    loop runs; label frames carry two longs per vertex, so the shuffle is
+    narrow regardless of document size.
 
     ``shuffle_partitions`` (optional) pins the shuffle width for the
     loop's lifetime: like streaming state stores, the label frame should
@@ -113,13 +115,19 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         both.persist()
         labels = vertices.select(F.col("id"), F.col("id").alias("label"))
         prev_sum = None
-        for _ in range(max_iter):
+        for i in range(max_iter):
             prop = (both.alias("e")
                     .join(labels.alias("l"), F.col("e.src") == F.col("l.id"))
                     .select(F.col("e.dst").alias("id"), F.col("l.label")))
             new = (prop.unionByName(labels)
                    .groupBy("id").agg(F.min("label").alias("label")))
-            new.persist()
+            if (i + 1) % checkpoint_every == 0:
+                # Truncate lineage: without this, each iteration's plan
+                # nests the previous one and optimizer/lineage cost grows
+                # with iteration count — the scale-killer for long loops.
+                new = new.localCheckpoint(eager=True)
+            else:
+                new.persist()
             cur_sum = new.agg(F.sum("label")).collect()[0][0]
             labels.unpersist()
             labels = new
@@ -159,13 +167,27 @@ def doc_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     )
 
 
-def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3) -> DataFrame:
+def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
+                  max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (sid_a < sid_b, sim >= t).
 
     shingles equi-join -> per-pair intersection count -> sizes join ->
     |A∩B| / (|A|+|B|-|A∩B|).  Output columns: sid_a, sid_b, jaccard.
+
+    ``max_df`` drops stop-shingles (document frequency > max_df) BEFORE
+    the self-join; sizes count only kept shingles, so the result is exact
+    Jaccard over the informative-shingle sets.  The self-join's output is
+    Σ df² over kept shingles ≤ max_df · Σ df — LINEAR in corpus size for
+    constant max_df, vs quadratic in the df of the worst boilerplate
+    shingle ungated.  Leave None only for bounded inputs; for open-corpus
+    scale prefer lsh_verified_pairs (candidates-then-verify).
     """
     sh = doc_shingles(df, n)
+    if max_df is not None:
+        dfreq = (sh.groupBy("shingle")
+                 .agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") <= max_df))
+        sh = sh.join(dfreq.select("shingle"), "shingle")
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.alias("a")

@@ -221,7 +221,8 @@ def graph_components(relations: DataFrame) -> DataFrame:
 
 def pagerank(relations: DataFrame, iters: int = 3,
              damping: float = 0.85,
-             broadcast_ranks: bool = True) -> DataFrame:
+             broadcast_ranks: bool = True,
+             checkpoint_every: int = 3) -> DataFrame:
     """Fixed-iteration PageRank over a relations frame (start_key ->
     end_key directed edges): ``pr'(v) = (1-d)/N + d * sum_{u->v}
     pr(u)/out_deg(u)``, starting uniform at 1/N.  Dangling-node mass
@@ -240,8 +241,9 @@ def pagerank(relations: DataFrame, iters: int = 3,
     of every join: a metadata graph's vertex frame is KB-sized, and the
     hint turns 3 iterations of sort-merge-join chains into map-side
     broadcast joins against the one persisted edge list.  For web-scale
-    graphs pass False (ranks no longer fit in one executor) and
-    checkpoint every few iterations to truncate lineage.
+    graphs pass False (ranks no longer fit in one executor); lineage is
+    truncated with ``localCheckpoint`` every ``checkpoint_every``
+    iterations either way.
     """
     edges = relations.select(F.col("start_key").alias("src"),
                              F.col("end_key").alias("dst"))
@@ -255,7 +257,7 @@ def pagerank(relations: DataFrame, iters: int = 3,
     n = nodes.count()
     teleport = F.lit((1.0 - damping) / n)
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (e.join(hint(pr), e.src == pr.node_key)
                     .select(F.col("dst").alias("node_key"),
                             (F.col("pr") / F.col("out_deg")).alias("c"))
@@ -265,4 +267,9 @@ def pagerank(relations: DataFrame, iters: int = 3,
               .select("node_key",
                       (teleport + F.lit(damping)
                        * F.coalesce("in_mass", F.lit(0.0))).alias("pr")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            # Bound plan lineage: each unrolled iteration otherwise nests
+            # the previous plan, and optimizer time grows superlinearly
+            # with iteration count.  Values are unchanged.
+            pr = pr.localCheckpoint(eager=True)
     return pr.select("node_key", F.round("pr", 6).alias("pagerank"))

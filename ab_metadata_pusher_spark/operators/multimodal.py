@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["with_binary_payload", "decode_features", "DECODE_SCHEMA",
-           "resize_payload", "sample_frames", "RESIZE_SCHEMA", "FRAME_SCHEMA"]
+           "IMAGE_SCHEMA", "resize_payload", "sample_frames",
+           "RESIZE_SCHEMA", "FRAME_SCHEMA"]
 
 
 def with_binary_payload(documents: DataFrame) -> DataFrame:
@@ -49,19 +50,80 @@ DECODE_SCHEMA = T.StructType([
 ])
 
 
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mode", T.StringType()),
+    T.StructField("img_format", T.StringType()),
+    T.StructField("byte_len", T.IntegerType()),
+])
+
+
+def _decode_image_pil(multimodal: DataFrame) -> DataFrame:
+    """Real image decode via Pillow (optional dependency): width/height/
+    mode/format per payload, Arrow-batched.  Raises NotImplementedError
+    at PLAN time when Pillow is absent, so callers fail fast on the
+    driver instead of per-task on executors."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "codec 'pil' requires pillow (`pip install pillow`); this "
+            "runtime does not have it — use codec='stub' for the "
+            "deterministic byte-level features") from exc
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "mode": [],
+                   "img_format": [], "byte_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                out["doc_id"].append(doc_id)
+                out["byte_len"].append(len(b))
+                try:
+                    with Image.open(io.BytesIO(b)) as img:
+                        out["width"].append(img.width)
+                        out["height"].append(img.height)
+                        out["mode"].append(img.mode)
+                        out["img_format"].append(img.format or "")
+                except Exception:  # undecodable payload -> sentinel row
+                    out["width"].append(-1)
+                    out["height"].append(-1)
+                    out["mode"].append("")
+                    out["img_format"].append("")
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pdf_out["width"].astype("int32")
+            pdf_out["height"] = pdf_out["height"].astype("int32")
+            pdf_out["byte_len"] = pdf_out["byte_len"].astype("int32")
+            yield pdf_out
+
+    return (multimodal.select("doc_id", "payload")
+            .mapInPandas(extract, IMAGE_SCHEMA))
+
+
 def decode_features(multimodal: DataFrame, codec: str = "stub") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``codec="stub"`` computes deterministic byte statistics (the plumbing
-    under test).  Any real codec name raises NotImplementedError at plan
-    time — swap in PIL/librosa here when the runtime has them.
+    under test).  ``codec="pil"`` decodes real image metadata via Pillow
+    when installed (NotImplementedError otherwise).  Other codec names
+    (audio/video) raise NotImplementedError — add librosa/av dispatch
+    here when the runtime has them.
     """
+    if codec == "pil":
+        return _decode_image_pil(multimodal)
     if codec != "stub":
-        # REAL-DECODER HOOK: `pip install pillow librosa av` in a real
+        # REAL-DECODER HOOK: `pip install librosa av` in a real
         # deployment and dispatch on mime type here.
         raise NotImplementedError(
             f"codec {codec!r}: real decoders are not available in this "
-            "container; only the deterministic 'stub' codec is implemented")
+            "container; only 'stub' (and 'pil' when pillow is installed) "
+            "are implemented")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

@@ -25,7 +25,7 @@ from pyspark.sql import Window
 
 __all__ = ["dot", "l2_norm", "cosine", "topk_cosine_bruteforce",
            "hyperplanes", "ann_lsh_topk", "embedding_near_dup_pairs",
-           "ivf_centroids", "ann_ivf_topk"]
+           "embedding_near_dup_pairs_lsh", "ivf_centroids", "ann_ivf_topk"]
 
 
 def _dbl(col: Column) -> Column:
@@ -137,7 +137,9 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cosine >= t).
 
     Brute-force pair scan blocked by label (the natural partition key in
-    the fixture); at 100 TB the blocking key becomes an LSH bucket.
+    the fixture); kept as the bounded-input / recall-baseline form — the
+    scale path is ``embedding_near_dup_pairs_lsh`` (hyperplane-bucketed,
+    no label dependence).
     """
     a = corpus.select(F.col("vec_id").alias("vec_a"),
                       F.col("embedding").alias("ea"), F.col("label").alias("la"))
@@ -146,6 +148,47 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cosine_sim", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+    )
+
+
+def embedding_near_dup_pairs_lsh(corpus: DataFrame, threshold: float,
+                                 n_planes: int = 6, n_tables: int = 4,
+                                 dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by multi-table hyperplane
+    LSH — the 100 TB shape (no reliance on a label/partition column).
+
+    ``n_tables`` independent hash tables of ``n_planes`` signed
+    projections each; a pair is a candidate if it shares a bucket in ANY
+    table (recall 1-(1-(1-θ/π)^p)^L, tunable), and only candidates pay
+    the exact-cosine verify.  Plan: explode to (table, bucket) keys ->
+    one hash equi-join -> distinct pairs -> verify.  Candidates per
+    vector ~ n_tables * corpus / 2^n_planes, never corpus².
+    """
+    all_planes = hyperplanes(n_tables * n_planes, dim)
+    tables = [all_planes[t * n_planes:(t + 1) * n_planes]
+              for t in range(n_tables)]
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 _bucket(F.col("embedding"), tables[t]).alias("bkt"))
+        for t in range(n_tables)])
+    keyed = (corpus.select("vec_id", "embedding",
+                           F.explode(buckets).alias("b"))
+             .select("vec_id", "embedding",
+                     F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt")))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bkt") == F.col("b.bkt"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.embedding").alias("ea"),
+                F.col("b.embedding").alias("eb"))
+        .distinct())
+    return (
+        cand.withColumn("cosine_sim", cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )

@@ -392,7 +392,12 @@ def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .select(F.col("dst").alias("node"),
                             F.lit(step).alias("dist"))
                     .distinct()
-                    .join(F.broadcast(visited), "node", "left_anti"))
+                    .join(F.broadcast(visited), "node", "left_anti")
+                    # each step's frontier feeds TWO consumers (next
+                    # anti-join + visited union); checkpointing it keeps
+                    # lineage depth constant per step instead of nesting
+                    # every prior step's join chain twice.
+                    .localCheckpoint(eager=True))
         visited = visited.union(frontier)
     return visited
 

@@ -93,11 +93,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_T = 0.6
 
+#: Stop-shingle guard: shingles seen in more than this many docs are
+#: boilerplate and excluded from the exact-Jaccard join on BOTH sides.
+_JACCARD_MAX_DF = 100
+
 _JACCARD_SQL = "WITH " + _CORPUS_CTE + "," + _SHINGLES_CTE + f""",
-sizes AS (SELECT sid, count(*) AS n_shingles FROM sh GROUP BY sid),
+kept AS (
+  SELECT sid, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= {_JACCARD_MAX_DF})
+),
+sizes AS (SELECT sid, count(*) AS n_shingles FROM kept GROUP BY sid),
 inter AS (
   SELECT a.sid AS sid_a, b.sid AS sid_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.sid < b.sid
   GROUP BY a.sid, b.sid
 )
 SELECT sid_a, sid_b,
@@ -113,8 +122,14 @@ WHERE n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter) >= {_JACCARD_T}
 @register("dedup_ngram_jaccard", oracle=_JACCARD_SQL,
           covers=("G.dedup.jaccard",))
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.6)."""
-    return D.jaccard_pairs(_doc_corpus(spark, sf_dir), _JACCARD_T)
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.6) over
+    informative shingles: document frequency > max_df marks a shingle as
+    boilerplate and drops it before the self-join, bounding the join
+    output to max_df x total shingles (linear in corpus).  The unguarded
+    exact-all-pairs form stays available as D.jaccard_pairs(max_df=None)
+    for bounded inputs."""
+    return D.jaccard_pairs(_doc_corpus(spark, sf_dir), _JACCARD_T,
+                           max_df=_JACCARD_MAX_DF)
 
 
 def _minhash_sql(k: int = 16, bands: int = 4) -> str:
@@ -229,23 +244,58 @@ ecorpus AS (
 _NEARDUP_T = 0.9
 
 
+def _neardup_lsh_sql(n_planes: int = 6, n_tables: int = 4,
+                     dim: int = 64) -> str:
+    """Oracle for the LSH-bucketed near-dup path, generated from the SAME
+    deterministic planes as the Spark operator: per-table bucket bits,
+    bucket equi-join, distinct candidate pairs, exact-cosine verify."""
+    all_planes = S.hyperplanes(n_tables * n_planes, dim)
+
+    def arr(p):
+        return "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+
+    def bucket(tbl):
+        planes = all_planes[tbl * n_planes:(tbl + 1) * n_planes]
+        return " + ".join(
+            f"(CASE WHEN list_inner_product(v, {arr(p)}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+
+    keyed = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {t} AS tbl, ({bucket(t)}) AS bkt FROM ev"
+        for t in range(n_tables))
+    return ("WITH " + _EMB_CORPUS_CTE + f""",
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM ecorpus),
+kb AS (
+{keyed}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM kb a JOIN kb b
+    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_cosine_similarity(av.v, bv.v), 4) AS cosine_sim
+FROM cand
+JOIN ev av ON av.vec_id = vec_a
+JOIN ev bv ON bv.vec_id = vec_b
+WHERE list_cosine_similarity(av.v, bv.v) >= {_NEARDUP_T}
+""")
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle="WITH " + _EMB_CORPUS_CTE + f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 4)
-         AS cosine_sim
-FROM ecorpus a
-JOIN ecorpus b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= {_NEARDUP_T}
-""",
+    oracle=_neardup_lsh_sql(),
     covers=("G.dedup.embedding",),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (label-blocked brute force)."""
-    return S.embedding_near_dup_pairs(_emb_corpus(spark, sf_dir), _NEARDUP_T)
+    """Embedding-cosine near-dup pairs, multi-table hyperplane-LSH
+    blocked (operators/similarity.py embedding_near_dup_pairs_lsh) —
+    candidates come from bucket equi-joins, never an all-pairs or
+    label-partitioned scan, so the shape holds with no label column and
+    at corpus scale.  The oracle recomputes the same buckets in SQL."""
+    return S.embedding_near_dup_pairs_lsh(_emb_corpus(spark, sf_dir),
+                                          _NEARDUP_T)
 
 
 @register(

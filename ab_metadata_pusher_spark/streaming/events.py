@@ -180,10 +180,19 @@ def dedup_within_watermark(events: DataFrame,
     )
 
 
-def foreach_batch_publish(events: DataFrame, publisher, tag: str):
+def foreach_batch_publish(events: DataFrame, publisher, tag: str,
+                          distributed: bool = True):
     """Streaming -> SQS: each micro-batch is packed into chunked envelopes
-    and sent via the batch publisher (records ride in the ``nodes`` slot).
-    Returns the started StreamingQuery (AvailableNow: one tick).
+    and sent (records ride in the ``nodes`` slot).  Returns the started
+    StreamingQuery (AvailableNow: one tick).
+
+    ``distributed=True`` (default) sends executor-side via
+    ``SqsPublisher.publish_distributed`` — each partition packs and ships
+    its own envelopes, so batch size is bounded by partition size, not
+    driver memory.  ``distributed=False`` collects to the driver first:
+    only for metadata-sized batches that must land as ONE contiguous
+    chunk sequence (the reference's publish contract,
+    publisher/aws_sqs_csv_puiblisher.py).
 
     Deployment note: without ``option("checkpointLocation", ...)`` every
     tick replays the full source (verified: a second AvailableNow run
@@ -193,9 +202,14 @@ def foreach_batch_publish(events: DataFrame, publisher, tag: str):
     from ab_metadata_pusher_spark.sinks.envelope import pack_envelopes
 
     def publish_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_tag = f"{tag}-batch{batch_id}"
+        if distributed:
+            empty = batch_df.sparkSession.createDataFrame(
+                [], batch_df.schema)
+            publisher.publish_distributed(batch_df, empty, batch_tag)
+            return
         records = [r.asDict(recursive=True) for r in batch_df.collect()]
-        bodies = pack_envelopes(records, [], f"{tag}-batch{batch_id}",
-                                publisher.max_bytes)
+        bodies = pack_envelopes(records, [], batch_tag, publisher.max_bytes)
         publisher.send_bodies(publisher.client_factory(), bodies)
 
     return (events.writeStream.foreachBatch(publish_batch)

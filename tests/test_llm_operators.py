@@ -61,9 +61,37 @@ def test_decode_features_match_python_reference(spark, sf_dir):
 
 
 def test_real_codec_raises(spark, sf_dir):
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("pillow installed: codec='pil' is implemented here")
+    except ImportError:
+        pass
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(NotImplementedError, match="pil"):
         M.decode_features(M.with_binary_payload(docs), codec="pil")
+
+
+def _bmp_1x1_red() -> bytes:
+    """Handcrafted 58-byte 1x1 24-bit BMP (no codec needed to build it)."""
+    import struct
+    header = struct.pack("<2sIHHI", b"BM", 58, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 2835, 2835, 0, 0)
+    pixels = bytes([0, 0, 255, 0])  # BGR + row padding to 4 bytes
+    return header + dib + pixels
+
+
+def test_decode_features_pil_real_codec(spark):
+    """Real-image decode path: only runs where pillow is installed (the
+    container under test lacks it — the plumbing still ships)."""
+    pytest.importorskip("PIL")
+    mm = spark.createDataFrame(
+        [(1, bytearray(_bmp_1x1_red())), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary")
+    rows = {r.doc_id: r for r in
+            M.decode_features(mm, codec="pil").collect()}
+    assert rows[1].width == 1 and rows[1].height == 1
+    assert rows[1].img_format == "BMP"
+    assert rows[2].width == -1  # undecodable -> sentinel, no task failure
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):

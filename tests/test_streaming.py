@@ -15,13 +15,16 @@ from ab_metadata_pusher_spark.streaming import events as E
 from tests.test_sinks import StubSqsClient
 
 
-def test_foreach_batch_publish(spark, sf_dir):
+def test_foreach_batch_publish_driver_mode(spark, sf_dir):
+    """distributed=False: the reference-parity contiguous-chunk publish —
+    one collect, one envelope sequence per micro-batch."""
     stub = StubSqsClient()
     publisher = SqsPublisher("https://queue/stream", lambda: stub,
                              max_bytes=32 * 1024)
     stream = E.events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type")
-    q = E.foreach_batch_publish(stream, publisher, tag="tick1")
+    q = E.foreach_batch_publish(stream, publisher, tag="tick1",
+                                distributed=False)
     q.awaitTermination()
 
     assert stub.batches, "no batches published"
@@ -30,6 +33,51 @@ def test_foreach_batch_publish(spark, sf_dir):
         for e in batch["Entries"]:
             env = json.loads(e["MessageBody"])
             assert env["tag"].startswith("tick1-batch")
+            assert len(e["MessageBody"].encode()) <= 32 * 1024
+            total += len(env["nodes"])
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == n_events
+
+
+def test_foreach_batch_publish_distributed(spark, sf_dir, tmp_path):
+    """distributed=True (default): every partition packs and sends its own
+    envelopes executor-side — no driver collect in the corpus path."""
+    spool = str(tmp_path)
+
+    # Defined inside the test so cloudpickle ships it BY VALUE to the
+    # Python workers (test modules aren't importable there).  Each
+    # send_message_batch writes one JSON file into spool_dir — local
+    # workers share the FS, so the driver-side test reads everything back.
+    class FileSpoolSqsClient:
+        def __init__(self, spool_dir: str) -> None:
+            self.spool_dir = spool_dir
+
+        def send_message_batch(self, QueueUrl, Entries):
+            import json as _json
+            import os
+            import uuid
+            path = os.path.join(self.spool_dir, uuid.uuid4().hex + ".json")
+            with open(path, "w") as f:
+                _json.dump({"QueueUrl": QueueUrl, "Entries": Entries}, f)
+            return {}
+
+    publisher = SqsPublisher("https://queue/stream",
+                             lambda: FileSpoolSqsClient(spool),
+                             max_bytes=32 * 1024)
+    stream = E.events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type")
+    q = E.foreach_batch_publish(stream, publisher, tag="tick2")
+    q.awaitTermination()
+
+    import pathlib
+    total = 0
+    files = list(pathlib.Path(spool).glob("*.json"))
+    assert files, "no executor-side batches spooled"
+    for p in files:
+        batch = json.loads(p.read_text())
+        for e in batch["Entries"]:
+            env = json.loads(e["MessageBody"])
+            assert env["tag"].startswith("tick2-batch")
             assert len(e["MessageBody"].encode()) <= 32 * 1024
             total += len(env["nodes"])
     n_events = load_table(spark, sf_dir, "events").count()
