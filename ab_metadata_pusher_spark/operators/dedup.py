@@ -37,7 +37,8 @@ __all__ = [
 
 
 def cluster_labels(keys: DataFrame, key_cols: list[str],
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   shuffle_partitions: int | None = None) -> DataFrame:
     """Connected-component cluster ids from one or more key families.
 
     Persists ``keys`` for the duration — each key family reads it twice
@@ -45,6 +46,10 @@ def cluster_labels(keys: DataFrame, key_cols: list[str],
     extraction (md5 over every shingle) would replay once per read.
     Per-family edge lists are deduplicated once, inside
     :func:`connected_components`, not per family.
+
+    ``shuffle_partitions`` passes through to the propagation loop: size
+    it to the label-frame CARDINALITY (~rows/1e6), not CPU count —
+    near-empty partitions cost per-iteration scheduling, not speed.
     """
     keys.persist()
     edges = None
@@ -53,7 +58,8 @@ def cluster_labels(keys: DataFrame, key_cols: list[str],
             F.col(kc).isNotNull()), kc, id_col)
         edges = fam if edges is None else edges.unionByName(fam)
     labels = connected_components(
-        keys.select(F.col(id_col).alias("id")), edges)
+        keys.select(F.col(id_col).alias("id")), edges,
+        shuffle_partitions=shuffle_partitions)
     keys.unpersist()
     return labels
 

@@ -104,7 +104,9 @@ def _clusters_full(docs):
     keys = X.fingerprint(docs).select(
         "doc_id", F.col("md5_full").alias("k1"),
         F.col("min_shingle_hash").alias("k2"))
-    return D.cluster_labels(keys, ["k1", "k2"])
+    # label frame is document-count-sized (5k at sf0.1): 8 shuffle
+    # partitions beat 32 near-empty ones in the propagation loop
+    return D.cluster_labels(keys, ["k1", "k2"], shuffle_partitions=8)
 
 
 def main() -> None:
