@@ -358,3 +358,47 @@ def q_sessionize_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("session_window.end")
                      .cast("timestamp_ntz").alias("session_end"),
                     "n_events"))
+
+
+_INCR_ROLLUP_SQL = """
+WITH base AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+         value, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT bucket, event_type,
+       count(*) AS n_events,
+       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100 AS total_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST((CAST(sum(cents) AS BIGINT) * 200 + count(*))
+            // (2 * count(*)) AS DOUBLE) / 10000 AS avg_value
+FROM base
+GROUP BY bucket, event_type
+"""
+
+
+@register("rollup_incremental_merge", oracle=_INCR_ROLLUP_SQL,
+          covers=("G.rollup.incremental",))
+def q_rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate REFRESH semantics (operators/rollup.py): the
+    event history is split into three disjoint batches (stored state +
+    two arriving refreshes), each aggregated to mergeable per-bucket
+    partials independently, then merged and finalized.  The oracle
+    aggregates all events in ONE pass — the driver therefore verifies
+    the core continuous-aggregate invariant: any batch split reproduces
+    the single-pass answer exactly (fixed-point cent sums make this hold
+    bit-for-bit; double sums would drift with merge order).
+
+    At 100 TB the stored partials live bucketed-by-time on disk and each
+    refresh touches only the arriving batch plus the merge over
+    partial-sized state — never the event history.  The reference's
+    equivalent is a full recompute per cron tick (crontab:1).
+    """
+    from ab_metadata_pusher_spark.operators.rollup import (
+        bucket_partials, finalize_rollup, merge_partials,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batches = [ev.filter(F.col("event_id") % 3 == k) for k in range(3)]
+    parts = [bucket_partials(b) for b in batches]
+    return finalize_rollup(merge_partials(*parts))

@@ -192,3 +192,31 @@ def test_asof_cogrouped_prefix_collision_raises(spark):
     right = spark.createDataFrame([(1, _ts(0))], "k int, ts timestamp_ntz")
     with pytest.raises(ValueError, match="collision"):
         asof_join_cogrouped(left, right, key="k")
+
+
+def test_incremental_rollup_parquet_round_trip(spark, sf_dir, tmp_path):
+    """The production refresh cycle: aggregate a first batch to partials,
+    PERSIST them to parquet (the stored continuous-aggregate state), then
+    merge the read-back state with a new batch's partials — the result
+    must equal the single-pass aggregate over all events, bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators.rollup import (
+        bucket_partials, finalize_rollup, merge_partials,
+    )
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 5 != 0)
+    new = ev.filter(F.col("event_id") % 5 == 0)
+
+    state_path = str(tmp_path / "rollup_state")
+    bucket_partials(old).write.parquet(state_path)
+    stored = spark.read.parquet(state_path)
+
+    refreshed = finalize_rollup(merge_partials(stored, bucket_partials(new)))
+    single_pass = finalize_rollup(bucket_partials(ev))
+
+    got = {tuple(r) for r in refreshed.collect()}
+    want = {tuple(r) for r in single_pass.collect()}
+    assert got == want
