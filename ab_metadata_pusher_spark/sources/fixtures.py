@@ -20,7 +20,27 @@ FIXTURE_TABLES: tuple[str, ...] = (
 )
 
 
-def _normalize_event_ts(df: DataFrame) -> DataFrame:
+def _long_ts_divisor(sf_dir: str) -> int:
+    """Micros-per-unit divisor for a long-typed ``events.ts``.
+
+    Prefer the parquet footer's logical annotation (pyarrow sees
+    TIMESTAMP(NANOS) even when Spark surfaces it as long); for a raw
+    unannotated int64, fall back to a magnitude heuristic — epoch
+    nanos ~1e18, micros ~1e15, millis ~1e12 for current dates.
+    """
+    try:
+        import pyarrow.parquet as pq
+        unit = str(pq.read_schema(f"{sf_dir}/events.parquet")
+                   .field("ts").type)
+    except Exception:  # multi-file dir / no pyarrow: assume nanos (r1)
+        return 1000
+    # negative divisor = multiply into micros
+    return {"timestamp[ns]": 1000, "timestamp[us]": 1,
+            "timestamp[ms]": -1000, "timestamp[s]": -1_000_000,
+            }.get(unit, 1000)  # unannotated int64: driver r1 shipped nanos
+
+
+def _normalize_event_ts(df: DataFrame, sf_dir: str) -> DataFrame:
     """Normalize ``events.ts`` to TIMESTAMP_NTZ whatever the file encoding.
 
     The driver has shipped events.parquet with ``ts`` as parquet
@@ -33,9 +53,11 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     if dtype is None:
         return df
     if dtype == "bigint":
-        # nanos-as-long → microsecond TIMESTAMP_NTZ (DuckDB's ns->us cast).
+        div = _long_ts_divisor(sf_dir)
+        micros = (F.expr(f"ts DIV {div}") if div > 0
+                  else F.col("ts") * F.lit(-div))
         return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"))
+            "ts", F.timestamp_micros(micros).cast("timestamp_ntz"))
     if dtype != "timestamp_ntz":
         return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
@@ -54,7 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = _normalize_event_ts(df)
+        df = _normalize_event_ts(df, sf_dir)
     return df
 
 
