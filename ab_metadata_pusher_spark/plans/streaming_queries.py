@@ -169,11 +169,16 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range condition and
     watermarks on both sides (bounded join state); over the AvailableNow
-    replay the result equals the batch range join."""
+    replay the result equals the batch range join.
+
+    Join state = the 10-minute watermark horizon per side, keyed by
+    user_id — tiny next to the stream, so the state-store count (one per
+    shuffle partition) is sized to 4, not CPU count (3.9s -> 2.3s at
+    sf0.1; same sizing rule as run_to_memory documents)."""
     return E.run_to_memory(
         E.stream_stream_purchase_clicks(
             E.events_stream(spark, sf_dir), E.events_stream(spark, sf_dir)),
-        output_mode="append")
+        output_mode="append", shuffle_partitions=4)
 
 
 @register(
