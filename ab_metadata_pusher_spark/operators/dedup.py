@@ -31,7 +31,8 @@ from ab_metadata_pusher_spark.operators.text import shingle_array, tokens
 
 __all__ = [
     "exact_dedup_keep_min", "doc_shingles", "jaccard_pairs",
-    "minhash_signatures", "lsh_candidate_pairs", "simhash", "simhash_pairs",
+    "containment_pairs", "minhash_signatures", "lsh_candidate_pairs",
+    "simhash", "simhash_pairs",
     "star_edges", "connected_components", "cluster_labels",
 ]
 
@@ -214,6 +215,45 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
         .filter(F.col("jaccard") >= threshold)
         .select("sid_a", "sid_b", "jaccard")
     )
+
+
+def containment_pairs(df: DataFrame, threshold: float, n: int = 3,
+                      max_df: int = 100) -> DataFrame:
+    """Shingle-containment near-dup pairs: C = |A∩B| / min(|A|, |B|).
+
+    Catches SUBSET duplication — a short document embedded inside a long
+    one — which both Jaccard (|A∩B|/|A∪B| stays small) and MinHash (it
+    approximates Jaccard) systematically miss; containment is the
+    measure CCNet-style pipelines use for quote/boilerplate inclusion.
+
+    Candidates come from the same df-gated shingle equi-join as
+    :func:`jaccard_pairs` (stop-shingles dropped first, join output ≤
+    max_df · Σdf — linear in corpus), scored by intersection over the
+    SMALLER shingle set.  Output: sid_a, sid_b, containment (>= t).
+    """
+    sh = doc_shingles(df, n)
+    dfreq = (sh.groupBy("shingle")
+             .agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") <= max_df))
+    kept = sh.join(dfreq.select("shingle"), "shingle")
+    sizes = kept.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("sid_a"), F.col("b.sid").alias("sid_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("sid").alias("sid_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("sid").alias("sid_b"), F.col("n_sh").alias("nb"))
+    d = F.least("na", "nb")
+    # 4-decimal score via half-up INTEGER division — engine-exact where
+    # round(double, 4) can straddle a half boundary (see function_queries
+    # map_higher_order_funcs for the same discipline).
+    score = F.floor((F.col("n_inter") * 20000 + d) / (d * 2)) / 10000.0
+    return (inter.join(sa, "sid_a").join(sb, "sid_b")
+            .withColumn("containment", score)
+            .filter(F.col("containment") >= threshold)
+            .select("sid_a", "sid_b", "containment"))
 
 
 def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3) -> DataFrame:

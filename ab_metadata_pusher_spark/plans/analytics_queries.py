@@ -336,18 +336,29 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The adjacency form never materializes wedges: the wedge join's
     O(Σ deg²) intermediate (the scale killer — measured 4× slower at
     sf0.1 HERE, and it only worsens with skew) becomes an O(deg)
-    in-memory merge per edge.  At 100 TB: orient by (degree, id)
-    instead of id so every out-list is ≤ O(√m), cap/salt residual
-    hubs, and the two adjacency joins shuffle edge-sized rows only."""
-    e = _cooccur_edges(spark, sf_dir).cache()
+    in-memory merge per edge.  The adjacency map is built DIRECTLY from
+    the per-order pair expansion (collect_set dedupes cross-order
+    repeats), so the only corpus-sized shuffle is that one groupBy — the
+    edge list is derived by exploding the (cached, node-count-sized)
+    adjacency, never shuffled or deduplicated separately.  At 100 TB:
+    orient by (degree, id) instead of id so every out-list is ≤ O(√m),
+    cap/salt residual hubs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per = (li.groupBy("l_orderkey")
+           .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pairs = per.select(F.explode(F.flatten(F.transform(
+        "ps", lambda x, i: F.transform(
+            F.slice("ps", i + F.lit(2), F.size("ps")),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))).alias("p")) \
+        .select("p.a", "p.b")
+    adj = (pairs.groupBy("a")
+           .agg(F.sort_array(F.collect_set("b")).alias("nbrs")).cache())
+    e = adj.select("a", F.explode("nbrs").alias("b"))
+    n_edges = adj.agg(F.sum(F.size("nbrs")).alias("n_edges"))
     nodes = (e.select(F.col("a").alias("n"))
              .union(e.select("b")).distinct()
              .agg(F.count(F.lit(1)).alias("n_nodes")))
-    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    adj = (e.groupBy("a")
-           .agg(F.sort_array(F.collect_list("b")).alias("nbrs")))
-    tri = (e.join(adj.select(F.col("a").alias("a"),
-                             F.col("nbrs").alias("na")), "a")
+    tri = (e.join(adj.select(F.col("a"), F.col("nbrs").alias("na")), "a")
            .join(adj.select(F.col("a").alias("b"),
                             F.col("nbrs").alias("nb")), "b")
            .agg(F.sum(F.size(F.array_intersect("na", "nb")))

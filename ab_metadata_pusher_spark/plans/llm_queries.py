@@ -1728,3 +1728,91 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("doc_id", "n_chars",
                      F.row_number().over(w).alias("rank"))
             .filter(F.col("rank") <= 50))
+
+
+_CONTAINMENT_T = 0.8
+
+_CONTAINMENT_SQL = "WITH " + _CORPUS_CTE + "," + _SHINGLES_CTE + f""",
+kept AS (
+  SELECT sid, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= {_JACCARD_MAX_DF})
+),
+sizes AS (SELECT sid, count(*) AS n_sh FROM kept GROUP BY sid),
+inter AS (
+  SELECT a.sid AS sid_a, b.sid AS sid_b, count(*) AS n_inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.sid < b.sid
+  GROUP BY a.sid, b.sid
+)
+SELECT sid_a, sid_b,
+       CAST((n_inter * 20000 + least(sa.n_sh, sb.n_sh))
+            // (2 * least(sa.n_sh, sb.n_sh)) AS DOUBLE) / 10000
+         AS containment
+FROM inter
+JOIN sizes sa ON sa.sid = sid_a
+JOIN sizes sb ON sb.sid = sid_b
+WHERE CAST((n_inter * 20000 + least(sa.n_sh, sb.n_sh))
+           // (2 * least(sa.n_sh, sb.n_sh)) AS DOUBLE) / 10000
+      >= {_CONTAINMENT_T}
+"""
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_SQL,
+          covers=("G.dedup.containment",))
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment near-dup pairs (|A∩B| / min(|A|,|B|) >= 0.8):
+    catches a short document EMBEDDED in a long one — the subset-
+    duplication case Jaccard and MinHash both miss by construction
+    (operators/dedup.py containment_pairs; same df-gated shingle join as
+    the jaccard path, different score)."""
+    return D.containment_pairs(_doc_corpus(spark, sf_dir), _CONTAINMENT_T,
+                               max_df=_JACCARD_MAX_DF)
+
+
+_CORPUS_DIFF_SQL = """
+WITH old AS (SELECT doc_id, md5(text) AS digest FROM documents
+             WHERE doc_id % 10 <> 0),
+new AS (SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0
+                        THEN substr(text, instr(text, ' ') + 1)
+                        ELSE text END) AS digest
+        FROM documents WHERE doc_id % 10 <> 1)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.digest <> n.digest
+"""
+
+
+@register("corpus_snapshot_diff", oracle=_CORPUS_DIFF_SQL,
+          covers=("G.corpus.diff",))
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff by content digest: added / removed / changed
+    docs between two corpus snapshots (old = ids % 10 != 0; new = ids %
+    10 != 1 with every 7th doc's text mutated).  One full-outer join on
+    doc_id comparing 16-byte digests — the shuffle carries digests, not
+    documents, so diffing two 100 TB snapshots costs two digest scans +
+    one id-keyed join.  The corpus twin of metadata_snapshot_diff: this
+    is how a training-data pipeline audits what a rebuild changed."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = (docs.filter(F.col("doc_id") % 10 != 0)
+           .select("doc_id", F.md5(F.col("text").cast("binary"))
+                   .alias("digest")))
+    mutated = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.expr("substring(text, instr(text, ' ') + 1)")).otherwise(
+        F.col("text"))
+    new = (docs.filter(F.col("doc_id") % 10 != 1)
+           .select("doc_id", F.md5(mutated.cast("binary")).alias("digest")))
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    status = (F.when(F.col("o.doc_id").isNull(), "added")
+              .when(F.col("n.doc_id").isNull(), "removed")
+              .otherwise("changed"))
+    return (joined
+            .filter(F.col("o.doc_id").isNull() | F.col("n.doc_id").isNull()
+                    | (F.col("o.digest") != F.col("n.digest")))
+            .select(F.coalesce(F.col("o.doc_id"), F.col("n.doc_id"))
+                    .alias("doc_id"), status.alias("status")))

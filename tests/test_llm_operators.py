@@ -252,3 +252,23 @@ def test_pagerank_hand_computed_star(spark):
         pr_a = floor
     expect = {"a": round(floor, 6), "b": round(pr_b, 6), "c": round(pr_b, 6)}
     assert got == expect
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment
+    ~1.0 (flagged), jaccard = |A|/|B| (small, unflagged) — the case the
+    containment measure exists for."""
+    from ab_metadata_pusher_spark.operators.dedup import (
+        containment_pairs, jaccard_pairs,
+    )
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long_doc = filler + " " + short + " " + " ".join(
+        f"p{i} q{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id long, text string")
+    cont = {(r.sid_a, r.sid_b): r.containment
+            for r in containment_pairs(docs, 0.8).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.99
+    jac = jaccard_pairs(docs, 0.6).collect()
+    assert jac == []  # jaccard cannot see the inclusion
