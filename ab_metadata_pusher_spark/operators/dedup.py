@@ -311,23 +311,32 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
     """SimHash fingerprints: sid, simhash (bits-wide bigint).
 
     Distinct tokens vote +1/-1 per bit position of their 60-bit hash;
-    the sign vector packs into one integer.  bits sum-aggregates, all
-    map-side combinable.
+    the sign vector packs into one integer.  Computed as ONE projection
+    with array higher-order functions — per-doc token dedup is
+    ``array_distinct``, per-bit votes are ``filter``+``size`` over the
+    in-row hash array — so fingerprinting is completely shuffle-free
+    (the explode+distinct+groupBy formulation shuffles the token stream
+    twice; this touches each document once, map-side).  Token-less
+    documents are dropped, matching the exploded formulation.
     """
-    tok = (df.select(F.col(id_col).alias("sid"),
-                     F.explode(tokens(text_col)).alias("tok"))
-           .distinct()
-           .withColumn("h", md5_long(F.col("tok"))))
-    sums = tok.groupBy("sid").agg(*[
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
-              .otherwise(-1)).alias(f"s{j}")
-        for j in range(bits)
-    ])
+    hs = F.transform(F.array_distinct(tokens(text_col)),
+                     lambda t: md5_long(t))
+    base = (df.select(F.col(id_col).alias("sid"), hs.alias("hs"))
+            .filter(F.size("hs") > 0))
+    n = F.size("hs")
+
+    def bit_set(j):
+        # single-arg closure: a `j=j` default would make pyspark read the
+        # lambda as the two-arg (element, index) form
+        return lambda h: F.shiftright(h, j).bitwiseAND(1) == 1
+
     packed = None
     for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        ones = F.size(F.filter("hs", bit_set(j)))
+        # bit j set <=> vote sum (2*ones - n) > 0
+        term = F.when(ones * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
-    return sums.select("sid", packed.cast("long").alias("simhash"))
+    return base.select("sid", packed.cast("long").alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 6,
