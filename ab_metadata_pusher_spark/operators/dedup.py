@@ -256,19 +256,27 @@ def containment_pairs(df: DataFrame, threshold: float, n: int = 3,
             .select("sid_a", "sid_b", "containment"))
 
 
-def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
+def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
     """k-permutation MinHash signatures: sid, h0..h{k-1}.
 
-    One explode + one groupBy with k min-aggregates; every hash is the
-    affine transform (a_j*h + b_j) mod P over the doc's shingle hashes,
-    h = 60-bit md5 reduced mod P (cross-engine deterministic).
-
-    The distinct inside doc_shingles looks skippable (duplicate shingles
-    cannot change a min) but measures FASTER kept: its map-side partial
-    dedup shrinks the shuffle before the md5 + 16 affine transforms run,
-    which beats evaluating those expressions on every raw shingle.
+    Per-doc shingle dedup happens IN-ROW (``array_distinct`` before the
+    explode), so the global distinct's corpus-wide shingle shuffle is
+    gone — the one remaining shuffle is the groupBy with k min-aggregates
+    (map-side combinable, k longs per doc).  The md5 + affine transforms
+    run on the exploded rows where whole-stage codegen applies; a fully
+    array-native formulation (array_min over transform) was measured
+    SLOWER — higher-order-function lambdas are interpreted per element,
+    and 16 of them over every shingle cost more than the narrow groupBy
+    they avoid (the opposite trade from :func:`simhash`, whose per-bit
+    lambdas are cheap integer tests, not hashes).
     """
-    sh = doc_shingles(df, n).withColumn("h", md5_long(F.col("shingle")) % MERSENNE_P)
+    sh = (df.select(
+            F.col(id_col).alias("sid"),
+            F.explode(F.array_distinct(
+                shingle_array(tokens(text_col), n))).alias("shingle"))
+          .withColumn("h", md5_long(F.col("shingle")) % MERSENNE_P))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"h{j}")
         for j, (a, b) in enumerate(minhash_coeffs(k))
@@ -296,6 +304,9 @@ def lsh_candidate_pairs(df: DataFrame, k: int = 16, bands: int = 4,
                   .cast("binary")).alias("band_hash")))
     banded = sig.select("sid", F.explode(F.array(*band_cols)).alias("bd")) \
                 .select("sid", "bd.band_idx", "bd.band_hash")
+    # The self-join's two branches share the signature groupBy's exchange
+    # (ReusedExchange), so the hashing pipeline runs once despite the
+    # self-reference.
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(b_, (F.col("a.band_idx") == F.col("b.band_idx"))
