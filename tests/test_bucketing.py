@@ -225,3 +225,41 @@ def test_compaction_bin_packs_to_target_size(spark, sf_dir, tmp_path):
     assert len(files) == n_small
     mean = sum(f.stat().st_size for f in files) / len(files)
     assert 64 * 1024 / 4 < mean < 64 * 1024 * 4, mean
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """A hot key must trigger AQE's skew-join split (the no-code-change
+    alternative to manual salting): the final adaptive plan marks the
+    sort-merge join skew=true and reads the hot partition in slices.
+    Thresholds are scaled down to fixture size; on a real cluster the
+    256 MiB defaults fire the same rule."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(200_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("v"))
+        cold = spark.range(10_000).select(
+            (F.col("id") % 100 + 100).alias("k"), F.col("id").alias("v"))
+        right = spark.range(200).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = hot.unionByName(cold).join(right.hint("merge"), "k")
+        assert len(j.collect()) == 210_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
