@@ -159,3 +159,51 @@ def test_parquet_merge_schema_reads_evolved_epochs(spark, tmp_path):
     rows = {r["event_id"]: r for r in df.collect()}
     assert rows[1]["value"] is None and rows[3]["value"] == 1.5
     assert rows[1]["epoch"] == 1 and rows[3]["epoch"] == 2  # discovery
+
+
+def test_envelope_stream_reader_incremental_drain(spark, tmp_path):
+    """The streaming side of the envelope source: two publish waves, two
+    AvailableNow ticks sharing one checkpoint — the second tick must
+    consume ONLY the files that appeared after the first committed
+    offset (the incremental queue-drain contract)."""
+    import json as _json
+
+    from ab_metadata_pusher_spark.sinks.envelope import pack_envelopes
+    from ab_metadata_pusher_spark.sources.envelope_source import (
+        EnvelopeDataSource,
+    )
+
+    qdir = tmp_path / "queue"
+    qdir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = tmp_path / "out"
+
+    try:
+        spark.dataSource.register(EnvelopeDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    def publish(wave: int, keys: list[str]) -> None:
+        recs = [{"key": k, "wave": wave} for k in keys]
+        for i, body in enumerate(pack_envelopes(recs, [], f"w{wave}", 4096)):
+            (qdir / f"wave{wave}_{i:04d}.json").write_text(body)
+
+    def drain() -> None:
+        sdf = (spark.readStream.format("metadata_envelope")
+               .option("path", str(qdir)).load())
+        q = (sdf.writeStream.format("json")
+             .option("path", str(out)).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    publish(1, ["a", "b", "c"])
+    drain()
+    publish(2, ["d", "e"])
+    drain()
+
+    rows = [_json.loads(line)
+            for p in out.glob("*.json") for line in p.read_text().splitlines()]
+    keys = sorted(r["key"] for r in rows)
+    assert keys == ["a", "b", "c", "d", "e"], keys
+    tags = {r["tag"] for r in rows}
+    assert tags == {"w1", "w2"}
