@@ -402,3 +402,50 @@ def q_rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches = [ev.filter(F.col("event_id") % 3 == k) for k in range(3)]
     parts = [bucket_partials(b) for b in batches]
     return finalize_rollup(merge_partials(*parts))
+
+
+_INTERVAL_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT l_orderkey, l_linenumber,
+         l_shipdate AS s,
+         l_shipdate + to_days(CAST(l_quantity AS INTEGER)) AS e
+  FROM lineitem
+)
+SELECT a.l_orderkey AS orderkey,
+       a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+       a.s AS a_start, a.e AS a_end, b.s AS b_start, b.e AS b_end
+FROM iv a JOIN iv b
+  ON a.l_orderkey = b.l_orderkey
+ AND a.l_linenumber < b.l_linenumber
+ AND a.s <= b.e AND b.s <= a.e
+"""
+
+
+@register("join_interval_overlap", oracle=_INTERVAL_OVERLAP_SQL,
+          covers=("G.join.interval_overlap",))
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each lineitem carries a shipping window
+    [shipdate, shipdate + quantity days); emit pairs of items in the SAME
+    order whose windows overlap (a.start <= b.end AND b.start <= a.end).
+
+    The scale shape: the overlap predicate rides as a residual on a hash
+    equi-join over the grouping key, so fan-out is bounded by per-key
+    interval count (order size here) — never a global interval cross.
+    For interval sets with NO shared key, bin intervals to fixed-width
+    buckets first and equi-join on bucket (the join_range_binned
+    pattern); the residual predicate stays identical."""
+    iv = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber",
+                  F.col("l_shipdate").alias("s"),
+                  F.expr("timestampadd(DAY, CAST(l_quantity AS INT), "
+                         "l_shipdate)").alias("e")))
+    a, b = iv.alias("a"), iv.alias("b")
+    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+                   & (F.col("a.s") <= F.col("b.e"))
+                   & (F.col("b.s") <= F.col("a.e")))
+            .select(F.col("a.l_orderkey").alias("orderkey"),
+                    F.col("a.l_linenumber").alias("ln_a"),
+                    F.col("b.l_linenumber").alias("ln_b"),
+                    F.col("a.s").alias("a_start"), F.col("a.e").alias("a_end"),
+                    F.col("b.s").alias("b_start"), F.col("b.e").alias("b_end")))
