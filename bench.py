@@ -62,6 +62,9 @@ REGISTRY_BENCH = [
     "graph_triangles",
     "text_bm25",
     "join_temporal_dim",
+    "rollup_incremental_merge",
+    "join_interval_overlap",
+    "corpus_snapshot_diff",
 ]
 
 
@@ -94,6 +97,8 @@ def _unbounded_llm(spark, sf_dir):
         "text_repetition_full": lambda: X.repetition_features(docs),
         "text_pii_full": lambda: X.pii_redact(docs_raw),
         "dedup_clusters_full": lambda: _clusters_full(docs),
+        "dedup_containment_full": lambda: D.containment_pairs(
+            docs, 0.8, max_df=100),
     }
 
 
