@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["write_clustered", "file_key_ranges", "zorder_value",
-           "write_zordered", "write_compacted"]
+           "write_zordered", "write_compacted", "write_sharded_manifest"]
 
 
 def write_clustered(df: DataFrame, path: str, key: str,
@@ -111,3 +111,38 @@ def write_compacted(df: DataFrame, path: str, target_file_bytes: int,
     n = max(1, -(-int(est * size_ratio) // target_file_bytes))
     df.repartition(n).write.mode("overwrite").parquet(path)
     return n
+
+
+def write_sharded_manifest(df: DataFrame, path: str, id_col: str,
+                           n_shards: int = 16) -> DataFrame:
+    """Corpus release write: deterministic hash sharding + a verifiable
+    manifest — the publish step of a 100 TB corpus build.
+
+    Shard assignment is ``md5(id) % n_shards`` (a pure projection —
+    reproducible across engines, partitionings, and reruns, unlike
+    round-robin or file-order splits), written as one parquet directory
+    per shard.  The returned manifest has one row per shard:
+    ``shard, n_rows, content_digest`` where the digest is the BIT_XOR of
+    the per-row ``md5_long(id)`` values — an ORDER-INSENSITIVE,
+    overflow-free aggregate (ids are unique, so xor-cancellation needs a
+    hash collision), so
+    two corpus builds match iff their shard contents match, regardless
+    of task scheduling.  Consumers re-derive the digest with one scan to
+    prove a download/copy is complete before training starts.
+
+    One wide shuffle (repartition by shard) sizes output files; the
+    manifest aggregate is map-side combinable on top of the same
+    partitioning, so the verification metadata is nearly free.
+    """
+    from ab_metadata_pusher_spark.functions.hashing import md5_long
+
+    shard = (md5_long(F.col(id_col).cast("string")) % n_shards).alias("shard")
+    sharded = df.withColumn("shard", shard).repartition("shard")
+    (sharded.write.mode("overwrite").partitionBy("shard").parquet(path))
+    written = df.sparkSession.read.parquet(path)
+    return (written
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.bit_xor(md5_long(F.col(id_col).cast("string")))
+                  .alias("content_digest"))
+            .orderBy("shard"))

@@ -263,3 +263,32 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sharded_manifest_is_deterministic_and_verifiable(spark, sf_dir,
+                                                          tmp_path):
+    """Corpus release write: shard assignment must be reproducible across
+    reruns, every row lands in exactly one shard, and the manifest's
+    order-insensitive content digest must match an independent re-scan."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.functions.hashing import md5_long
+    from ab_metadata_pusher_spark.sinks.layout import write_sharded_manifest
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    m1 = write_sharded_manifest(
+        docs, str(tmp_path / "rel1"), "doc_id", n_shards=8).collect()
+    m2 = write_sharded_manifest(
+        docs, str(tmp_path / "rel2"), "doc_id", n_shards=8).collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+
+    total = sum(r.n_rows for r in m1)
+    assert total == docs.count()
+
+    # consumer-side verification: re-derive one shard's digest by scan
+    shard0 = spark.read.parquet(str(tmp_path / "rel1")) \
+        .filter(F.col("shard") == m1[0].shard)
+    redigest = shard0.agg(
+        F.bit_xor(md5_long(F.col("doc_id").cast("string")))).collect()[0][0]
+    assert redigest == m1[0].content_digest
