@@ -94,6 +94,8 @@ def _unbounded_llm(spark, sf_dir):
             emb, emb.filter(F.col("vec_id") < 8), k=10),
         "similarity_ann_full": lambda: S.ann_lsh_topk(
             emb, emb.filter(F.col("vec_id") < 8), k=10),
+        "similarity_ivf_full": lambda: S.ann_ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 8), k=10),
         "text_repetition_full": lambda: X.repetition_features(docs),
         "text_pii_full": lambda: X.pii_redact(docs_raw),
         "dedup_clusters_full": lambda: _clusters_full(docs),
