@@ -480,3 +480,72 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ab_metadata_pusher_spark.operators.profile import profile_columns
     from ab_metadata_pusher_spark.sources.fixtures import load_table
     return profile_columns(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "metadata_schema_drift",
+    oracle="WITH " + catalog_values_cte() + """,
+old AS (SELECT table_name, col_name, col_type FROM catalog_columns),
+new AS (
+  SELECT table_name, col_name,
+         CASE WHEN table_name = 'orders' AND col_name = 'o_totalprice'
+              THEN 'decimal(18,2)' ELSE col_type END AS col_type
+  FROM catalog_columns
+  WHERE NOT (table_name = 'customer' AND col_name = 'c_mktsegment')
+  UNION ALL
+  SELECT 'orders', 'o_new_flag', 'boolean'
+)
+SELECT coalesce(o.table_name, n.table_name) AS table_name,
+       coalesce(o.col_name, n.col_name) AS col_name,
+       o.col_type AS old_type, n.col_type AS new_type,
+       CASE WHEN o.col_name IS NULL THEN 'added'
+            WHEN n.col_name IS NULL THEN 'removed'
+            ELSE 'type_changed' END AS change
+FROM old o
+FULL OUTER JOIN new n
+  ON o.table_name = n.table_name AND o.col_name = n.col_name
+WHERE o.col_name IS NULL OR n.col_name IS NULL OR o.col_type <> n.col_type
+""",
+    covers=("G.metadata.schema_drift",),
+)
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level schema drift between two catalog snapshots: type
+    changes, added and removed columns from ONE full-outer join on
+    (table, column) — the type-aware companion to metadata_snapshot_diff
+    (which diffs graph nodes by key only).  The 'new' snapshot applies
+    deterministic mutations (a type change, a drop, an addition) so both
+    engines derive the same drift set.
+
+    At 100 TB of *data* this is still catalog-sized work — schema drift
+    detection is the cheap gate that stops a pipeline BEFORE it reads
+    petabytes with a wrong-type assumption."""
+    cat = catalog_columns(spark, sf_dir)
+    old = cat.select("table_name", "col_name", "col_type")
+    mutated_type = F.when(
+        (F.col("table_name") == "orders") & (F.col("col_name") == "o_totalprice"),
+        F.lit("decimal(18,2)")).otherwise(F.col("col_type"))
+    added = spark.createDataFrame(
+        [("orders", "o_new_flag", "boolean")],
+        "table_name string, col_name string, col_type string")
+    new = (old
+           .filter(~((F.col("table_name") == "customer")
+                     & (F.col("col_name") == "c_mktsegment")))
+           .withColumn("col_type", mutated_type)
+           .unionByName(added))
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(
+        n, (F.col("o.table_name") == F.col("n.table_name"))
+        & (F.col("o.col_name") == F.col("n.col_name")), "full_outer")
+    change = (F.when(F.col("o.col_name").isNull(), "added")
+              .when(F.col("n.col_name").isNull(), "removed")
+              .otherwise("type_changed"))
+    return (joined
+            .filter(F.col("o.col_name").isNull() | F.col("n.col_name").isNull()
+                    | (F.col("o.col_type") != F.col("n.col_type")))
+            .select(F.coalesce(F.col("o.table_name"), F.col("n.table_name"))
+                    .alias("table_name"),
+                    F.coalesce(F.col("o.col_name"), F.col("n.col_name"))
+                    .alias("col_name"),
+                    F.col("o.col_type").alias("old_type"),
+                    F.col("n.col_type").alias("new_type"),
+                    change.alias("change")))
