@@ -1473,3 +1473,19 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.percentile_approx(
                      "o_totalprice", [0.5, 0.95, 0.99], 1000)
                  .alias("approx_p50_p95_p99")))
+
+
+@register("agg_heavy_hitters", covers=("G.agg.heavy_hitters",))
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over events.event_type
+    (operators/sketches.py): bounded-memory frequency estimation — k
+    counters per partition, P*k-row merge — where the exact groupBy
+    would shuffle the full key cardinality.  Every type above the
+    n/(k+1) undercount bound is guaranteed reported, so the row set is
+    partitioning-independent here even though estimates are not.
+
+    No oracle (estimates depend on partition layout); rows-only from the
+    driver, with both MG error bounds property-tested in
+    tests/test_sketches.py."""
+    from ab_metadata_pusher_spark.operators.sketches import heavy_hitters_mg
+    return heavy_hitters_mg(_t(spark, sf_dir, "events"), "event_type", k=8)

@@ -52,3 +52,34 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
             lo = vals[max(0, int((q - 0.01) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.01) * n))]
             assert lo <= e <= hi, (prio, q, e, lo, hi)
+
+
+def test_misra_gries_heavy_hitters_bounds(spark):
+    """Both MG guarantees on a skewed corpus: (a) every item with true
+    frequency above n/(k+1) is reported; (b) every reported estimate is
+    an undercount by at most n/(k+1)."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators.sketches import heavy_hitters_mg
+
+    k = 32
+    hot = spark.range(5000).select(F.lit("hot").alias("v"))
+    warm = spark.range(2000).select(F.lit("warm").alias("v"))
+    tail = spark.range(3000).select(
+        F.concat(F.lit("t"), (F.col("id") % 500).cast("string")).alias("v"))
+    data = hot.unionByName(warm).unionByName(tail).repartition(8)
+
+    n = data.count()
+    bound = n / (k + 1)
+    true = {r.v: r.c for r in
+            data.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    est = {r.item: r.est_count for r in
+           heavy_hitters_mg(data, "v", k=k).collect()}
+
+    for item, c in true.items():
+        if c > bound:
+            assert item in est, f"{item} (true {c} > bound {bound}) missing"
+    for item, e in est.items():
+        assert e <= true[item], f"{item} overcounted: {e} > {true[item]}"
+        assert e >= true[item] - bound, \
+            f"{item} undercounted beyond bound: {e} < {true[item]} - {bound}"
