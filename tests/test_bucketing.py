@@ -292,3 +292,52 @@ def test_sharded_manifest_is_deterministic_and_verifiable(spark, sf_dir,
     redigest = shard0.agg(
         F.bit_xor(md5_long(F.col("doc_id").cast("string")))).collect()[0][0]
     assert redigest == m1[0].content_digest
+
+
+def test_dynamic_partition_overwrite_rewrites_only_changed_day(spark, sf_dir,
+                                                               tmp_path):
+    """The no-table-format upsert: day-partitioned parquet + dynamic
+    partition overwrite mode rewrites ONLY the partitions present in the
+    incoming batch — untouched days keep their files byte-identical.
+    (Static mode would wipe the whole root; that difference is the whole
+    point.)"""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    ev.write.partitionBy("day").parquet(path)
+
+    days = sorted(p.name for p in pathlib.Path(path).glob("day=*"))
+    assert len(days) >= 2
+    target, keep = days[0], days[1]
+    keep_files = sorted(
+        (f.name, f.stat().st_mtime_ns)
+        for f in (pathlib.Path(path) / keep).glob("*.parquet"))
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        day_val = target.split("=", 1)[1]
+        patch = (ev.filter(F.col("day") == day_val)
+                 .withColumn("value", F.col("value") * 2))
+        patch.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # untouched day: exactly the same files, byte-for-byte mtimes
+    assert sorted(
+        (f.name, f.stat().st_mtime_ns)
+        for f in (pathlib.Path(path) / keep).glob("*.parquet")) == keep_files
+    # patched day: values doubled, row count preserved
+    reread = spark.read.parquet(path)
+    orig_sum = ev.filter(F.col("day") == day_val).agg(
+        F.round(F.sum("value"), 2)).collect()[0][0]
+    new_sum = reread.filter(F.col("day") == day_val).agg(
+        F.round(F.sum("value"), 2)).collect()[0][0]
+    assert abs(new_sum - 2 * orig_sum) < 0.05
+    assert reread.count() == ev.count()
