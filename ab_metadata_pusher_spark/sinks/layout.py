@@ -114,7 +114,8 @@ def write_compacted(df: DataFrame, path: str, target_file_bytes: int,
 
 
 def write_sharded_manifest(df: DataFrame, path: str, id_col: str,
-                           n_shards: int = 16) -> DataFrame:
+                           n_shards: int = 16,
+                           shuffle_salt: str | None = None) -> DataFrame:
     """Corpus release write: deterministic hash sharding + a verifiable
     manifest — the publish step of a 100 TB corpus build.
 
@@ -130,14 +131,31 @@ def write_sharded_manifest(df: DataFrame, path: str, id_col: str,
     of task scheduling.  Consumers re-derive the digest with one scan to
     prove a download/copy is complete before training starts.
 
+    ``shuffle_salt`` additionally stamps every row with ``pos`` — its
+    rank by ``md5(salt || id)`` within the shard — a deterministic
+    pseudo-random TRAINING ORDER: (shard, pos) is a pure function of
+    (salt, id), so data loaders reading ORDER BY pos replay the exact
+    same example order on every epoch/restart, and a new salt is a fresh
+    full-corpus shuffle with no RNG state and no global sort (hash order
+    within hash shards is already uniform).  The order rides as a COLUMN
+    because the parquet partitioned-write path re-sorts rows by the
+    partition key — implicit file order does not survive the writer.
+
     One wide shuffle (repartition by shard) sizes output files; the
     manifest aggregate is map-side combinable on top of the same
     partitioning, so the verification metadata is nearly free.
     """
     from ab_metadata_pusher_spark.functions.hashing import md5_long
 
+    from pyspark.sql import Window as _W
+
     shard = (md5_long(F.col(id_col).cast("string")) % n_shards).alias("shard")
     sharded = df.withColumn("shard", shard).repartition("shard")
+    if shuffle_salt is not None:
+        order = F.md5(F.concat(F.lit(shuffle_salt),
+                               F.col(id_col).cast("string")))
+        w = _W.partitionBy("shard").orderBy(order, F.col(id_col))
+        sharded = sharded.withColumn("pos", F.row_number().over(w))
     (sharded.write.mode("overwrite").partitionBy("shard").parquet(path))
     written = df.sparkSession.read.parquet(path)
     return (written

@@ -341,3 +341,29 @@ def test_dynamic_partition_overwrite_rewrites_only_changed_day(spark, sf_dir,
         F.round(F.sum("value"), 2)).collect()[0][0]
     assert abs(new_sum - 2 * orig_sum) < 0.05
     assert reread.count() == ev.count()
+
+
+def test_sharded_shuffle_order_is_deterministic_per_salt(spark, sf_dir,
+                                                         tmp_path):
+    """Training-order writes: the same salt reproduces the exact same
+    within-shard row order across reruns; a different salt produces a
+    different (but equally deterministic) permutation."""
+    from ab_metadata_pusher_spark.sinks.layout import write_sharded_manifest
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def order_of(rel: str, salt: str) -> list[int]:
+        write_sharded_manifest(docs, str(tmp_path / rel), "doc_id",
+                               n_shards=4, shuffle_salt=salt)
+        out = spark.read.parquet(str(tmp_path / rel))
+        return [r.doc_id for r in
+                out.filter("shard = 0").orderBy("pos")
+                   .select("doc_id").collect()]
+
+    a1 = order_of("a1", "epoch1")
+    a2 = order_of("a2", "epoch1")
+    b = order_of("b", "epoch2")
+    assert a1 == a2, "same salt must reproduce the same order"
+    assert sorted(a1) == sorted(b), "salt must not change shard membership"
+    assert a1 != b, "different salt must permute the order"
