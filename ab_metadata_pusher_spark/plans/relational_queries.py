@@ -1489,3 +1489,32 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sketches.py."""
     from ab_metadata_pusher_spark.operators.sketches import heavy_hitters_mg
     return heavy_hitters_mg(_t(spark, sf_dir, "events"), "event_type", k=8)
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+SELECT user_id, event_id,
+       count(DISTINCT event_type)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS n_types_seen
+FROM events
+""",
+    covers=("G.window.count_distinct",),
+)
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user — the window SQL gap: Spark has no
+    COUNT(DISTINCT) OVER, so the engine states it as size(collect_set()
+    OVER) — set semantics give exactly the distinct count, and the set
+    is bounded by event-type cardinality, not row count.  (For unbounded-
+    cardinality columns the scale form is the first-occurrence flag —
+    row_number per (user, value) == 1 — summed over the frame.)  The
+    oracle uses DuckDB's native windowed DISTINCT aggregate; ties order
+    deterministically on (ts, event_id)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "user_id", "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"))
