@@ -1518,3 +1518,38 @@ def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"))
+
+
+@register(
+    "subquery_correlated_exists",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_totalprice > c.c_acctbal * 100
+)
+""",
+    covers=("G.subquery.correlated_exists",),
+)
+def q_subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a cross-relation inequality (order value
+    exceeding 100x the customer's balance) — the subquery shape that is
+    NOT a plain semi-join on equal keys.  Stated in Spark SQL so Catalyst
+    performs the decorrelation (RewriteCorrelatedScalarSubquery /
+    RewritePredicateSubquery turn it into a left-semi join with the
+    inequality as residual); the DataFrame API cannot express correlated
+    subqueries directly, and hand-decorrelating is exactly the rewrite
+    the optimizer owns."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice > c.c_acctbal * 100
+        )
+    """)
