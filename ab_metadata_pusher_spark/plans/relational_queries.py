@@ -1553,3 +1553,95 @@ def q_subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND o.o_totalprice > c.c_acctbal * 100
         )
     """)
+
+
+@register(
+    "setop_symmetric_diff",
+    oracle="""
+WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+SELECT k, 'only_building' AS side FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+UNION ALL
+SELECT k, 'only_finished' AS side FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+""",
+    covers=("G.setop.symmetric_diff",),
+)
+def q_setop_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with side provenance: building-segment
+    customers vs customers with finished orders, each EXCEPT branch
+    tagged.  Both EXCEPTs hash on the same key, so AQE plans them from
+    one pair of shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = (c.filter(F.col("c_mktsegment") == "BUILDING")
+         .select(F.col("c_custkey").alias("k")))
+    b = (o.filter(F.col("o_orderstatus") == "F")
+         .select(F.col("o_custkey").alias("k")))
+    return (a.subtract(b)
+            .withColumn("side", F.lit("only_building"))
+            .unionByName(b.subtract(a)
+                         .withColumn("side", F.lit("only_finished"))))
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(CAST(sum(CAST(round(l_extendedprice * l_quantity * 100, 0)
+                          AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) AS weighted_avg_price_x100
+FROM lineitem GROUP BY l_returnflag
+""",
+    covers=("G.agg.weighted_avg",),
+)
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average extended price per return flag —
+    sum(w*x)/sum(w) with BOTH sums accumulated as exact fixed-point
+    longs (doubles would drift with partitioning; the one float division
+    at the end is engine-identical on identical longs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wx = F.round(F.col("l_extendedprice") * F.col("l_quantity") * 100, 0) \
+          .cast("long")
+    w = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    return (li.groupBy("l_returnflag")
+            .agg((F.sum(wx).cast("double") / F.sum(w).cast("double"))
+                 .alias("weighted_avg_price_x100")))
+
+
+@register(
+    "pivot_multi_agg",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click_n,
+       CAST(coalesce(sum(CAST(round(value * 100, 0) AS BIGINT))
+                     FILTER (WHERE event_type = 'click'), 0) AS DOUBLE) / 100
+         AS click_total,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+       CAST(coalesce(sum(CAST(round(value * 100, 0) AS BIGINT))
+                     FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE) / 100
+         AS purchase_total
+FROM events GROUP BY user_id
+""",
+    covers=("G.pivot.multi_agg",),
+)
+def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivoted value (count + exact
+    cents total per event type): Spark names multi-agg pivot columns
+    `value_alias`, re-aliased here to the oracle's filtered-aggregate
+    names.  One shuffle however many (value, agg) pairs spread out."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    p = (ev.select("user_id", "event_type", cents.alias("cents"))
+         .groupBy("user_id")
+         .pivot("event_type", ["click", "purchase"])
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("cents").alias("cents")))
+    return p.select(
+        "user_id",
+        F.col("click_n"),
+        (F.coalesce(F.col("click_cents"), F.lit(0)).cast("double") / 100)
+            .alias("click_total"),
+        F.col("purchase_n"),
+        (F.coalesce(F.col("purchase_cents"), F.lit(0)).cast("double") / 100)
+            .alias("purchase_total"))
