@@ -1645,3 +1645,35 @@ def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_n"),
         (F.coalesce(F.col("purchase_cents"), F.lit(0)).cast("double") / 100)
             .alias("purchase_total"))
+
+
+@register(
+    "agg_histogram_equi_depth",
+    oracle="""
+SELECT bucket, count(*) AS n_rows,
+       min(v) AS lo, max(v) AS hi
+FROM (SELECT l_extendedprice AS v,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS bucket
+      FROM lineitem)
+GROUP BY bucket
+""",
+    covers=("G.agg.histogram_equi_depth",),
+)
+def q_agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (equal row counts per bucket, data-dependent
+    boundaries) — the statistics a range-clustered layout or skew-aware
+    partitioner actually needs, vs agg_histogram's fixed-width bins.
+    Exact form uses a global ntile (single-partition sort — correct but
+    the known bounded-use shape; ties broken on the unique key for
+    determinism).  At 100 TB compute boundaries from approx_percentile
+    cutpoints instead: one mergeable pass, then a map-side bucket
+    assignment — same output contract, no global sort."""
+    from pyspark.sql import Window
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (li.select(F.col("l_extendedprice").alias("v"),
+                      F.ntile(10).over(w).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("v").alias("lo"), F.max("v").alias("hi")))
