@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["heavy_hitters_mg"]
+__all__ = ["heavy_hitters_mg", "mg_summary", "merge_mg_summaries"]
 
 _SUMMARY_SCHEMA = T.StructType([
     T.StructField("item", T.StringType()),
@@ -84,3 +84,32 @@ def heavy_hitters_mg(df: DataFrame, col: str, k: int = 32) -> DataFrame:
             .withColumn("est_count", F.col("w") - F.col("kth"))
             .filter(F.col("est_count") > 0)
             .select("item", "est_count"))
+
+
+def mg_summary(df: DataFrame, col: str, k: int = 32) -> DataFrame:
+    """Raw Misra-Gries summary (item, weight) of one batch — the stored
+    sketch state for incremental maintenance.  ≤ P·k rows."""
+    return (df.select(F.col(col).cast("string").alias("item"))
+            .mapInPandas(_mg_partition(k), _SUMMARY_SCHEMA))
+
+
+def merge_mg_summaries(k: int, *summaries: DataFrame) -> DataFrame:
+    """Merge any number of MG summaries (stored state + new batches) into
+    one ≤k-row summary: sum weights per item, subtract the (k+1)-th
+    largest, drop non-positive — the standard mergeable-MG step, errors
+    stay additive in the dropped mass.  Input and output are both
+    summary-shaped, so a streaming job can fold one batch at a time into
+    a persisted sketch forever at constant cost."""
+    merged = summaries[0]
+    for s in summaries[1:]:
+        merged = merged.unionByName(s)
+    combined = merged.groupBy("item").agg(F.sum("weight").alias("weight"))
+    rank_w = Window.orderBy(F.col("weight").desc(), F.col("item"))
+    ranked = combined.withColumn("rn", F.row_number().over(rank_w))
+    kth = ranked.agg(F.coalesce(
+        F.max(F.when(F.col("rn") == k + 1, F.col("weight"))),
+        F.lit(0).cast("long")).alias("kth"))
+    return (ranked.crossJoin(F.broadcast(kth))
+            .withColumn("weight", F.col("weight") - F.col("kth"))
+            .filter(F.col("weight") > 0)
+            .select("item", "weight"))

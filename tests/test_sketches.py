@@ -83,3 +83,49 @@ def test_misra_gries_heavy_hitters_bounds(spark):
         assert e <= true[item], f"{item} overcounted: {e} > {true[item]}"
         assert e >= true[item] - bound, \
             f"{item} undercounted beyond bound: {e} < {true[item]} - {bound}"
+
+
+def test_mg_summary_incremental_fold_keeps_bounds(spark, tmp_path):
+    """Incremental sketch maintenance: fold three batches one at a time
+    into a parquet-persisted summary (the streaming shape — constant
+    per-batch cost); the folded sketch must still satisfy both MG bounds
+    against the exact counts of the full corpus."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators.sketches import (
+        merge_mg_summaries, mg_summary,
+    )
+
+    k = 32
+    hot = spark.range(4000).select(F.lit("hot").alias("v"),
+                                   (F.col("id") % 3).alias("b"))
+    tail = spark.range(6000).select(
+        F.concat(F.lit("t"), (F.col("id") % 800).cast("string")).alias("v"),
+        (F.col("id") % 3).alias("b"))
+    data = hot.unionByName(tail)
+
+    state = str(tmp_path / "sketch")
+    for i in range(3):
+        batch = data.filter(F.col("b") == i).select("v")
+        summary = mg_summary(batch.repartition(4), "v", k=k)
+        if i == 0:
+            merged = merge_mg_summaries(k, summary)
+        else:
+            merged = merge_mg_summaries(
+                k, spark.read.parquet(state), summary)
+        merged.write.mode("overwrite").parquet(state + "_next")
+        # atomic-swap stand-in: re-point state at the new version
+        import shutil
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.move(state + "_next", state)
+
+    n = data.count()
+    bound = n / (k + 1) * 1.0
+    true = {r.v: r.c for r in
+            data.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    est = {r.item: r.weight for r in spark.read.parquet(state).collect()}
+
+    assert "hot" in est, "guaranteed heavy hitter missing after folds"
+    for item, e in est.items():
+        assert e <= true[item]
+        assert e >= true[item] - bound
