@@ -104,6 +104,15 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     partitions cost more per iteration than they parallelize (same
     measurement as streaming/events.py run_to_memory).  Size it to
     ~label_rows / 1e6 partitions on a real cluster.
+
+    Memory retention: ``labels.unpersist()`` frees cached iterations, but
+    is a no-op on frames produced by ``localCheckpoint`` (checkpoint RDD
+    blocks aren't registered with the cache manager); superseded
+    checkpoint blocks — one narrow (id, label) frame per
+    ``checkpoint_every`` iterations — are reclaimed by the
+    ContextCleaner on driver GC.  Bounded for this loop's diameter-bound
+    iteration counts; an unbounded loop would want to unpersist via the
+    checkpointed RDD handle instead.
     """
     spark = vertices.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
@@ -329,7 +338,14 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
     (the explode+distinct+groupBy formulation shuffles the token stream
     twice; this touches each document once, map-side).  Token-less
     documents are dropped, matching the exploded formulation.
+
+    ``bits`` is capped at 60: ``md5_long`` yields a 60-bit hash, so
+    positions 60+ would be always-zero vote bits, and bit 63's pack
+    literal ``1 << 63`` overflows Spark's signed long at plan time.
     """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60] (md5_long is 60-bit; "
+                         f"bit 63 overflows a signed long): got {bits}")
     hs = F.transform(F.array_distinct(tokens(text_col)),
                      lambda t: md5_long(t))
     base = (df.select(F.col(id_col).alias("sid"), hs.alias("hs"))
@@ -363,8 +379,9 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 6,
     equi-join on (block_idx, block_value), never a BroadcastNestedLoop.
 
     Scale: per-block bucket fan-out is ~n²/2^w for block width
-    w = bits/(max_hamming+1); at corpus scale use bits=64 (w≈9 at
-    hamming 6) or tighten max_hamming so buckets stay small.
+    w = bits/(max_hamming+1); at corpus scale use bits=60 — the widest
+    the 60-bit ``md5_long`` supports (w≈8.5 at hamming 6) — or tighten
+    max_hamming so buckets stay small.
     """
     s = simhash(df, bits)
     nb = max_hamming + 1

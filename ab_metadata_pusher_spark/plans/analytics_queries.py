@@ -416,7 +416,10 @@ def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # each step's frontier feeds TWO consumers (next
                     # anti-join + visited union); checkpointing it keeps
                     # lineage depth constant per step instead of nesting
-                    # every prior step's join chain twice.
+                    # every prior step's join chain twice.  Superseded
+                    # frontier checkpoint blocks are reclaimed on driver
+                    # GC (ContextCleaner), not eagerly — bounded for this
+                    # max_steps-bound loop.
                     .localCheckpoint(eager=True))
         visited = visited.union(frontier)
     return visited

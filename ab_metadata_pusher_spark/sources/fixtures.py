@@ -30,14 +30,33 @@ def _long_ts_divisor(sf_dir: str) -> int:
     """
     try:
         import pyarrow.parquet as pq
-        unit = str(pq.read_schema(f"{sf_dir}/events.parquet")
-                   .field("ts").type)
+        path = f"{sf_dir}/events.parquet"
+        unit = str(pq.read_schema(path).field("ts").type)
     except Exception:  # multi-file dir / no pyarrow: assume nanos (r1)
         return 1000
     # negative divisor = multiply into micros
-    return {"timestamp[ns]": 1000, "timestamp[us]": 1,
-            "timestamp[ms]": -1000, "timestamp[s]": -1_000_000,
-            }.get(unit, 1000)  # unannotated int64: driver r1 shipped nanos
+    by_unit = {"timestamp[ns]": 1000, "timestamp[us]": 1,
+               "timestamp[ms]": -1000, "timestamp[s]": -1_000_000}
+    if unit in by_unit:
+        return by_unit[unit]
+    # Raw unannotated int64: bucket one sampled value by magnitude.
+    # Epoch values for current dates: seconds ~2e9, millis ~2e12,
+    # micros ~2e15, nanos ~2e18 — three orders apart, so the exponent
+    # is unambiguous.
+    try:
+        import pyarrow.parquet as pq
+        sample = pq.ParquetFile(path).read_row_group(0, columns=["ts"]) \
+                   .column("ts")[0].as_py()
+        v = abs(int(sample))
+        if v >= 10**17:
+            return 1000          # nanos
+        if v >= 10**14:
+            return 1             # micros
+        if v >= 10**11:
+            return -1000         # millis
+        return -1_000_000        # seconds
+    except Exception:
+        return 1000
 
 
 def _normalize_event_ts(df: DataFrame, sf_dir: str) -> DataFrame:

@@ -272,3 +272,16 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
     assert (1, 2) in cont and cont[(1, 2)] >= 0.99
     jac = jaccard_pairs(docs, 0.6).collect()
     assert jac == []  # jaccard cannot see the inclusion
+
+
+def test_simhash_rejects_bits_over_60(spark):
+    """md5_long is 60-bit: bits=64 would both overflow a signed long at
+    plan time (1 << 63) and add always-zero vote bits — reject early."""
+    from ab_metadata_pusher_spark.operators.dedup import simhash
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match=r"\[1, 60\]"):
+        simhash(docs, bits=64)
+    with pytest.raises(ValueError):
+        simhash(docs, bits=0)
+    # 60 is the documented scale setting and must plan + run
+    assert simhash(docs, bits=60).count() == 1

@@ -207,3 +207,27 @@ def test_envelope_stream_reader_incremental_drain(spark, tmp_path):
     assert keys == ["a", "b", "c", "d", "e"], keys
     tags = {r["tag"] for r in rows}
     assert tags == {"w1", "w2"}
+
+
+def test_long_ts_divisor_magnitude_heuristic(tmp_path):
+    """A raw unannotated int64 ts column is bucketed by magnitude:
+    seconds/millis/micros/nanos are three orders apart, so one sampled
+    value disambiguates the encoding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ab_metadata_pusher_spark.sources.fixtures import _long_ts_divisor
+
+    cases = {  # epoch value for ~2026 in each unit -> expected divisor
+        1_770_000_000: -1_000_000,            # seconds -> multiply 1e6
+        1_770_000_000_000: -1000,             # millis  -> multiply 1e3
+        1_770_000_000_000_000: 1,             # micros  -> identity
+        1_770_000_000_000_000_000: 1000,      # nanos   -> divide 1e3
+    }
+    for raw, want in cases.items():
+        d = tmp_path / f"u{want}".replace("-", "m")
+        d.mkdir()
+        pq.write_table(
+            pa.table({"ts": pa.array([raw, raw + 10], type=pa.int64())}),
+            d / "events.parquet")
+        assert _long_ts_divisor(str(d)) == want, (raw, want)
