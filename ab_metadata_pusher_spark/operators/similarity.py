@@ -194,20 +194,32 @@ def embedding_near_dup_pairs_lsh(corpus: DataFrame, threshold: float,
     )
 
 
-def ivf_centroids(corpus: DataFrame) -> DataFrame:
-    """IVF coarse quantizer: one centroid per cell as the per-label mean
-    vector (labels stand in for k-means cells — deterministic, so the
-    DuckDB oracle can recompute them; swap in ml.clustering.KMeans on a
-    real corpus).  posexplode + (cell, pos) avg is one shuffle of
-    (corpus x dim) scalars, map-side combinable."""
-    per_dim = (corpus
-               .select("label", F.posexplode(_dbl(F.col("embedding")))
-                       .alias("pos", "v"))
-               .groupBy("label", "pos").agg(F.avg("v").alias("v")))
-    return (per_dim.groupBy("label")
-            .agg(F.transform(F.sort_array(F.collect_list(F.struct("pos", "v"))),
-                             lambda s: s["v"]).alias("cvec"))
-            .select(F.col("label").alias("cell"), "cvec"))
+def ivf_centroids(corpus: DataFrame, n_cells: int = 8,
+                  iters: int = 2) -> DataFrame:
+    """IVF coarse quantizer: LEARNED k-means cells over the embedding
+    column itself — no dependence on any label/partition column (at
+    corpus scale there is none).
+
+    Training is the distributed Lloyd machinery from
+    ``operators.clustering``: map-only assignment against inlined
+    centroid literals (zero shuffle), one map-side-combinable
+    (cluster, pos) shuffle per update.  Deterministic end-to-end —
+    seeded from the ``n_cells`` smallest ids, fixed ``iters`` — so a SQL
+    oracle can replay the exact training run; the k x dim centroid table
+    is driver-sized by construction (same contract as
+    ml.clustering.KMeans).  Cache ``corpus`` upstream when it is not a
+    plain parquet scan: training reads it ``2 * iters + 1`` times.
+    """
+    from ab_metadata_pusher_spark.operators.clustering import (
+        assign_clusters, seed_centroids, update_centroids,
+    )
+    cents = seed_centroids(corpus, n_cells)
+    for _ in range(iters):
+        assigned = assign_clusters(corpus, cents)
+        cents = update_centroids(corpus, assigned)
+    return corpus.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in vec]) for c, vec in sorted(cents)],
+        "cell bigint, cvec array<double>")
 
 
 def _assign_cells(df: DataFrame, cents: DataFrame, id_col: str,
@@ -222,16 +234,18 @@ def _assign_cells(df: DataFrame, cents: DataFrame, id_col: str,
 
 
 def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                 nprobe: int = 2) -> DataFrame:
+                 nprobe: int = 2, n_cells: int = 8,
+                 iters: int = 2) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest cell,
     queries probe their ``nprobe`` nearest cells, ranking runs only inside
-    probed cells.
+    probed cells.  Cells are learned (``ivf_centroids`` k-means), not
+    taken from any data column.
 
     The 100 TB shape: candidates per query ~= nprobe * corpus / n_cells,
     and the corpus side can be written bucketed by cell so the probe join
     is shuffle-free on re-use.  Output schema matches
     topk_cosine_bruteforce for direct recall measurement."""
-    cents = ivf_centroids(corpus)
+    cents = ivf_centroids(corpus, n_cells=n_cells, iters=iters)
     c = _assign_cells(
         corpus.select(F.col("vec_id").alias("neighbor_id"),
                       F.col("embedding").alias("c_emb")),

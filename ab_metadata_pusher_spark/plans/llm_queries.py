@@ -573,13 +573,37 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_ann_ivf",
     oracle="""
-WITH cent AS (
-  SELECT label AS cell, list(avg_v ORDER BY i) AS cvec
-  FROM (
-    SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS avg_v
-    FROM embeddings, generate_series(1, 64) AS g(i)
-    GROUP BY label, i
-  ) GROUP BY label
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+-- replay the deterministic k-means training (seed = 8 smallest ids,
+-- 2 Lloyd iterations, euclidean assignment with lower-cell tiebreak)
+c0 AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.cvec), c.cell) AS r
+    FROM e, c0 c) WHERE r = 1
+),
+c1 AS (
+  SELECT cell, list(m ORDER BY i) AS cvec FROM (
+    SELECT a.cell, g.i, avg(e.v[g.i]) AS m
+    FROM e JOIN a1 a USING (vec_id), generate_series(1, 64) AS g(i)
+    GROUP BY a.cell, g.i
+  ) GROUP BY cell
+),
+a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.cvec), c.cell) AS r
+    FROM e, c1 c) WHERE r = 1
+),
+cent AS (
+  SELECT cell, list(m ORDER BY i) AS cvec FROM (
+    SELECT a.cell, g.i, avg(e.v[g.i]) AS m
+    FROM e JOIN a2 a USING (vec_id), generate_series(1, 64) AS g(i)
+    GROUP BY a.cell, g.i
+  ) GROUP BY cell
 ),
 c_assign AS (
   SELECT neighbor_id, cv, cell FROM (
@@ -619,11 +643,14 @@ FROM scored WHERE rank <= 5
     covers=("G.similarity.ann.ivf",),
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (label-mean centroids, nprobe=2) — unlike the
-    LSH variant this one IS oracle-checkable because the quantizer is a
-    deterministic aggregate both engines can compute."""
+    """IVF approximate top-5 with LEARNED k-means cells (8 cells, 2 Lloyd
+    iterations, nprobe=2) — no label column involved, the 100 TB shape.
+    Still oracle-checkable: the training run is deterministic (seeded
+    from smallest ids, fixed iterations) so the SQL oracle replays it
+    exactly."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.ann_ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5, nprobe=2)
+    return S.ann_ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5, nprobe=2,
+                          n_cells=8, iters=2)
 
 
 
