@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["heavy_hitters_mg", "mg_summary", "merge_mg_summaries"]
+__all__ = ["heavy_hitters_mg", "guaranteed_heavy_hitters", "mg_summary",
+           "merge_mg_summaries"]
 
 _SUMMARY_SCHEMA = T.StructType([
     T.StructField("item", T.StringType()),
@@ -31,29 +32,30 @@ _SUMMARY_SCHEMA = T.StructType([
 
 
 def _mg_partition(k: int):
-    """Partition-local Misra-Gries fold: at most k counters survive."""
+    """Partition-local Misra-Gries fold: at most k counters survive.
+
+    Vectorized per Arrow batch: count the batch with ``value_counts``
+    (C speed), add into the running ≤k counters, then apply the standard
+    mergeable-MG reduction — subtract the (k+1)-th largest combined
+    weight, drop non-positive (Agarwal et al., "Mergeable summaries").
+    Errors are additive in the subtracted mass, so the classic
+    ``true - n/(k+1) <= estimate <= true`` bound is preserved while the
+    per-row Python loop (the one interpreter-speed scan a 100 TB pass
+    cannot afford) is gone.
+    """
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
-            for item in pdf["item"]:
-                if item is None:
-                    continue
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < k:
-                    counters[item] = 1
-                else:
-                    # decrement-all step, dropping zeroed counters
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame({"item": list(counters.keys()),
-                            "weight": list(counters.values())})
+            vc = pdf["item"].dropna().value_counts()
+            if vc.empty:
+                continue
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                kth = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > kth] - kth
+        yield pd.DataFrame({"item": counters.index.astype(object),
+                            "weight": counters.astype("int64").to_numpy()})
 
     return fold
 
@@ -84,6 +86,32 @@ def heavy_hitters_mg(df: DataFrame, col: str, k: int = 32) -> DataFrame:
             .withColumn("est_count", F.col("w") - F.col("kth"))
             .filter(F.col("est_count") > 0)
             .select("item", "est_count"))
+
+
+def guaranteed_heavy_hitters(df: DataFrame, col: str, k: int = 32) -> DataFrame:
+    """Heavy hitters with a DETERMINISTIC, exactly-verifiable result:
+    every item whose true frequency exceeds n/(k+1), with its EXACT
+    count — equal to plain SQL ``GROUP BY HAVING count*(k+1) > n``
+    regardless of partition layout.
+
+    Two bounded passes: (1) the MG sketch proposes ≤k candidates — by
+    the MG guarantee the candidate set contains EVERY item above the
+    n/(k+1) bound (estimate >= true - n/(k+1) > 0), so no qualifying
+    item can be missed; (2) a broadcast semi-join counts only those
+    candidates exactly and keeps the ones above the bound (integer
+    cross-multiplication, no float boundary).  At 100 TB the exact pass
+    shuffles ≤k distinct keys instead of the full column cardinality —
+    that, not the sketch itself, is why the sketch pass pays for itself.
+    """
+    items = (df.select(F.col(col).cast("string").alias("item"))
+             .filter(F.col("item").isNotNull()))
+    cand = heavy_hitters_mg(df, col, k).select("item")
+    n = items.agg(F.count(F.lit(1)).alias("n"))
+    exact = (items.join(F.broadcast(cand), "item")
+             .groupBy("item").agg(F.count(F.lit(1)).alias("exact_count")))
+    return (exact.crossJoin(F.broadcast(n))
+            .filter(F.col("exact_count") * (k + 1) > F.col("n"))
+            .select("item", "exact_count"))
 
 
 def mg_summary(df: DataFrame, col: str, k: int = 32) -> DataFrame:

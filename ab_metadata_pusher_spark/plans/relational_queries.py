@@ -1492,6 +1492,34 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_heavy_hitters_guaranteed",
+    oracle="""
+SELECT CAST(event_type AS VARCHAR) AS item,
+       CAST(count(*) AS BIGINT) AS exact_count
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
+HAVING count(*) * 5 > (SELECT count(*) FROM events
+                       WHERE event_type IS NOT NULL)
+""",
+    covers=("G.agg.heavy_hitters",),
+)
+def q_heavy_hitters_guaranteed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic heavy hitters (operators/sketches.py
+    guaranteed_heavy_hitters): MG sketch proposes ≤k candidates — which
+    provably include every item above the n/(k+1) frequency bound — then
+    a broadcast semi-join counts the candidates EXACTLY and keeps those
+    above the bound.  Partition-layout-independent by construction, so
+    unlike agg_heavy_hitters this one is fully hash-checkable against
+    plain SQL; the sketch's value at 100 TB is that the exact pass
+    shuffles ≤k keys, not the column's full cardinality."""
+    from ab_metadata_pusher_spark.operators.sketches import (
+        guaranteed_heavy_hitters,
+    )
+    return guaranteed_heavy_hitters(
+        _t(spark, sf_dir, "events"), "event_type", k=4)
+
+
+@register(
     "window_running_distinct",
     oracle="""
 SELECT user_id, event_id,
