@@ -23,7 +23,8 @@ from pyspark.sql import types as T
 
 __all__ = ["with_binary_payload", "decode_features", "DECODE_SCHEMA",
            "IMAGE_SCHEMA", "resize_payload", "sample_frames",
-           "RESIZE_SCHEMA", "FRAME_SCHEMA"]
+           "RESIZE_SCHEMA", "FRAME_SCHEMA", "with_wav_payload",
+           "decode_audio_wave", "AUDIO_SCHEMA"]
 
 
 def with_binary_payload(documents: DataFrame) -> DataFrame:
@@ -111,19 +112,21 @@ def decode_features(multimodal: DataFrame, codec: str = "stub") -> DataFrame:
 
     ``codec="stub"`` computes deterministic byte statistics (the plumbing
     under test).  ``codec="pil"`` decodes real image metadata via Pillow
-    when installed (NotImplementedError otherwise).  Other codec names
-    (audio/video) raise NotImplementedError — add librosa/av dispatch
-    here when the runtime has them.
+    when installed (NotImplementedError otherwise).  Audio has a real
+    stdlib path with its own schema — ``decode_audio_wave``.  Video
+    raises NotImplementedError — add an ``av`` dispatch here when the
+    runtime has it.
     """
     if codec == "pil":
         return _decode_image_pil(multimodal)
     if codec != "stub":
-        # REAL-DECODER HOOK: `pip install librosa av` in a real
-        # deployment and dispatch on mime type here.
+        # REAL-DECODER HOOK: audio is covered by decode_audio_wave
+        # (stdlib wave, different schema); `pip install av` in a real
+        # deployment and dispatch video on mime type here.
         raise NotImplementedError(
-            f"codec {codec!r}: real decoders are not available in this "
-            "container; only 'stub' (and 'pil' when pillow is installed) "
-            "are implemented")
+            f"codec {codec!r}: only 'stub' (always), 'pil' (when pillow "
+            "is installed) and WAV audio via decode_audio_wave are "
+            "implemented in this container")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -146,6 +149,111 @@ def decode_features(multimodal: DataFrame, codec: str = "stub") -> DataFrame:
 
     return (multimodal.select("doc_id", "payload")
             .mapInPandas(extract, DECODE_SCHEMA))
+
+
+_WAV_RATES = (8000, 16000, 44100)
+
+_WAV_PAYLOAD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sampwidth", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("duration_us", T.LongType()),
+    T.StructField("pcm_md5", T.StringType()),
+])
+
+
+def with_wav_payload(documents: DataFrame) -> DataFrame:
+    """Wrap the documents fixture as an audio table: each row carries a
+    REAL RIFF/WAVE payload synthesized deterministically from the row
+    (sample rate / channel count / frame count are fixed functions of
+    ``doc_id`` and ``length(text)``; PCM samples are a seeded integer
+    sequence).  Encoding runs executor-side through stdlib ``wave`` in
+    Arrow batches — the payloads are genuine WAV files, so the decode
+    path downstream parses real headers, not a fake."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                rate = _WAV_RATES[doc_id % 3]
+                channels = 1 + doc_id % 2
+                n_frames = 50 + len(text or "") % 100
+                n_samples = n_frames * channels
+                pcm = struct.pack(
+                    f"<{n_samples}h",
+                    *[(doc_id * 7 + i) % 251 - 125 for i in range(n_samples)])
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(channels)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(pcm)
+                out["doc_id"].append(doc_id)
+                out["payload"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    return (documents.select("doc_id", "text")
+            .mapInPandas(synth, _WAV_PAYLOAD_SCHEMA))
+
+
+def decode_audio_wave(multimodal: DataFrame) -> DataFrame:
+    """REAL audio decode via stdlib ``wave`` (no optional dependency):
+    parse each binary payload's RIFF/WAVE header and frames, emitting
+    sample rate / channels / sample width / frame count / exact
+    integer-microsecond duration / PCM digest.  Arrow-batched
+    ``mapInPandas``, same executor-side shape as the image path;
+    undecodable payloads produce a sentinel row (-1 dims) rather than
+    failing the batch, matching ``_decode_image_pil``."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+        import wave
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "channels",
+                                   "sampwidth", "n_frames", "duration_us",
+                                   "pcm_md5")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        rate = w.getframerate()
+                        nf = w.getnframes()
+                        out["sample_rate"].append(rate)
+                        out["channels"].append(w.getnchannels())
+                        out["sampwidth"].append(w.getsampwidth())
+                        out["n_frames"].append(nf)
+                        # exact integer microseconds — no float boundary
+                        out["duration_us"].append(nf * 1_000_000 // rate)
+                        out["pcm_md5"].append(
+                            hashlib.md5(w.readframes(nf)).hexdigest())
+                except Exception:
+                    out["sample_rate"].append(-1)
+                    out["channels"].append(-1)
+                    out["sampwidth"].append(-1)
+                    out["n_frames"].append(-1)
+                    out["duration_us"].append(-1)
+                    out["pcm_md5"].append("")
+            pdf_out = pd.DataFrame(out)
+            for c in ("sample_rate", "channels", "sampwidth", "n_frames"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return (multimodal.select("doc_id", "payload")
+            .mapInPandas(decode, AUDIO_SCHEMA))
 
 
 RESIZE_SCHEMA = T.StructType([

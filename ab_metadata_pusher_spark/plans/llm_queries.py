@@ -571,6 +571,35 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_audio",
+    oracle="""
+SELECT doc_id,
+       CAST([8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS INT)
+         AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(2 AS INT) AS sampwidth,
+       CAST(50 + length(text) % 100 AS INT) AS n_frames,
+       CAST((50 + length(text) % 100) * 1000000
+            // [8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS BIGINT)
+         AS duration_us
+FROM documents
+""",
+    covers=("G.multimodal.audio",),
+)
+def q_multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (operators/multimodal.py decode_audio_wave):
+    synthesize genuine RIFF/WAVE payloads whose parameters are fixed
+    functions of the row (with_wav_payload), then parse them back with
+    stdlib ``wave`` — an encode->decode round trip through real WAV
+    headers, Arrow-batched executor-side.  The oracle recomputes the
+    synthesis parameters directly in SQL, so any header mis-parse
+    (rate/channels/width/frames/duration) hash-mismatches; the PCM
+    digest is covered by tests/test_llm_operators.py."""
+    mm = M.with_wav_payload(load_table(spark, sf_dir, "documents"))
+    return M.decode_audio_wave(mm).drop("pcm_md5")
+
+
+@register(
     "similarity_ann_ivf",
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -285,3 +285,41 @@ def test_simhash_rejects_bits_over_60(spark):
         simhash(docs, bits=0)
     # 60 is the documented scale setting and must plan + run
     assert simhash(docs, bits=60).count() == 1
+
+
+def test_wav_roundtrip_decodes_synthesized_pcm(spark):
+    """decode_audio_wave must recover exactly the parameters and PCM
+    bytes with_wav_payload encoded — including the digest the SQL oracle
+    cannot recompute."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 10), (1, "y" * 123), (5, None)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r
+            for r in M.decode_audio_wave(M.with_wav_payload(docs)).collect()}
+    assert rows[0].sample_rate == 8000 and rows[0].channels == 1
+    assert rows[1].sample_rate == 16000 and rows[1].channels == 2
+    assert rows[1].n_frames == 50 + 123 % 100
+    assert rows[5].n_frames == 50  # None text -> empty
+    # independent re-synthesis of doc 1's PCM
+    n_samples = rows[1].n_frames * 2
+    pcm = struct.pack(f"<{n_samples}h",
+                      *[(1 * 7 + i) % 251 - 125 for i in range(n_samples)])
+    assert rows[1].pcm_md5 == hashlib.md5(pcm).hexdigest()
+    assert rows[1].duration_us == rows[1].n_frames * 1_000_000 // 16000
+    # payloads are genuine WAV files parseable by a third party (stdlib)
+    payload = (M.with_wav_payload(docs)
+               .filter(F.col("doc_id") == 1).collect()[0].payload)
+    with wave_mod.open(io.BytesIO(bytes(payload)), "rb") as w:
+        assert (w.getframerate(), w.getnchannels()) == (16000, 2)
+
+
+def test_decode_audio_sentinel_on_garbage(spark):
+    mm = spark.createDataFrame(
+        [(7, bytearray(b"not a wav at all"))],
+        "doc_id long, payload binary")
+    row = M.decode_audio_wave(mm).collect()[0]
+    assert row.sample_rate == -1 and row.pcm_md5 == ""
