@@ -60,43 +60,50 @@ def _load_all() -> None:
 
 #: Curated head of the registry iteration order.  The driver's correctness
 #: gate evaluates a bounded PREFIX of ``queries()`` in iteration order, so
-#: the head must (a) span every operator family — reference-parity core,
-#: agg/join/window/setop, timeseries, sessionize, cdc, scalar/udf/udtf,
-#: streaming, and the LLM-pipeline surface — and (b) contain only
+#: the head must (a) span every operator family and (b) contain only
 #: oracle-backed queries (a no-oracle entry is a guaranteed non-green row).
 #: Everything not listed follows in registration order.
+#:
+#: ROTATION (round 3): driver evidence is cumulative across rounds, so
+#: the head keeps a sentinel core (reference-parity metadata_* + one
+#: query per family, all green in CORRECTNESS_r02) and rotates the other
+#: 35 slots to oracle-backed queries that have NEVER had a driver row —
+#: the full streaming suite, the scalar/array/map function surface,
+#: udf/udtf variants, multimodal, and this round's new operators.  The
+#: r2 head (joins/windows/setops/timeseries/dedup variants) keeps its
+#: local oracle-parity coverage via tests/test_oracle_parity.py.
+#: Per VERDICT r2 #4 the scored similarity slot is the ANN path
+#: (similarity_ann_lsh), not the brute-force baseline.
 DRIVER_PREFIX: tuple[str, ...] = (
-    # reference-parity core (SURVEY.md §2 A-F)
-    "metadata_catalog_columns", "metadata_tables", "metadata_tables_filtered",
+    # --- sentinel core (driver-green in r2, one per family) ---
+    "metadata_catalog_columns", "metadata_tables",
     "metadata_nodes", "metadata_relations", "metadata_profile_columns",
-    "metadata_snapshot_diff",
-    # graph analytics over the metadata graph
-    "metadata_graph_components", "metadata_graph_pagerank", "graph_triangles",
-    # aggregation families
-    "agg_pricing_summary", "agg_rollup", "agg_grouping_sets",
-    "agg_percentiles",
-    # join families
-    "join_multiway_revenue", "join_left_outer_orders", "join_semi",
-    "join_anti", "join_range_bands", "join_salted_revenue",
-    "join_asof_clicks",
-    # window families
-    "window_topk_per_group", "window_moving_avg", "window_lag_delta",
-    "window_rank_functions",
-    # set ops / reshape / subquery
-    "setop_union_distinct", "setop_intersect", "pivot_event_types",
-    "unpivot_lineitem_measures", "subquery_above_avg",
-    # timeseries / sessionization / cdc
-    "rollup_time_buckets", "timeseries_gap_fill", "sessionize_events",
-    "cdc_scd2_intervals",
-    # scalar functions / udf / udtf
-    "scalar_string_funcs", "explode_word_counts", "udf_grouped_geomean",
-    # structured streaming (availableNow to memory sink)
-    "stream_tumbling_counts",
-    # LLM-pipeline surface: dedup / similarity / text / sample / pack
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "similarity_topk_cosine", "similarity_ann_lsh",
-    "text_quality_scores", "text_langid", "text_fingerprint",
-    "sample_hash_split", "pack_sequences", "decontaminate_ngram_overlap",
+    "agg_pricing_summary", "join_multiway_revenue", "window_topk_per_group",
+    "setop_union_distinct", "rollup_time_buckets", "sessionize_events",
+    "cdc_scd2_intervals", "stream_tumbling_counts", "dedup_minhash_lsh",
+    "similarity_ann_lsh",
+    # --- rotation: structured streaming (availableNow vs batch oracle) ---
+    "stream_session_windows", "stream_dedup_watermark",
+    "stream_sliding_counts", "stream_stateful_user_stats",
+    "stream_static_join", "stream_stream_join", "stream_ingest_dedup",
+    "stream_funnel_steps", "stream_quality_filter", "stream_ohlc",
+    "stream_topk_window",
+    # --- rotation: scalar function surface ---
+    "scalar_date_funcs", "scalar_math_funcs", "scalar_conditional",
+    "scalar_json_funcs", "scalar_try_funcs", "scalar_regexp_funcs",
+    "scalar_variant_funcs",
+    # --- rotation: array / map / explode surface ---
+    "array_funcs_embeddings", "map_event_type_counts",
+    "map_higher_order_funcs", "posexplode_tokens",
+    # --- rotation: pandas UDF / UDTF surface ---
+    "udf_scalar_log1p", "udf_map_in_arrow", "udtf_span_split",
+    "posexplode_outer_runs",
+    # --- rotation: multimodal (incl. this round's real WAV decode) ---
+    "multimodal_binary_meta", "multimodal_decode_features",
+    "multimodal_resize", "multimodal_frame_sample", "multimodal_decode_audio",
+    # --- rotation: new/reworked this round + remaining never-scored ---
+    "similarity_ann_ivf", "agg_heavy_hitters_guaranteed",
+    "window_gap_islands", "quality_fk_violations",
 )
 
 
