@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ab_metadata_pusher_spark.observability import capture_plan_segment
 from ab_metadata_pusher_spark.functions.hashing import (
     MERSENNE_P, md5_long, minhash_coeffs,
 )
@@ -141,6 +142,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                 # Truncate lineage: without this, each iteration's plan
                 # nests the previous one and optimizer/lineage cost grows
                 # with iteration count — the scale-killer for long loops.
+                capture_plan_segment(new)
                 new = new.localCheckpoint(eager=True)
             else:
                 new.persist()

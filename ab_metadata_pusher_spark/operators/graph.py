@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ab_metadata_pusher_spark.observability import capture_plan_segment
+
 __all__ = [
     "table_key", "column_key", "to_nodes", "to_relations",
     "NODE_COLUMNS", "RELATION_COLUMNS", "pagerank",
@@ -271,5 +273,6 @@ def pagerank(relations: DataFrame, iters: int = 3,
             # Bound plan lineage: each unrolled iteration otherwise nests
             # the previous plan, and optimizer time grows superlinearly
             # with iteration count.  Values are unchanged.
+            capture_plan_segment(pr)
             pr = pr.localCheckpoint(eager=True)
     return pr.select("node_key", F.round("pr", 6).alias("pagerank"))

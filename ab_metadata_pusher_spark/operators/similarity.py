@@ -207,16 +207,25 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 8,
     seeded from the ``n_cells`` smallest ids, fixed ``iters`` — so a SQL
     oracle can replay the exact training run; the k x dim centroid table
     is driver-sized by construction (same contract as
-    ml.clustering.KMeans).  Cache ``corpus`` upstream when it is not a
-    plain parquet scan: training reads it ``2 * iters + 1`` times.
+    ml.clustering.KMeans).  ``corpus`` is cached for the training loop's
+    lifetime (it is consumed ``2 * iters + 1`` times) and released
+    before returning.
     """
     from ab_metadata_pusher_spark.operators.clustering import (
         assign_clusters, seed_centroids, update_centroids,
     )
-    cents = seed_centroids(corpus, n_cells)
-    for _ in range(iters):
-        assigned = assign_clusters(corpus, cents)
-        cents = update_centroids(corpus, assigned)
+    # Training consumes corpus 2*iters+1 times and every consumption is
+    # an action (centroids collect between iterations); pin it for the
+    # loop's lifetime so upstream lineage (repartition, decode, joins)
+    # replays once, then release — all training actions complete here.
+    corpus = corpus.persist()
+    try:
+        cents = seed_centroids(corpus, n_cells)
+        for _ in range(iters):
+            assigned = assign_clusters(corpus, cents)
+            cents = update_centroids(corpus, assigned)
+    finally:
+        corpus.unpersist()
     return corpus.sparkSession.createDataFrame(
         [(int(c), [float(x) for x in vec]) for c, vec in sorted(cents)],
         "cell bigint, cvec array<double>")

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ab_metadata_pusher_spark.observability import capture_plan_segment
 from ab_metadata_pusher_spark.operators import text as X
 from ab_metadata_pusher_spark.plans.registry import register
 from ab_metadata_pusher_spark.sources.fixtures import load_table
@@ -412,15 +413,15 @@ def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .select(F.col("dst").alias("node"),
                             F.lit(step).alias("dist"))
                     .distinct()
-                    .join(F.broadcast(visited), "node", "left_anti")
-                    # each step's frontier feeds TWO consumers (next
-                    # anti-join + visited union); checkpointing it keeps
-                    # lineage depth constant per step instead of nesting
-                    # every prior step's join chain twice.  Superseded
-                    # frontier checkpoint blocks are reclaimed on driver
-                    # GC (ContextCleaner), not eagerly — bounded for this
-                    # max_steps-bound loop.
-                    .localCheckpoint(eager=True))
+                    .join(F.broadcast(visited), "node", "left_anti"))
+        # each step's frontier feeds TWO consumers (next anti-join +
+        # visited union); checkpointing it keeps lineage depth constant
+        # per step instead of nesting every prior step's join chain
+        # twice.  Superseded frontier checkpoint blocks are reclaimed on
+        # driver GC (ContextCleaner), not eagerly — bounded for this
+        # max_steps-bound loop.
+        capture_plan_segment(frontier)
+        frontier = frontier.localCheckpoint(eager=True)
         visited = visited.union(frontier)
     return visited
 

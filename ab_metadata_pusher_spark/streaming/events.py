@@ -320,24 +320,17 @@ def stream_stream_purchase_clicks(events_a: DataFrame,
              F.col("c_ts").cast("timestamp_ntz").alias("c_ts"))
 
 
-def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
-    """The same per-user running aggregate as ``stateful_user_stats`` on
-    the transformWithStateInPandas API (Spark 4.x's successor to
-    applyInPandasWithState: named state variables on a processor object,
-    timers, TTL).  Both implementations produce the same per-user result.
+def make_user_stats_processor():
+    """Build the ``StatefulProcessor`` behind ``stateful_user_stats_tws``.
 
-    NOT in the query registry: the TWS python runner needs a working
-    google.protobuf, absent from this container — the operator is
-    exercised by tests/test_streaming.py when protobuf is importable and
-    skipped otherwise.
+    Module-level factory (not a closure) so tests can drive the
+    processor's ``init``/``handleInputRows`` contract directly against a
+    fake handle — the processor logic is pure pandas folding via
+    ``_merge_user_stats`` and needs no TWS runtime to be exercised.
     """
-    import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle,
     )
-
-    out_schema = ("user_id bigint, n_events bigint, total_value double, "
-                  "first_ts timestamp_ntz, last_ts timestamp_ntz")
 
     class UserStats(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -354,9 +347,28 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return UserStats()
+
+
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running aggregate as ``stateful_user_stats`` on
+    the transformWithStateInPandas API (Spark 4.x's successor to
+    applyInPandasWithState: named state variables on a processor object,
+    timers, TTL).  Both implementations produce the same per-user result.
+
+    NOT in the query registry: the TWS python RUNNER needs a working
+    google.protobuf (state (de)serialization), absent from this
+    container — same optional-dependency category as the Kafka broker
+    and live JDBC.  The processor LOGIC is fully exercised without the
+    runner (tests/test_streaming.py drives it against a fake handle and
+    asserts parity with the applyInPandasWithState path); the end-to-end
+    runner comparison additionally runs wherever protobuf is installed.
+    """
+    out_schema = ("user_id bigint, n_events bigint, total_value double, "
+                  "first_ts timestamp_ntz, last_ts timestamp_ntz")
     return (events.groupBy("user_id").transformWithStateInPandas(
-        UserStats(), outputStructType=out_schema, outputMode="Update",
-        timeMode="None"))
+        make_user_stats_processor(), outputStructType=out_schema,
+        outputMode="Update", timeMode="None"))
 
 
 def stateful_funnel(events: DataFrame,

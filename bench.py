@@ -163,9 +163,42 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    regressions = _regressions_vs_previous_round(timings)
+    if regressions is not None:
+        summary["regressions"] = regressions
     if errors:
         summary["errors"] = errors
     print(json.dumps(summary))
+
+
+def _regressions_vs_previous_round(
+        timings: dict[str, float]) -> dict[str, dict] | None:
+    """Per-query diff against the newest prior BENCH_r*.json with parsed
+    per-query numbers: flag >1.5x slowdowns (and queries that newly
+    error out, visible as timed-before-but-not-now).  Self-reporting so
+    a regression cannot hide inside a still-green total.  Returns None
+    when no comparable record exists (round 1 shape)."""
+    prior = None
+    for path in sorted(REPO.glob("BENCH_r*.json"), reverse=True):
+        try:
+            rec = json.loads(path.read_text())
+        except Exception:  # noqa: BLE001
+            continue
+        parsed = rec.get("parsed") or {}
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            prior = (path.name, parsed["queries"])
+            break
+    if prior is None:
+        return None
+    name, prev = prior
+    flagged = {}
+    for q, prev_sec in prev.items():
+        if q not in timings:
+            flagged[q] = {"prev_sec": prev_sec, "now": "missing-or-error"}
+        elif prev_sec > 0.05 and timings[q] > 1.5 * prev_sec:
+            flagged[q] = {"prev_sec": prev_sec, "now_sec": timings[q],
+                          "ratio": round(timings[q] / prev_sec, 2)}
+    return {"baseline": name, "flagged": flagged}
 
 
 def _warmup(spark, reg) -> None:

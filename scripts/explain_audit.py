@@ -16,6 +16,9 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from ab_metadata_pusher_spark.observability import (  # noqa: E402
+    start_plan_capture, stop_plan_capture,
+)
 from ab_metadata_pusher_spark.plans.registry import queries  # noqa: E402
 from ab_metadata_pusher_spark.session import get_spark  # noqa: E402
 
@@ -73,23 +76,31 @@ def main() -> int:
     names = sys.argv[1:] or DEFAULT
     bad = 0
     for name in names:
+        # Iterative operators truncate lineage with localCheckpoint while
+        # the query BUILDS, so the final EXPLAIN alone under-counts their
+        # work; capture the pre-checkpoint plan segments and sum them.
+        start_plan_capture()
         df = reg[name](spark, SF_DIR)
+        segments = stop_plan_capture()
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        plan = buf.getvalue()
-        n_exchange = plan.count(") Exchange")
-        n_bcast = plan.count("BroadcastHashJoin")
-        n_smj = plan.count("SortMergeJoin")
-        n_nl = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
-        pushed = sum(1 for ln in plan.splitlines()
+        plans = segments + [buf.getvalue()]
+        n_exchange = sum(p.count(") Exchange") for p in plans)
+        n_bcast = sum(p.count("BroadcastHashJoin") for p in plans)
+        n_smj = sum(p.count("SortMergeJoin") for p in plans)
+        n_nl = sum(p.count("BroadcastNestedLoopJoin")
+                   + p.count("CartesianProduct") for p in plans)
+        pushed = sum(1 for p in plans for ln in p.splitlines()
                      if "PushedFilters: [" in ln and "PushedFilters: []" not in ln)
         flag = ""
         if n_nl and name not in EXPECTED_NON_EQUI:
             flag = "  <-- UNEXPECTED NESTED-LOOP/CARTESIAN"
             bad += 1
+        seg = f" iter_segments={len(segments)}" if segments else ""
         print(f"{name:28s} shuffles={n_exchange} broadcast={n_bcast} "
-              f"sortmerge={n_smj} nestedloop={n_nl} pushed_scans={pushed}{flag}")
+              f"sortmerge={n_smj} nestedloop={n_nl} pushed_scans={pushed}"
+              f"{seg}{flag}")
     print("AUDIT", "FAIL" if bad else "PASS")
     return 1 if bad else 0
 

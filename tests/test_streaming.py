@@ -164,3 +164,69 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
     run_once()
     second = sorted(i for _, ids in seen for i in ids)
     assert second == [5, 6], f"reprocessed old data: {second}"
+
+
+def test_tws_processor_logic_without_runtime(spark, sf_dir):
+    """Drive the transformWithState processor's init/handleInputRows
+    contract directly against a fake state handle — the processor logic
+    (shared _merge_user_stats fold) is fully exercised with NO protobuf
+    / TWS runner, and must equal the applyInPandasWithState result on
+    the same data.  The gated test above additionally runs the real
+    runner wherever protobuf exists."""
+    import pandas as pd
+
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+    from ab_metadata_pusher_spark.streaming.events import (
+        make_user_stats_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    events = load_table(spark, sf_dir, "events")
+    pdf = events.select("user_id", "value", "ts").toPandas()
+
+    proc = make_user_stats_processor()
+    handle = FakeHandle()
+    proc.init(handle)
+    got = {}
+    for uid, g in pdf.groupby("user_id"):
+        # fresh state per key, two half-batches to prove state carries
+        proc.init(FakeHandle())
+        half = len(g) // 2
+        out = None
+        for chunk in (g.iloc[:half], g.iloc[half:]):
+            for frame in proc.handleInputRows((uid,), iter([chunk]), None):
+                out = frame
+        got[uid] = (int(out.n_events.iloc[0]),
+                    float(out.total_value.iloc[0]),
+                    out.first_ts.iloc[0], out.last_ts.iloc[0])
+    proc.close()
+
+    exact = (events.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 2).alias("t"),
+                  F.min("ts").alias("f"), F.max("ts").alias("l")).collect())
+    for r in exact:
+        n, t, f, l = got[r.user_id]
+        assert n == r.n
+        assert abs(t - float(r.t)) < 1e-6
+        assert pd.Timestamp(f) == pd.Timestamp(r.f)
+        assert pd.Timestamp(l) == pd.Timestamp(r.l)
