@@ -414,6 +414,44 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 6,
     )
 
 
+def duplicated_spans(df: DataFrame, w: int = 10, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact substring-duplication spans at w-token-window granularity —
+    the distributed approximation of suffix-array exact-substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every w-token window whose exact text occurs more than
+    once in the corpus is a removable span, reported per occurrence as
+    (doc_id, start_tok) so a downstream pass can cut or mask it.
+
+    Plan shape: windows are built IN-ROW (a ``transform`` over the
+    position sequence + ``slice`` + md5 — zero shuffle, whole-stage
+    codegen); duplicate detection is ONE groupBy on the 16-byte window
+    hash (map-side combinable); occurrences re-emit via a hash
+    equi-join.  Total shuffle volume is ~(tokens per doc) 16-byte keys
+    per document — linear in corpus size, never pairwise.  At 100 TB
+    raise ``w`` (fewer, more selective windows) and pre-filter boilerplate
+    with the df-gated shingle machinery above.  Documents shorter than
+    ``w`` tokens contain no window and drop out, as in the reference
+    algorithm.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.when(n >= w, F.sequence(F.lit(1), n - (w - 1))) \
+              .otherwise(F.array().cast("array<int>"))
+    wins = (df.select(
+        F.col(id_col),
+        F.explode(F.transform(starts, lambda i: F.struct(
+            i.cast("bigint").alias("start_tok"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i, w)).cast("binary"))
+             .alias("window_md5")))).alias("win"))
+        .select(id_col, "win.start_tok", "win.window_md5"))
+    dups = (wins.groupBy("window_md5")
+            .agg(F.count(F.lit(1)).alias("n_dup"))
+            .filter(F.col("n_dup") > 1))
+    return wins.join(dups, "window_md5") \
+               .select(id_col, "start_tok", "window_md5", "n_dup")
+
+
 def lsh_verified_pairs(df: DataFrame, threshold: float,
                        k: int = 16, bands: int = 4, n: int = 3) -> DataFrame:
     """Candidate-then-verify near-dup pipeline: LSH banding proposes

@@ -17,13 +17,33 @@ __all__ = [
     "tokens", "bpe_ish_tokens", "shingle_array", "quality_features",
     "LANG_LEXICONS", "language_id", "fingerprint", "BPE_ISH_PATTERN",
     "STOPWORDS", "repetition_features", "pii_redact",
-    "EMAIL_PATTERN", "IPV4_PATTERN",
+    "EMAIL_PATTERN", "IPV4_PATTERN", "strip_html",
 ]
 
 #: Whitespace tokens, empties dropped (fixture texts end with a space).
 def tokens(col: Column | str = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def strip_html(col: Column | str) -> Column:
+    """Boilerplate removal for crawled corpora: drop <script> blocks and
+    HTML comments (whose BODIES must go, not just the tags), then all
+    remaining tags (each replaced by a space so adjacent-tag text never glues
+    together), decode ``&amp;``, and collapse runs of spaces.
+
+    Pure ``regexp_replace`` chain — JVM-side, codegen, linear in bytes;
+    every pattern is written in the RE2-compatible subset (``[\\s\\S]``
+    instead of DOTALL flags) so the DuckDB oracle applies the literal
+    same patterns.  Order matters: script/comment bodies first (their
+    content may contain ``<``), entity decode after tag removal.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"<script[\s\S]*?</script>", " ")
+    c = F.regexp_replace(c, r"<!--[\s\S]*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(c, r" +", " "))
 
 
 #: BPE-ish pre-tokenization: letter runs, digit runs, single punctuation —

@@ -15,7 +15,7 @@ bench.py exercises at sf0.1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ab_metadata_pusher_spark.functions.hashing import (
@@ -89,6 +89,75 @@ GROUP BY md5(text)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with deterministic survivor (min id per content digest)."""
     return D.exact_dedup_keep_min(_doc_corpus(spark, sf_dir))
+
+
+@register(
+    "jsonl_corpus_ingest",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '_corrupt' AS lang, 3 AS n_docs, 0 AS total_chars
+""",
+    covers=("A.jsonl",),
+)
+def q_jsonl_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus ingest round trip (sources/jsonl.py): the documents
+    table materialized as line-delimited JSON (plus three deliberately
+    malformed lines), read back with an EXPLICIT schema in PERMISSIVE
+    mode, and aggregated per language — corrupt lines quarantine into
+    their own '_corrupt' group via ``_corrupt_record`` instead of
+    failing the scan.  The oracle sees the same totals from the parquet
+    table plus the known corrupt-line count, so a parse drift in either
+    direction (lost rows, mis-typed fields, silently dropped bad lines)
+    hash-mismatches."""
+    from ab_metadata_pusher_spark.sources.jsonl import (
+        DOCUMENTS_JSONL_SCHEMA, prepare_documents_jsonl, read_jsonl,
+    )
+    path = prepare_documents_jsonl(spark, sf_dir)
+    parsed = read_jsonl(spark, path, DOCUMENTS_JSONL_SCHEMA)
+    key = (F.when(F.col("_corrupt_record").isNotNull(), "_corrupt")
+           .otherwise(F.col("lang")))
+    return (parsed.groupBy(key.alias("lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint")
+                  .alias("total_chars")))
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+wins AS (
+  -- fixed series (docs are <= 1024 tokens here) filtered to real
+  -- windows; generate_series can't take a lateral column parameter
+  SELECT doc_id, CAST(i AS BIGINT) AS start_tok,
+         md5(array_to_string(t[i:i+9], ' ')) AS window_md5
+  FROM toks, generate_series(1, 1024) AS g(i)
+  WHERE i <= len(t) - 9
+)
+SELECT w.doc_id, w.start_tok, w.window_md5, d.n_dup
+FROM wins w
+JOIN (SELECT window_md5, CAST(count(*) AS BIGINT) AS n_dup
+      FROM wins GROUP BY window_md5 HAVING count(*) > 1) d
+  USING (window_md5)
+""",
+    covers=("G.dedup.substring",),
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication spans (operators/dedup.py
+    duplicated_spans): 10-token windows occurring more than once
+    corpus-wide, one row per occurrence — the removable-span form of
+    suffix-array exact-substring dedup.  Windows build in-row (no
+    shuffle); the only exchanges are the window-hash groupBy and the
+    occurrence re-join."""
+    return D.duplicated_spans(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        w=10)
 
 
 _JACCARD_T = 0.6
@@ -841,6 +910,89 @@ def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", b.alias("bucket"),
         F.when(b < 80, "train").when(b < 90, "val")
          .otherwise("test").alias("split"))
+
+
+@register(
+    "text_html_strip",
+    oracle=r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><body class="c"><h1>' || source || '</h1> <p>' || text ||
+         ' &amp; more</p> <script>if (1 < 2) x();</script>' ||
+         ' <!-- boilerplate --></body></html>' AS html
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html, '<script[\s\S]*?</script>', ' ', 'g'),
+                 '<!--[\s\S]*?-->', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&amp;', '&'),
+           ' +', ' ', 'g')) AS clean
+  FROM h
+)
+SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS clean_md5
+FROM c
+""",
+    covers=("G.text.html_strip",),
+)
+def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping (operators/text.py strip_html) over a
+    deterministic HTML wrapping of each document — scripts and comments
+    removed body-and-all (the script body even contains a bare '<' to
+    prove ordering), tags dropped, entities decoded, whitespace
+    collapsed.  Both engines run the literal same RE2-safe patterns, so
+    the cleaned text hashes must agree byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body class="c"><h1>'), F.col("source"),
+        F.lit('</h1> <p>'), F.col("text"),
+        F.lit(' &amp; more</p> <script>if (1 < 2) x();</script>'
+              ' <!-- boilerplate --></body></html>'))
+    clean = X.strip_html(html)
+    return d.select(
+        "doc_id",
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.md5(clean.cast("binary")).alias("clean_md5"))
+
+
+_SHUF = sql_md5_long("'shuf42-' || doc_id::VARCHAR")
+
+
+@register(
+    "sample_global_shuffle",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_SHUF} % 1024 AS BIGINT) AS bucket,
+       CAST(row_number() OVER (
+         PARTITION BY {_SHUF} % 1024
+         ORDER BY {_SHUF}, doc_id) AS BIGINT) AS seq
+FROM documents
+""",
+    covers=("G.sample.shuffle",),
+)
+def q_sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for reproducible training order: a
+    seeded hash permutes documents, expressed as (bucket, seq) — global
+    order = ORDER BY (bucket, seq).  The 100 TB shape: 1024 hash buckets
+    shuffle once and each bucket ranks INDEPENDENTLY (parallel window
+    partitions, uniformly sized by the hash), where a naive
+    ``row_number() OVER (ORDER BY hash)`` would funnel the whole corpus
+    through ONE partition.  Identical permutation on every engine,
+    every partitioning, every rerun — ``df.sample``/``rand`` can
+    guarantee none of these."""
+    d = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("shuf42-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(h % 1024).orderBy(h, F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        (h % 1024).alias("bucket"),
+        F.row_number().over(w).cast("bigint").alias("seq"))
 
 
 @register(
