@@ -15,6 +15,7 @@ bench.py exercises at sf0.1.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -959,6 +960,48 @@ def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(clean).cast("bigint").alias("clean_len"),
         F.md5(clean.cast("binary")).alias("clean_md5"))
+
+
+@register(
+    "text_unicode_nfc",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, text || ' cafe' || chr(769) || ' no' || chr(776) || 'el'
+           AS raw FROM documents
+)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS raw_len,
+       CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
+       md5(nfc_normalize(raw)) AS nfc_md5
+FROM a
+""",
+    covers=("G.text.unicode",),
+)
+def q_text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the standard first step of corpus
+    cleaning (crawled text mixes composed and decomposed forms; dedup
+    hashes diverge on byte-different/canonically-equal strings unless
+    normalized).  Spark has no built-in normalizer, so this is a
+    legitimate Arrow-batched ``pandas_udf`` (stdlib ``unicodedata``),
+    vectorized per batch — the sanctioned fallback when no JVM function
+    expresses the semantics.  Each document gets a decomposed-form
+    suffix appended (combining acute/diaeresis) so the op provably
+    composes: raw_len shrinks by exactly the two combining marks and
+    the NFC hash must equal DuckDB's ``nfc_normalize`` byte-for-byte."""
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    d = load_table(spark, sf_dir, "documents")
+    # decomposed on purpose: e + U+0301, o + U+0308 (NFC composes both)
+    raw = F.concat(F.col("text"), F.lit(" cafe\u0301 no\u0308el"))
+    return d.select(
+        "doc_id",
+        F.length(raw).cast("bigint").alias("raw_len"),
+        F.length(nfc(raw)).cast("bigint").alias("nfc_len"),
+        F.md5(nfc(raw).cast("binary")).alias("nfc_md5"))
 
 
 _SHUF = sql_md5_long("'shuf42-' || doc_id::VARCHAR")
