@@ -65,6 +65,15 @@ REGISTRY_BENCH = [
     "rollup_incremental_merge",
     "join_interval_overlap",
     "corpus_snapshot_diff",
+    # round-3 additions
+    "dedup_substring_spans",
+    "text_html_strip",
+    "text_unicode_nfc",
+    "sample_global_shuffle",
+    "multimodal_decode_audio",
+    "jsonl_corpus_ingest",
+    "agg_heavy_hitters_guaranteed",
+    "similarity_ann_ivf",
 ]
 
 
