@@ -21,7 +21,7 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ab_metadata_pusher_spark.observability import capture_plan_segment
@@ -425,14 +425,17 @@ def duplicated_spans(df: DataFrame, w: int = 10, text_col: str = "text",
 
     Plan shape: windows are built IN-ROW (a ``transform`` over the
     position sequence + ``slice`` + md5 — zero shuffle, whole-stage
-    codegen); duplicate detection is ONE groupBy on the 16-byte window
-    hash (map-side combinable); occurrences re-emit via a hash
-    equi-join.  Total shuffle volume is ~(tokens per doc) 16-byte keys
-    per document — linear in corpus size, never pairwise.  At 100 TB
-    raise ``w`` (fewer, more selective windows) and pre-filter boilerplate
-    with the df-gated shingle machinery above.  Documents shorter than
-    ``w`` tokens contain no window and drop out, as in the reference
-    algorithm.
+    codegen); duplicate detection + occurrence re-emit is ONE window
+    count partitioned by the 16-byte hash — a single exchange of one
+    16-byte key per token per document (the groupBy + re-join
+    formulation shuffles the window stream twice and builds it twice;
+    measured ~2x slower).  Linear in corpus size, never pairwise.  At
+    100 TB raise ``w`` (fewer, more selective windows) and pre-drop
+    boilerplate windows (a df-gate as in ``jaccard_pairs``) — a
+    corpus-wide boilerplate window otherwise lands its occurrences in
+    one window partition (same skew exposure the join form has on its
+    hot hash key).  Documents shorter than ``w`` tokens contain no
+    window and drop out, as in the reference algorithm.
     """
     toks = tokens(text_col)
     n = F.size(toks)
@@ -445,11 +448,11 @@ def duplicated_spans(df: DataFrame, w: int = 10, text_col: str = "text",
             F.md5(F.concat_ws(" ", F.slice(toks, i, w)).cast("binary"))
              .alias("window_md5")))).alias("win"))
         .select(id_col, "win.start_tok", "win.window_md5"))
-    dups = (wins.groupBy("window_md5")
-            .agg(F.count(F.lit(1)).alias("n_dup"))
-            .filter(F.col("n_dup") > 1))
-    return wins.join(dups, "window_md5") \
-               .select(id_col, "start_tok", "window_md5", "n_dup")
+    w_cnt = Window.partitionBy("window_md5")
+    return (wins
+            .withColumn("n_dup", F.count(F.lit(1)).over(w_cnt))
+            .filter(F.col("n_dup") > 1)
+            .select(id_col, "start_tok", "window_md5", "n_dup"))
 
 
 def lsh_verified_pairs(df: DataFrame, threshold: float,
