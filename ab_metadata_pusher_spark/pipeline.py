@@ -27,7 +27,8 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ab_metadata_pusher_spark.sinks.staging import StagingArea
 
@@ -39,11 +40,15 @@ METRIC_PREFIX = "ab_metadata_pusher_spark.job"
 
 
 class MetricsEmitter:
-    """statsd-protocol counter emitter (E5).  The default implementation
-    logs; inject a statsd client adapter for real emission."""
+    """statsd-protocol counter/gauge emitter (E5).  The default
+    implementation logs; inject a statsd client adapter for real
+    emission."""
 
     def incr(self, metric: str) -> None:  # pragma: no cover - trivial
         logger.info("metric incr: %s", metric)
+
+    def gauge(self, metric: str, value: float) -> None:  # pragma: no cover
+        logger.info("metric gauge: %s=%s", metric, value)
 
 
 @dataclass
@@ -54,6 +59,9 @@ class PipelineResult:
     published: bool
     elapsed_sec: float
     publish_report: Any = None
+    #: rows staged per frame, measured by ``df.observe`` DURING the
+    #: staging write — no second pass (None for publisher-only runs).
+    staged_rows: dict[str, int] | None = None
 
 
 @dataclass
@@ -82,13 +90,32 @@ class Pipeline:
         start = time.time()
         staged = published = False
         report = None
+        staged_rows: dict[str, int] | None = None
         try:
             if self.extract is not None:
                 nodes, relations = self.extract(spark)
                 if self.transform is not None:
                     nodes, relations = self.transform(nodes, relations)
+                # Observed aggregates ride the staging write's own job —
+                # per-publish row counts at zero extra passes (the
+                # reference re-counts records driver-side in its publish
+                # loop, publisher/aws_sqs_csv_puiblisher.py).
+                obs_n, obs_r = Observation(), Observation()
+                nodes = nodes.observe(
+                    obs_n, F.count(F.lit(1)).alias("n_rows"))
+                relations = relations.observe(
+                    obs_r, F.count(F.lit(1)).alias("n_rows"))
                 self.staging.write(nodes, relations)
                 staged = True
+                staged_rows = {"nodes": int(obs_n.get["n_rows"]),
+                               "relations": int(obs_r.get["n_rows"])}
+                # feature-detect: pre-existing emitters implement only
+                # the reference's incr counters
+                gauge = getattr(self.metrics, "gauge", None)
+                if callable(gauge):
+                    for frame, n in staged_rows.items():
+                        gauge(f"{METRIC_PREFIX}.{self.identifier}"
+                              f".staged_rows.{frame}", n)
             nodes = self.staging.read_nodes(spark)
             relations = self.staging.read_relations(spark)
             if self.publish is not None:
@@ -103,7 +130,7 @@ class Pipeline:
         result = PipelineResult(
             identifier=self.identifier, succeeded=True, staged=staged,
             published=published, elapsed_sec=round(time.time() - start, 3),
-            publish_report=report)
+            publish_report=report, staged_rows=staged_rows)
         if self.on_success is not None:
             self.on_success(result)
         return result

@@ -27,3 +27,41 @@ def test_observe_collects_metrics_in_one_pass(spark, sf_dir):
     assert got["n_rows"] >= n_out
     assert got["null_texts"] == 0
     assert got["max_chars"] > 0
+
+
+def test_pipeline_reports_observed_staged_rows(spark, tmp_path):
+    """Pipeline.run must carry per-frame staged row counts measured by
+    df.observe during the staging write itself (no recount job), and
+    emit them as gauges."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.pipeline import MetricsEmitter, Pipeline
+    from ab_metadata_pusher_spark.sinks.staging import StagingArea
+
+    class Gauges(MetricsEmitter):
+        def __init__(self):
+            self.gauges = {}
+
+        def gauge(self, metric, value):
+            self.gauges[metric] = value
+
+    def extract(s):
+        nodes = s.range(7).select(
+            F.concat(F.lit("n"), F.col("id")).alias("KEY"),
+            F.lit("Table").alias("LABEL"))
+        rels = s.range(3).select(
+            F.concat(F.lit("a"), F.col("id")).alias("START_KEY"),
+            F.lit("Table").alias("START_LABEL"),
+            F.concat(F.lit("b"), F.col("id")).alias("END_KEY"),
+            F.lit("Column").alias("END_LABEL"),
+            F.lit("COL").alias("TYPE"))
+        return nodes, rels
+
+    g = Gauges()
+    p = Pipeline(identifier="obs_test",
+                 staging=StagingArea(str(tmp_path / "stage")),
+                 extract=extract, metrics=g)
+    res = p.run(spark)
+    assert res.staged_rows == {"nodes": 7, "relations": 3}
+    assert any(k.endswith("staged_rows.nodes") and v == 7
+               for k, v in g.gauges.items())
