@@ -1457,6 +1457,49 @@ def q_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "lineitem.l_partkey->part")))
 
 
+@register(
+    "quality_expectations",
+    oracle="""
+WITH w AS (
+  SELECT count(*) AS n,
+    CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+    CAST(sum(CASE WHEN NOT coalesce(o_totalprice < 300000, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+    CAST(sum(CASE WHEN NOT coalesce(
+               o_orderpriority IN ('1-URGENT', '2-HIGH'), FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+    CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS r4
+  FROM orders)
+SELECT 'price_positive' AS rule, r1 AS n_violations, n AS n_rows,
+       r1 * 1000000 // n AS violated_ppm FROM w
+UNION ALL SELECT 'price_under_300k', r2, n, r2 * 1000000 // n FROM w
+UNION ALL SELECT 'urgent_or_high', r3, n, r3 * 1000000 // n FROM w
+UNION ALL SELECT 'status_valid', r4, n, r4 * 1000000 // n FROM w
+""",
+    covers=("G.quality.expectations",),
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations report (operators/quality.py): four
+    admission rules over orders evaluated in ONE map-side-combinable
+    aggregate — per-rule violation counts and exact integer ppm rates,
+    rule-count-sized output at any corpus size.  The same rule dict
+    drives apply_expectations' valid/quarantine split
+    (tests/test_analytics.py)."""
+    from ab_metadata_pusher_spark.operators.quality import (
+        expectations_report,
+    )
+    o = _t(spark, sf_dir, "orders")
+    return expectations_report(o, {
+        "price_positive": F.col("o_totalprice") > 0,
+        "price_under_300k": F.col("o_totalprice") < 300000,
+        "urgent_or_high": F.col("o_orderpriority")
+                           .isin("1-URGENT", "2-HIGH"),
+        "status_valid": F.col("o_orderstatus").isin("O", "F", "P"),
+    })
+
+
 @register("agg_approx_percentiles", covers=("G.agg.approx_percentile",))
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based quantiles (Greenwald-Khanna via approx_percentile,

@@ -120,3 +120,34 @@ def test_funnel_randomized_vs_bruteforce(spark):
     out = {r["user_id"]: (r["view_ts"], r["click_ts"], r["purchase_ts"])
            for r in funnel_steps(ev, ("view", "click", "purchase")).collect()}
     assert out == expected
+
+
+def test_expectations_split_and_report_agree(spark):
+    """apply_expectations' quarantine must carry the exact broken-rule
+    names, null rule results must quarantine (conservative gate), and
+    the report's counts must equal the split's."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators.quality import (
+        apply_expectations, expectations_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "b"), (3, None, "c"), (4, 7.0, None)],
+        "id long, price double, tag string")
+    rules = {"price_pos": F.col("price") > 0,
+             "tag_set": F.col("tag").isNotNull()}
+    valid, quar = apply_expectations(df, rules)
+    assert {r.id for r in valid.collect()} == {1}
+    got = {r.id: sorted(r._broken_rules) for r in quar.collect()}
+    assert got == {2: ["price_pos"], 3: ["price_pos"], 4: ["tag_set"]}
+
+    rep = {r.rule: r for r in expectations_report(df, rules).collect()}
+    assert rep["price_pos"].n_violations == 2  # -5 and NULL both fail
+    assert rep["tag_set"].n_violations == 1
+    assert rep["price_pos"].n_rows == 4
+    assert rep["price_pos"].violated_ppm == 500000
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        apply_expectations(df, {})
