@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "events_stream", "run_to_memory", "tumbling_counts", "sliding_counts",
     "session_windows", "dedup_within_watermark", "foreach_batch_publish",
+    "idempotent_foreach_batch",
     "stateful_user_stats", "stateful_user_stats_tws",
     "stream_static_join_segments",
     "stream_stream_purchase_clicks",
@@ -214,6 +215,39 @@ def foreach_batch_publish(events: DataFrame, publisher, tag: str,
 
     return (events.writeStream.foreachBatch(publish_batch)
             .trigger(availableNow=True).start())
+
+
+def idempotent_foreach_batch(inner, ledger_dir: str):
+    """Wrap a ``foreachBatch`` body with a batch-id ledger so redelivered
+    micro-batches publish EXACTLY once.
+
+    Structured Streaming guarantees at-least-once delivery to
+    ``foreachBatch``: a crash between the sink side effect and the
+    checkpoint commit redelivers the same ``batch_id`` on restart.  The
+    wrapper makes the side effect idempotent the standard way — check a
+    per-batch marker, run the body, then record the marker via
+    atomic-rename (visible only when complete, so a crash mid-publish
+    re-runs the batch rather than silently skipping it).  The ledger
+    lives next to the sink (same durability domain), one empty file per
+    batch — at any scale this is metadata-sized.  Complements the
+    content-hash MessageDeduplicationId defense in sinks/sqs.py; use
+    both for FIFO queues, this alone for sinks with no native dedup.
+    """
+    import os
+
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        inner(batch_df, batch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w", encoding="utf-8"):
+            pass
+        os.replace(tmp, marker)
+
+    return body
 
 
 

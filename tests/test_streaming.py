@@ -230,3 +230,39 @@ def test_tws_processor_logic_without_runtime(spark, sf_dir):
         assert abs(t - float(r.t)) < 1e-6
         assert pd.Timestamp(f) == pd.Timestamp(r.f)
         assert pd.Timestamp(l) == pd.Timestamp(r.l)
+
+
+def test_idempotent_foreach_batch_skips_redelivered_batches(spark, tmp_path):
+    """At-least-once foreachBatch redelivery (crash between side effect
+    and checkpoint commit) must not double-publish: the ledgered wrapper
+    runs each batch_id once, re-runs a batch whose marker never landed,
+    and isolates ledgers per sink."""
+    from ab_metadata_pusher_spark.streaming.events import (
+        idempotent_foreach_batch,
+    )
+
+    calls = []
+    body = idempotent_foreach_batch(
+        lambda df, bid: calls.append(bid), str(tmp_path / "ledger"))
+    df = spark.range(3)
+    body(df, 0)
+    body(df, 1)
+    body(df, 0)  # redelivery after simulated restart
+    assert calls == [0, 1]
+
+    # a crash BEFORE the marker rename re-runs the batch (no silent skip)
+    boom = []
+
+    def flaky(df_, bid):
+        boom.append(bid)
+        if len(boom) == 1:
+            raise RuntimeError("crash mid-publish")
+
+    body2 = idempotent_foreach_batch(flaky, str(tmp_path / "ledger2"))
+    import pytest as _p
+    with _p.raises(RuntimeError):
+        body2(df, 7)
+    body2(df, 7)
+    assert boom == [7, 7]
+    body2(df, 7)
+    assert boom == [7, 7]
