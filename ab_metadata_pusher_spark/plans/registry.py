@@ -101,9 +101,13 @@ DRIVER_PREFIX: tuple[str, ...] = (
     # --- rotation: multimodal (incl. this round's real WAV decode) ---
     "multimodal_binary_meta", "multimodal_decode_features",
     "multimodal_resize", "multimodal_frame_sample", "multimodal_decode_audio",
-    # --- rotation: new/reworked this round + remaining never-scored ---
+    # --- rotation: new/reworked this round ---
     "similarity_ann_ivf", "agg_heavy_hitters_guaranteed",
-    "window_gap_islands", "quality_fk_violations",
+    "dedup_substring_spans", "jsonl_corpus_ingest",
+    # --- beyond the driver's 50-row window: deterministic order for the
+    # --- next rotation (scored only if the driver widens its prefix) ---
+    "text_html_strip", "text_unicode_nfc", "sample_global_shuffle",
+    "quality_expectations", "window_gap_islands", "quality_fk_violations",
 )
 
 
