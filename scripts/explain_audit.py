@@ -38,7 +38,9 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      "text_lm_score",
                      # 1-row aggregate cross joins (n_nodes x n_edges x
                      # n_triangles); corpus-stats broadcast in BM25
-                     "graph_triangles", "text_bm25"}
+                     "graph_triangles", "text_bm25",
+                     # 1-row corpus-total broadcast onto the ≤k candidates
+                     "agg_heavy_hitters_guaranteed"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -64,6 +66,10 @@ DEFAULT = [
     "dedup_edit_distance", "text_bm25", "text_inverted_index",
     "sample_weighted", "cdc_latest_snapshot", "cdc_scd2_intervals",
     "map_higher_order_funcs",
+    # round-3 additions
+    "dedup_substring_spans", "jsonl_corpus_ingest", "text_html_strip",
+    "text_unicode_nfc", "sample_global_shuffle", "quality_expectations",
+    "agg_heavy_hitters_guaranteed", "multimodal_decode_audio",
 ]
 
 
