@@ -963,6 +963,50 @@ def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_pair_counts",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b
+  FROM toks, generate_series(1, 64) AS g(i)
+  WHERE i < length(w)
+)
+SELECT a || b AS pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY a, b
+ORDER BY n DESC, pair LIMIT 20
+""",
+    covers=("G.text.bpe",),
+)
+def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE tokenizer-training iteration, distributed:
+    corpus-wide adjacent-symbol pair frequencies at the character
+    level, top 20 by count (deterministic (n DESC, pair) cutoff).
+    Pairs are built IN-ROW (nested transform over word positions —
+    codegen, zero shuffle); the only exchange is a groupBy over the
+    bounded pair alphabet, map-side combinable, so counting 100 TB of
+    text shuffles at most |alphabet|² counters per partition.  Later
+    merge iterations re-segment with the learned merge table and rerun
+    the same plan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+
+    def pairs_of(w):
+        seq = (F.when(F.length(w) >= 2, F.sequence(F.lit(1), F.length(w) - 1))
+               .otherwise(F.array().cast("array<int>")))
+        return F.transform(
+            seq, lambda i: F.concat(w.substr(i, F.lit(1)),
+                                    w.substr(i + 1, F.lit(1))))
+
+    pairs = F.flatten(F.transform(toks, pairs_of))
+    return (d.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "pair").limit(20))
+
+
+@register(
     "text_unicode_nfc",
     oracle="""
 WITH a AS (
