@@ -963,6 +963,52 @@ def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_build_pipeline",
+    oracle=f"""
+WITH kept AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> ''))
+        BETWEEN 10 AND 1000
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+final AS (SELECT k.doc_id, k.lang FROM kept k JOIN surv USING (doc_id)),
+split AS (
+  SELECT lang,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT lang, {sql_md5_long("doc_id::VARCHAR")} % 100 AS b
+        FROM final)
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM split GROUP BY split, lang
+""",
+    covers=("G.pipeline.compose",),
+)
+def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed the way a real corpus build uses them —
+    quality gate -> exact dedup (deterministic survivor) -> reproducible
+    hash split — in ONE lazy plan, reporting per-(split, lang) counts.
+    Catalyst fuses the chain: the quality filter prunes before the dedup
+    digest groupBy, the split is a pure projection, and the output is
+    aggregate-sized.  Every stage is individually driver-verified
+    elsewhere (text_quality_scores, dedup_exact, sample_hash_split);
+    this query verifies their COMPOSITION end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    q = X.quality_features(d)
+    kept = d.join(q.filter("len_ok").select("doc_id"), "doc_id")
+    surv = D.exact_dedup_keep_min(kept)
+    final = kept.join(
+        surv.select(F.col("kept_id").alias("doc_id")), "doc_id")
+    b = md5_long(F.col("doc_id").cast("string")) % 100
+    return (final.select(
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "val")
+         .otherwise("test").alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@register(
     "text_bpe_pair_counts",
     oracle="""
 WITH toks AS (
