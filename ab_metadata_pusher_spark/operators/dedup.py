@@ -415,7 +415,8 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 6,
 
 
 def duplicated_spans(df: DataFrame, w: int = 10, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     max_df: int | None = None) -> DataFrame:
     """Exact substring-duplication spans at w-token-window granularity —
     the distributed approximation of suffix-array exact-substring dedup
     (Lee et al., "Deduplicating Training Data Makes Language Models
@@ -425,17 +426,23 @@ def duplicated_spans(df: DataFrame, w: int = 10, text_col: str = "text",
 
     Plan shape: windows are built IN-ROW (a ``transform`` over the
     position sequence + ``slice`` + md5 — zero shuffle, whole-stage
-    codegen); duplicate detection + occurrence re-emit is ONE window
-    count partitioned by the 16-byte hash — a single exchange of one
-    16-byte key per token per document (the groupBy + re-join
-    formulation shuffles the window stream twice and builds it twice;
-    measured ~2x slower).  Linear in corpus size, never pairwise.  At
-    100 TB raise ``w`` (fewer, more selective windows) and pre-drop
-    boilerplate windows (a df-gate as in ``jaccard_pairs``) — a
-    corpus-wide boilerplate window otherwise lands its occurrences in
-    one window partition (same skew exposure the join form has on its
-    hot hash key).  Documents shorter than ``w`` tokens contain no
+    codegen).  With ``max_df=None`` duplicate detection + occurrence
+    re-emit is ONE window count partitioned by the 16-byte hash — a
+    single exchange of one 16-byte key per token per document (the
+    groupBy + re-join formulation shuffles the window stream twice and
+    builds it twice; measured ~2x slower).  Linear in corpus size,
+    never pairwise.  Documents shorter than ``w`` tokens contain no
     window and drop out, as in the reference algorithm.
+
+    ``max_df`` is the boilerplate gate for open corpora (same contract
+    as ``jaccard_pairs``): windows duplicated more than ``max_df`` times
+    are licenses/headers, not content worth span-level reporting, and
+    their occurrences are what skews the hash partitioning.  When set,
+    the plan switches to groupBy (map-side-combined counts — no hot
+    single-partition sort) + a filtered dup table joined back, so
+    boilerplate keys are dropped BEFORE the occurrence shuffle — the
+    window-count form cannot prune them until after the skewed
+    exchange.  At 100 TB set ``max_df`` and raise ``w``.
     """
     toks = tokens(text_col)
     n = F.size(toks)
@@ -448,11 +455,17 @@ def duplicated_spans(df: DataFrame, w: int = 10, text_col: str = "text",
             F.md5(F.concat_ws(" ", F.slice(toks, i, w)).cast("binary"))
              .alias("window_md5")))).alias("win"))
         .select(id_col, "win.start_tok", "win.window_md5"))
-    w_cnt = Window.partitionBy("window_md5")
-    return (wins
-            .withColumn("n_dup", F.count(F.lit(1)).over(w_cnt))
-            .filter(F.col("n_dup") > 1)
-            .select(id_col, "start_tok", "window_md5", "n_dup"))
+    if max_df is None:
+        w_cnt = Window.partitionBy("window_md5")
+        return (wins
+                .withColumn("n_dup", F.count(F.lit(1)).over(w_cnt))
+                .filter(F.col("n_dup") > 1)
+                .select(id_col, "start_tok", "window_md5", "n_dup"))
+    dups = (wins.groupBy("window_md5")
+            .agg(F.count(F.lit(1)).alias("n_dup"))
+            .filter((F.col("n_dup") > 1) & (F.col("n_dup") <= max_df)))
+    return wins.join(dups, "window_md5") \
+               .select(id_col, "start_tok", "window_md5", "n_dup")
 
 
 def lsh_verified_pairs(df: DataFrame, threshold: float,

@@ -95,11 +95,12 @@ def test_decode_features_pil_real_codec(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
-    """IVF sanity: recall must scale with nprobe.  The fixture's labels do
-    NOT cluster the embedding space (true neighbors span arbitrary labels),
-    so label-mean cells approximate random partitioning — expected recall
-    ~nprobe/n_cells; probing all 10 cells must recover brute force
-    exactly (the candidate set becomes the whole corpus)."""
+    """IVF sanity: recall must scale with nprobe.  Cells are learned by
+    the seeded k-means quantizer; the fixture embeddings are not
+    strongly clustered, so with the default 8 cells expected recall is
+    roughly nprobe/n_cells — and probing at least as many cells as exist
+    must recover brute force exactly (the candidate set becomes the
+    whole corpus)."""
     from ab_metadata_pusher_spark.sources.fixtures import load_table
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
@@ -381,3 +382,21 @@ def test_jsonl_ingest_quarantines_corrupt_lines(spark, sf_dir, tmp_path):
     with _pytest.raises(Exception):
         read_jsonl(spark, path, DOCUMENTS_JSONL_SCHEMA,
                    mode="FAILFAST").count()
+
+
+def test_duplicated_spans_max_df_gates_boilerplate(spark):
+    """A window duplicated across many docs (license boilerplate) is
+    excluded when max_df is set; genuine low-multiplicity dups survive
+    with identical rows in both plan forms."""
+    from ab_metadata_pusher_spark.operators.dedup import duplicated_spans
+    boiler = " ".join(f"L{i}" for i in range(10))   # in 5 docs
+    shared = " ".join(f"s{i}" for i in range(10))   # in 2 docs
+    rows = [(i, boiler + " u" + str(i)) for i in range(5)]
+    rows += [(10, shared + " xa"), (11, shared + " xb")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    gated = duplicated_spans(docs, w=10, max_df=4).collect()
+    assert {r.window_md5 for r in gated} == {
+        r.window_md5 for r in duplicated_spans(docs, w=10).collect()
+        if r.n_dup <= 4}
+    assert all(r.n_dup == 2 for r in gated)
+    assert {r.doc_id for r in gated} == {10, 11}
