@@ -24,7 +24,8 @@ from pyspark.sql import types as T
 __all__ = ["with_binary_payload", "decode_features", "DECODE_SCHEMA",
            "IMAGE_SCHEMA", "resize_payload", "sample_frames",
            "RESIZE_SCHEMA", "FRAME_SCHEMA", "with_wav_payload",
-           "decode_audio_wave", "AUDIO_SCHEMA"]
+           "decode_audio_wave", "AUDIO_SCHEMA", "with_avi_payload",
+           "decode_video_avi", "VIDEO_SCHEMA"]
 
 
 def with_binary_payload(documents: DataFrame) -> DataFrame:
@@ -254,6 +255,116 @@ def decode_audio_wave(multimodal: DataFrame) -> DataFrame:
 
     return (multimodal.select("doc_id", "payload")
             .mapInPandas(decode, AUDIO_SCHEMA))
+
+
+VIDEO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("total_frames", T.IntegerType()),
+    T.StructField("us_per_frame", T.IntegerType()),
+    T.StructField("duration_us", T.LongType()),
+])
+
+_AVI_RATES_US = (33333, 41708, 16667)  # ~30, ~23.976, ~60 fps
+
+
+def _avi_bytes(us_per_frame: int, total_frames: int,
+               width: int, height: int) -> bytes:
+    """Minimal valid RIFF/AVI: LIST hdrl with a 56-byte avih chunk plus
+    an empty LIST movi.  Stdlib struct only — the container format is
+    just sized chunks."""
+    import struct
+
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0, total_frames, 0,
+                       1, 0, width, height, 0, 0, 0, 0)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"movi"
+    body = (b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+            + b"LIST" + struct.pack("<I", len(movi)) + movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def with_avi_payload(documents: DataFrame) -> DataFrame:
+    """Wrap the documents fixture as a video table: each row carries a
+    REAL RIFF/AVI container (header-only — empty movi list) whose
+    dimensions/frame-rate/frame-count are fixed functions of the row.
+    The WAV twin (``with_wav_payload``) for the video path."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                out["doc_id"].append(doc_id)
+                out["payload"].append(_avi_bytes(
+                    _AVI_RATES_US[doc_id % 3],
+                    24 + len(text or "") % 240,
+                    320 + 16 * (doc_id % 4),
+                    240 + 16 * (doc_id % 3)))
+            yield pd.DataFrame(out)
+
+    return (documents.select("doc_id", "text")
+            .mapInPandas(synth, _WAV_PAYLOAD_SCHEMA))
+
+
+def decode_video_avi(multimodal: DataFrame) -> DataFrame:
+    """REAL video container decode, stdlib-only: walk the RIFF chunk
+    tree, locate the ``avih`` main header, emit dimensions / frame rate
+    / frame count / exact integer-microsecond duration.  Frame PIXEL
+    decode still requires a codec (``av``) and stays behind the
+    ``decode_features`` NotImplementedError hook — this covers the
+    container-metadata half of the video path for real, the same split
+    a production pipeline uses (cheap header pass to filter/route,
+    expensive codec pass only on survivors).  Malformed payloads yield
+    sentinel rows (-1), matching the image/audio decoders."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def parse(b: bytes):
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                raise ValueError("not an AVI")
+            pos = 12
+            while pos + 8 <= len(b):
+                tag = b[pos:pos + 4]
+                size = struct.unpack_from("<I", b, pos + 4)[0]
+                if tag == b"LIST":
+                    if b[pos + 8:pos + 12] == b"hdrl":
+                        pos += 12  # descend into the list body
+                        continue
+                    pos += 8 + size + (size & 1)
+                    continue
+                if tag == b"avih":
+                    f = struct.unpack_from("<14I", b, pos + 8)
+                    return f[0], f[4], f[8], f[9]
+                pos += 8 + size + (size & 1)
+            raise ValueError("no avih chunk")
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "total_frames", "us_per_frame",
+                                   "duration_us")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    upf, nf, w, h = parse(bytes(payload))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["total_frames"].append(nf)
+                    out["us_per_frame"].append(upf)
+                    out["duration_us"].append(nf * upf)
+                except Exception:
+                    for k in ("width", "height", "total_frames",
+                              "us_per_frame", "duration_us"):
+                        out[k].append(-1)
+            pdf_out = pd.DataFrame(out)
+            for c in ("width", "height", "total_frames", "us_per_frame"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return (multimodal.select("doc_id", "payload")
+            .mapInPandas(decode, VIDEO_SCHEMA))
 
 
 RESIZE_SCHEMA = T.StructType([

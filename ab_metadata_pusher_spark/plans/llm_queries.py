@@ -670,6 +670,34 @@ def q_multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_video",
+    oracle="""
+SELECT doc_id,
+       CAST(320 + 16 * (doc_id % 4) AS INT) AS width,
+       CAST(240 + 16 * (doc_id % 3) AS INT) AS height,
+       CAST(24 + length(text) % 240 AS INT) AS total_frames,
+       CAST([33333, 41708, 16667][CAST(doc_id % 3 AS INT) + 1] AS INT)
+         AS us_per_frame,
+       CAST((24 + length(text) % 240)
+            * [33333, 41708, 16667][CAST(doc_id % 3 AS INT) + 1] AS BIGINT)
+         AS duration_us
+FROM documents
+""",
+    covers=("G.multimodal.video",),
+)
+def q_multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container decode (operators/multimodal.py
+    decode_video_avi): genuine RIFF/AVI headers synthesized from the
+    row, then parsed back by walking the chunk tree to the avih main
+    header — dimensions, frame rate, frame count, exact duration.
+    Frame-pixel decode still needs a codec and stays stubbed; this is
+    the cheap header pass a real pipeline runs corpus-wide before
+    routing survivors to the expensive codec pass."""
+    mm = M.with_avi_payload(load_table(spark, sf_dir, "documents"))
+    return M.decode_video_avi(mm)
+
+
+@register(
     "similarity_ann_ivf",
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -107,7 +107,9 @@ DRIVER_PREFIX: tuple[str, ...] = (
     # --- beyond the driver's 50-row window: deterministic order for the
     # --- next rotation (scored only if the driver widens its prefix) ---
     "text_html_strip", "text_unicode_nfc", "sample_global_shuffle",
-    "quality_expectations", "window_gap_islands", "quality_fk_violations",
+    "quality_expectations", "multimodal_decode_video",
+    "corpus_build_pipeline", "text_bpe_pair_counts", "window_ema_bounded",
+    "window_gap_islands", "quality_fk_violations",
 )
 
 

@@ -1377,6 +1377,47 @@ def q_join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_ema_bounded",
+    oracle="""
+SELECT user_id, event_id,
+       round((coalesce(lag(value, 0) OVER w, 0)
+              + 0.5 * coalesce(lag(value, 1) OVER w, 0)
+              + 0.25 * coalesce(lag(value, 2) OVER w, 0)
+              + 0.125 * coalesce(lag(value, 3) OVER w, 0))
+             / (CASE WHEN lag(value, 0) OVER w IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN lag(value, 1) OVER w IS NOT NULL
+                       THEN 0.5 ELSE 0 END
+                + CASE WHEN lag(value, 2) OVER w IS NOT NULL
+                       THEN 0.25 ELSE 0 END
+                + CASE WHEN lag(value, 3) OVER w IS NOT NULL
+                       THEN 0.125 ELSE 0 END), 4) AS ema
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    covers=("G.window.ema",),
+)
+def q_window_ema_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average with a bounded lookback
+    (decay 0.5, last 4 observations) per user — the smoothing primitive
+    behind trend/quality drift monitors.  Expressed as an explicit
+    lag-weight chain so the arithmetic is the literal same expression in
+    both engines (a native EWMA would be engine-specific state); partial
+    windows renormalize over the weights actually present.  One shuffle
+    + per-partition sort, identical to any lag window; the lag chain is
+    a single window spec so Spark evaluates one sorted pass."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weights = [1.0, 0.5, 0.25, 0.125]
+    num = sum((F.coalesce(F.lag("value", j).over(w), F.lit(0.0)) * wt
+               for j, wt in enumerate(weights)), F.lit(0.0))
+    den = sum((F.when(F.lag("value", j).over(w).isNotNull(), wt)
+               .otherwise(0.0)
+               for j, wt in enumerate(weights)), F.lit(0.0))
+    return ev.select("user_id", "event_id",
+                     F.round(num / den, 4).alias("ema"))
+
+
+@register(
     "window_distribution_funcs",
     oracle="""
 SELECT o_orderkey, o_orderpriority,

@@ -400,3 +400,21 @@ def test_duplicated_spans_max_df_gates_boilerplate(spark):
         if r.n_dup <= 4}
     assert all(r.n_dup == 2 for r in gated)
     assert {r.doc_id for r in gated} == {10, 11}
+
+
+def test_avi_roundtrip_and_sentinel(spark):
+    """decode_video_avi must recover the synthesized container header
+    exactly and sentinel garbage payloads."""
+    docs = spark.createDataFrame(
+        [(0, "x" * 30), (4, None)], "doc_id long, text string")
+    rows = {r.doc_id: r
+            for r in M.decode_video_avi(M.with_avi_payload(docs)).collect()}
+    assert (rows[0].width, rows[0].height) == (320, 240)
+    assert rows[0].total_frames == 24 + 30 % 240
+    assert rows[0].us_per_frame == 33333
+    assert rows[0].duration_us == rows[0].total_frames * 33333
+    assert rows[4].width == 320 + 16 * (4 % 4) and rows[4].total_frames == 24
+
+    bad = spark.createDataFrame([(9, bytearray(b"RIFFxxxxJUNK"))],
+                                "doc_id long, payload binary")
+    assert M.decode_video_avi(bad).collect()[0].width == -1
