@@ -266,3 +266,38 @@ def test_idempotent_foreach_batch_skips_redelivered_batches(spark, tmp_path):
     assert boom == [7, 7]
     body2(df, 7)
     assert boom == [7, 7]
+
+
+def test_idempotent_ledger_in_real_stream_replay(spark, sf_dir, tmp_path):
+    """End-to-end: an UNcheckpointed AvailableNow stream replays its
+    whole source on every start (verified contract in
+    foreach_batch_publish's docstring); with the ledgered foreachBatch
+    body the sink still receives each batch exactly once."""
+    import json as _json
+
+    from ab_metadata_pusher_spark.streaming.events import (
+        events_stream, idempotent_foreach_batch,
+    )
+
+    out = tmp_path / "sink.jsonl"
+
+    def write_sink(batch_df, batch_id):
+        rows = batch_df.groupBy("event_type").count().collect()
+        with open(out, "a", encoding="utf-8") as fh:
+            for r in rows:
+                fh.write(_json.dumps(
+                    {"batch": batch_id, "t": r.event_type,
+                     "n": r["count"]}) + "\n")
+
+    body = idempotent_foreach_batch(write_sink, str(tmp_path / "ledger"))
+
+    def run_once():
+        q = (events_stream(spark, sf_dir).writeStream
+             .foreachBatch(body).trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    first = out.read_text().splitlines()
+    assert first, "sink received nothing"
+    run_once()  # full replay (no checkpoint) — ledger must swallow it
+    assert out.read_text().splitlines() == first
