@@ -71,9 +71,13 @@ REGISTRY_BENCH = [
     "text_unicode_nfc",
     "sample_global_shuffle",
     "multimodal_decode_audio",
+    "multimodal_decode_video",
     "jsonl_corpus_ingest",
     "agg_heavy_hitters_guaranteed",
     "similarity_ann_ivf",
+    "text_bpe_pair_counts",
+    "corpus_build_pipeline",
+    "window_ema_bounded",
 ]
 
 
