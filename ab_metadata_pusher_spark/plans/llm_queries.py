@@ -127,6 +127,33 @@ def q_jsonl_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_corpus_ingest",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+FROM documents GROUP BY lang
+""",
+    covers=("A.warc",),
+)
+def q_warc_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-format ingest round trip (sources/warc.py): the
+    documents fixture written as real WARC segments — including one
+    deliberately truncated trailing record — read back distributed
+    (binaryFile + record parse per executor) and aggregated per
+    language.  The oracle sees the same totals from the parquet table,
+    so a parse drift (lost records, wrong Content-Length handling,
+    swallowed truncation) hash-mismatches."""
+    from ab_metadata_pusher_spark.sources.warc import (
+        prepare_documents_warc, read_warc_dir,
+    )
+    path = prepare_documents_warc(spark, sf_dir)
+    recs = read_warc_dir(spark, path)
+    return (recs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("body_bytes").cast("bigint").alias("total_bytes")))
+
+
+@register(
     "dedup_substring_spans",
     oracle="""
 WITH toks AS (

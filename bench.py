@@ -73,6 +73,7 @@ REGISTRY_BENCH = [
     "multimodal_decode_audio",
     "multimodal_decode_video",
     "jsonl_corpus_ingest",
+    "warc_corpus_ingest",
     "agg_heavy_hitters_guaranteed",
     "similarity_ann_ivf",
     "text_bpe_pair_counts",

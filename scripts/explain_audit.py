@@ -71,7 +71,7 @@ DEFAULT = [
     "text_unicode_nfc", "sample_global_shuffle", "quality_expectations",
     "agg_heavy_hitters_guaranteed", "multimodal_decode_audio",
     "multimodal_decode_video", "text_bpe_pair_counts",
-    "corpus_build_pipeline", "window_ema_bounded",
+    "corpus_build_pipeline", "window_ema_bounded", "warc_corpus_ingest",
 ]
 
 

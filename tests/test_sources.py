@@ -231,3 +231,26 @@ def test_long_ts_divisor_magnitude_heuristic(tmp_path):
             pa.table({"ts": pa.array([raw, raw + 10], type=pa.int64())}),
             d / "events.parquet")
         assert _long_ts_divisor(str(d)) == want, (raw, want)
+
+
+def test_warc_parser_roundtrip_and_truncation(spark, sf_dir, tmp_path):
+    """WARC round trip: every document comes back with its exact body;
+    the deliberately truncated trailing record is dropped WITHOUT losing
+    the valid records before it in the same file."""
+    from ab_metadata_pusher_spark.sources.warc import (
+        parse_warc, prepare_documents_warc, read_warc_dir,
+    )
+
+    # pure-parser check: two records, second truncated
+    good = (b"WARC/1.0\r\nWARC-Target-URI: u1\r\nContent-Length: 5\r\n\r\n"
+            b"hello\r\n\r\n")
+    bad = b"WARC/1.0\r\nContent-Length: 50\r\n\r\nshort"
+    recs = list(parse_warc(good + bad))
+    assert len(recs) == 1 and recs[0][1] == b"hello"
+
+    path = prepare_documents_warc(spark, sf_dir, base_dir=str(tmp_path))
+    got = {r.uri: r.body for r in read_warc_dir(spark, path).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        assert got[f"http://corpus.example/doc/{d.doc_id}"] == (d.text or "")
