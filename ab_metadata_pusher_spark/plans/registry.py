@@ -65,15 +65,18 @@ def _load_all() -> None:
 #: Everything not listed follows in registration order.
 #:
 #: ROTATION (round 3): driver evidence is cumulative across rounds, so
-#: the head keeps a sentinel core (reference-parity metadata_* + one
-#: query per family, all green in CORRECTNESS_r02) and rotates the other
-#: 35 slots to oracle-backed queries that have NEVER had a driver row —
-#: the full streaming suite, the scalar/array/map function surface,
-#: udf/udtf variants, multimodal, and this round's new operators.  The
-#: r2 head (joins/windows/setops/timeseries/dedup variants) keeps its
-#: local oracle-parity coverage via tests/test_oracle_parity.py.
-#: Per VERDICT r2 #4 the scored similarity slot is the ANN path
-#: (similarity_ann_lsh), not the brute-force baseline.
+#: the head keeps a 15-slot sentinel core (reference-parity metadata_*
+#: + one query per family, all green in CORRECTNESS_r02) and fills the
+#: remaining scored slots with oracle-backed queries that have NEVER
+#: had a driver row — the full streaming suite, the scalar/array/map
+#: function surface, udf/udtf variants, multimodal, and this round's
+#: new operators; entries past the driver's ~50-row window queue in
+#: deterministic order for the next rotation.  The r2 head
+#: (joins/windows/setops/timeseries/dedup variants) keeps its local
+#: oracle-parity coverage via tests/test_oracle_parity.py.  Per VERDICT
+#: r2 #4 the scored similarity slot is the ANN path
+#: (similarity_ann_lsh), not the brute-force baseline.  Use
+#: scripts/prefix_planner.py to plan the next rotation.
 DRIVER_PREFIX: tuple[str, ...] = (
     # --- sentinel core (driver-green in r2, one per family) ---
     "metadata_catalog_columns", "metadata_tables",
