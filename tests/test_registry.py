@@ -15,3 +15,36 @@ def test_core_operator_coverage():
 def test_oracles_are_nonempty_sql():
     for name, sql in oracle_sql().items():
         assert "SELECT" in sql.upper(), f"{name} oracle is not SQL"
+
+
+def test_results_invariant_under_shuffle_width(spark):
+    """Representative queries must produce IDENTICAL results whether the
+    shuffle runs 3-wide or 8-wide — partition-layout determinism is what
+    lets the driver hash-compare against a single-threaded oracle (and
+    is why the layout-dependent MG estimates are registered rows-only
+    while agg_heavy_hitters_guaranteed is hash-checked)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from conftest import SF_DIR, normalized_rows
+
+    names = ["dedup_minhash_lsh", "sample_global_shuffle",
+             "agg_heavy_hitters_guaranteed", "sessionize_events",
+             "dedup_substring_spans", "corpus_build_pipeline"]
+    reg = queries()
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    results = {}
+    try:
+        for width in ("8", "3"):
+            spark.conf.set(conf_key, width)
+            for n in names:
+                df = reg[n](spark, SF_DIR)
+                cols = df.columns
+                _, rows = normalized_rows(
+                    cols, [tuple(r) for r in df.collect()])
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set(conf_key, prev)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} result depends on shuffle width"
