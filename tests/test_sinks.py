@@ -371,3 +371,43 @@ def test_corpus_demo_runs_end_to_end(spark, capsys):
     by = {s["stage"]: s for s in stages}
     assert by["write_clustered"]["rows_out"] <= by["ingest_annotate"]["rows_in"]
     assert by["write_clustered"]["rows_out"] > 0
+
+
+def test_merge_upsert_updates_inserts_and_moves_keys(spark, tmp_path):
+    """Partitioned-parquet MERGE: updates replace in place, inserts
+    land, a key MOVED across partitions leaves no stale duplicate, and
+    partitions outside the rewrite set keep their files byte-identical."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.sinks.merge import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0),
+         (4, "d3", 40.0)],
+        "k long, day string, v double")
+    base.write.partitionBy("day").parquet(path)
+    d3_files = sorted(
+        (f.name, f.stat().st_mtime_ns)
+        for f in (pathlib.Path(path) / "day=d3").glob("*.parquet"))
+
+    source = spark.createDataFrame(
+        [(2, "d1", 21.0),    # update in place
+         (3, "d1", 31.0),    # key MOVES d2 -> d1
+         (9, "d2", 90.0)],   # insert
+        "k long, day string, v double")
+    rep = merge_upsert(spark, path, source, keys=["k"],
+                       partition_col="day")
+    assert rep.n_source == 3 and rep.n_updated == 2 and rep.n_inserted == 1
+    assert set(rep.partitions_rewritten) == {"d1", "d2"}
+
+    got = {r.k: (r.day, r.v)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("d1", 10.0), 2: ("d1", 21.0), 3: ("d1", 31.0),
+                   4: ("d3", 40.0), 9: ("d2", 90.0)}
+    # d3 untouched byte-for-byte
+    assert sorted(
+        (f.name, f.stat().st_mtime_ns)
+        for f in (pathlib.Path(path) / "day=d3").glob("*.parquet")) == d3_files
