@@ -112,6 +112,22 @@ STATIC = [
      "tests/test_streaming.py test_checkpoint_restart_resumes_without_reprocessing"),
     ("F7", "Logging config",
      "pipeline.py stdlib logging (driver code)", "—"),
+    ("D8", "MERGE-style upsert into partitioned parquet (moved-key-safe "
+           "rewrite set, dynamic partition overwrite)",
+     "sinks/merge.py merge_upsert",
+     "tests/test_sinks.py test_merge_upsert_updates_inserts_and_moves_keys"),
+    ("E9", "Exactly-once foreachBatch side effects under redelivery "
+           "(batch-id ledger, atomic-rename markers)",
+     "streaming/events.py idempotent_foreach_batch",
+     "tests/test_streaming.py (unit + real uncheckpointed replay)"),
+    ("E10", "Observed staged-row counts in the pipeline result "
+            "(df.observe during the staging write, gauge emission)",
+     "pipeline.py Pipeline.run + PipelineResult.staged_rows",
+     "tests/test_observability.py test_pipeline_reports_observed_staged_rows"),
+    ("E11", "Streaming progress metrics via StreamingQueryListener",
+     "(Spark built-in; engine usage proven)",
+     "tests/test_observability.py "
+     "test_streaming_query_listener_captures_progress"),
 ]
 
 
