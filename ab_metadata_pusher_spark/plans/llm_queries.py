@@ -724,9 +724,7 @@ def q_multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_video_avi(mm)
 
 
-@register(
-    "similarity_ann_ivf",
-    oracle="""
+_IVF_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 -- replay the deterministic k-means training (seed = 8 smallest ids,
 -- 2 Lloyd iterations, euclidean assignment with lower-cell tiebreak)
@@ -793,7 +791,12 @@ scored AS (
 )
 SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank
 FROM scored WHERE rank <= 5
-""",
+"""
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=_IVF_TOPK_SQL,
     covers=("G.similarity.ann.ivf",),
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1757,6 +1760,36 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5)
     brute = S.topk_cosine_bruteforce(e, q, k=5)
     approx = (S.ann_lsh_topk(e, q, k=5)
+              .select("query_id", "neighbor_id", F.lit(1).alias("hit")))
+    return (brute.select("query_id", "neighbor_id")
+            .join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.round(F.count("hit") / 5.0, 4).alias("recall_at_5")))
+
+
+@register(
+    "similarity_ivf_recall",
+    oracle=f"""
+WITH brute AS (SELECT * FROM ({_BRUTE_TOPK_SQL}) tb),
+approx AS (SELECT * FROM ({_IVF_TOPK_SQL}) ta)
+SELECT b.query_id,
+       round(count(a.neighbor_id) / 5.0, 4) AS recall_at_5
+FROM brute b
+LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+""",
+    covers=("G.similarity.recall",),
+)
+def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LEARNED-quantizer IVF path (8 k-means cells,
+    nprobe=2) against exact brute force — the index-quality gate for
+    the trained index, fully oracle-checked because the training run is
+    deterministic.  Companion to similarity_ann_recall (LSH)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    brute = S.topk_cosine_bruteforce(e, q, k=5)
+    approx = (S.ann_ivf_topk(e, q, k=5, nprobe=2, n_cells=8, iters=2)
               .select("query_id", "neighbor_id", F.lit(1).alias("hit")))
     return (brute.select("query_id", "neighbor_id")
             .join(approx, ["query_id", "neighbor_id"], "left")
