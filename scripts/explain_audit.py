@@ -40,7 +40,9 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      # n_triangles); corpus-stats broadcast in BM25
                      "graph_triangles", "text_bm25",
                      # 1-row corpus-total broadcast onto the ≤k candidates
-                     "agg_heavy_hitters_guaranteed"}
+                     "agg_heavy_hitters_guaranteed",
+                     # brute-force comparison side is the intended baseline
+                     "similarity_ann_recall", "similarity_ivf_recall"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -72,6 +74,7 @@ DEFAULT = [
     "agg_heavy_hitters_guaranteed", "multimodal_decode_audio",
     "multimodal_decode_video", "text_bpe_pair_counts",
     "corpus_build_pipeline", "window_ema_bounded", "warc_corpus_ingest",
+    "similarity_ivf_recall",
 ]
 
 
