@@ -129,3 +129,36 @@ def test_mg_summary_incremental_fold_keeps_bounds(spark, tmp_path):
     for item, e in est.items():
         assert e <= true[item]
         assert e >= true[item] - bound
+
+
+def test_vectorized_mg_fold_bounds_property():
+    """Pure-pandas property check of the vectorized Misra-Gries fold
+    (no Spark): for random streams and batch splits, every surviving
+    counter obeys true - n/(k+1) <= estimate <= true, and every item
+    with true frequency > n/(k+1) survives."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ab_metadata_pusher_spark.operators.sketches import _mg_partition
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(0, 12), min_size=1, max_size=300),
+           st.integers(1, 8), st.integers(1, 50))
+    def prop(stream, k, batch_size):
+        items = [str(x) for x in stream]
+        batches = [pd.DataFrame({"item": items[i:i + batch_size]})
+                   for i in range(0, len(items), batch_size)]
+        (out,) = list(_mg_partition(k)(iter(batches)))
+        est = dict(zip(out["item"], out["weight"]))
+        n = len(items)
+        true = pd.Series(items).value_counts().to_dict()
+        for item, e in est.items():
+            assert e <= true[item]
+            assert true[item] - e <= n / (k + 1)
+        assert len(est) <= k
+        for item, t in true.items():
+            if t > n / (k + 1):
+                assert item in est, (item, t, n, k)
+
+    prop()

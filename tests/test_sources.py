@@ -254,3 +254,36 @@ def test_warc_parser_roundtrip_and_truncation(spark, sf_dir, tmp_path):
     assert len(got) == len(docs)
     for d in docs:
         assert got[f"http://corpus.example/doc/{d.doc_id}"] == (d.text or "")
+
+
+def test_warc_record_roundtrip_property():
+    """Property check (no Spark): arbitrary bodies — including ones
+    containing the record separator — and header values survive a
+    synth -> parse round trip in order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ab_metadata_pusher_spark.sources.warc import (
+        _record_bytes, parse_warc,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(min_codepoint=33,
+                                           max_codepoint=126),
+                    min_size=1, max_size=30),
+            st.binary(max_size=200)),
+        min_size=1, max_size=8))
+    def prop(records):
+        blob = b"".join(
+            _record_bytes(f"http://x/{uri}", "2026-01-01T00:00:00Z",
+                          "en", body)
+            for uri, body in records)
+        parsed = list(parse_warc(blob))
+        assert len(parsed) == len(records)
+        for (uri, body), (headers, got) in zip(records, parsed):
+            assert got == body
+            assert headers["warc-target-uri"] == f"http://x/{uri}"
+
+    prop()
