@@ -301,3 +301,32 @@ def test_idempotent_ledger_in_real_stream_replay(spark, sf_dir, tmp_path):
     assert first, "sink received nothing"
     run_once()  # full replay (no checkpoint) — ledger must swallow it
     assert out.read_text().splitlines() == first
+
+
+def test_max_files_per_trigger_bounds_microbatches(spark, sf_dir, tmp_path):
+    """Backpressure knob: maxFilesPerTrigger=1 over a 3-file source must
+    process AvailableNow in 3 bounded micro-batches (each batch's input
+    is one file), not one unbounded gulp — the setting that keeps batch
+    size constant as a 100 TB backlog drains."""
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    src = tmp_path / "files"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ev.limit(300).repartition(3).write.parquet(str(src))
+    n_files = len(list(src.glob("part-*.parquet")))
+    assert n_files == 3
+
+    batches = []
+
+    def record(batch_df, batch_id):
+        batches.append(batch_df.count())
+
+    q = (spark.readStream.schema("event_id bigint, value double")
+         .option("maxFilesPerTrigger", "1").parquet(str(src))
+         .writeStream.foreachBatch(record)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    assert len(batches) == 3, batches
+    assert sum(batches) == 300
+    assert max(batches) < 300  # no single unbounded batch
