@@ -82,6 +82,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     n_exact = exact.count()
     log_stage("exact_dedup", t0, n_gated, n_exact)
 
+    # 3b. substring-span boilerplate report (suffix-array-style window
+    #     dedup at 10-token granularity, df-gated against hot
+    #     boilerplate): one row per removable duplicated span —
+    #     downstream masking input, non-mutating here
+    t0 = time.time()
+    spans = D.duplicated_spans(exact, w=10, max_df=50)
+    n_spans = spans.count()
+    log_stage("substring_span_report", t0, n_exact, n_spans)
+
     # 4. near dedup: LSH candidates -> verified pairs -> components ->
     #    keep each cluster's min doc_id
     t0 = time.time()
