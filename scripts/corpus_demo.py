@@ -94,11 +94,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     # 4. near dedup: LSH candidates -> verified pairs -> components ->
     #    keep each cluster's min doc_id
     t0 = time.time()
-    pairs = D.lsh_verified_pairs(exact, threshold=0.5)
+    # persist: connected_components derives BOTH edge orientations from
+    # this frame (two consumers), and the LSH->verify chain is the most
+    # expensive plan in the pipeline — uncached it computes twice.
+    pairs = D.lsh_verified_pairs(exact, threshold=0.5).persist()
     comp = D.connected_components(
         exact.select(F.col("doc_id").alias("id")),
         pairs.select(F.col("sid_a").alias("src"),
-                     F.col("sid_b").alias("dst")))
+                     F.col("sid_b").alias("dst")),
+        # label frame is corpus-count-sized (~500 here): narrow shuffles
+        # beat 32 near-empty partitions per iteration (measured 3.1s ->
+        # 1.5s); size to ~label_rows/1e6 on a real cluster
+        shuffle_partitions=8)
     keep = (comp.groupBy("label").agg(F.min("id").alias("doc_id")))
     # localCheckpoint truncates the iterative-CC lineage: every later
     # stage re-plans from materialized partitions, not the loop's tree
