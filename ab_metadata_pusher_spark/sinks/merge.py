@@ -11,7 +11,10 @@ gives the same contract one level coarser:
    rewrite the partition that held its old version, or the key
    duplicates);
 2. merged partitions = target rows whose key is NOT in the source
-   (anti-join) + all source rows (source wins — SCD1);
+   (anti-join) + all source rows (source wins — SCD1); a rewrite-set
+   partition the merge leaves EMPTY is deleted explicitly, because
+   dynamic overwrite only touches partitions present in the output and
+   would otherwise keep its stale files;
 3. ``localCheckpoint`` the merged frame (severs the plan's dependency on
    the files being replaced — Spark refuses a same-path read+overwrite
    otherwise), then write with dynamic partition overwrite so untouched
@@ -76,6 +79,14 @@ def merge_upsert(spark: SparkSession, path: str, source: DataFrame,
               # sever lineage from the files about to be overwritten
               .localCheckpoint(eager=True))
 
+    # Dynamic overwrite only rewrites partitions PRESENT in the output.
+    # A partition the merge leaves empty (its only rows were keys that
+    # moved elsewhere) produces no output rows, so it would silently
+    # keep its stale files — delete those partition dirs explicitly.
+    out_parts = {str(r[0]) for r in
+                 merged.select(partition_col).distinct().collect()}
+    emptied = [p for p in parts if p not in out_parts]
+
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(conf_key)
     spark.conf.set(conf_key, "dynamic")
@@ -84,6 +95,13 @@ def merge_upsert(spark: SparkSession, path: str, source: DataFrame,
          .partitionBy(partition_col).parquet(path))
     finally:
         spark.conf.set(conf_key, prev)
+    if emptied:
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            spark._jsc.hadoopConfiguration())
+        for p in emptied:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                f"{path}/{partition_col}={p}"), True)
 
     n_src_keys = src_keys.count()
     return MergeReport(

@@ -411,3 +411,27 @@ def test_merge_upsert_updates_inserts_and_moves_keys(spark, tmp_path):
     assert sorted(
         (f.name, f.stat().st_mtime_ns)
         for f in (pathlib.Path(path) / "day=d3").glob("*.parquet")) == d3_files
+
+
+def test_merge_upsert_deletes_emptied_partition(spark, tmp_path):
+    """A move-only source whose key was its old partition's ONLY row:
+    the emptied partition must disappear entirely (dynamic overwrite
+    alone would keep its stale file — the classic silent-duplicate
+    trap)."""
+    import pathlib
+
+    from ab_metadata_pusher_spark.sinks.merge import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d2", 20.0)],
+        "k long, day string, v double").write.partitionBy("day").parquet(path)
+
+    source = spark.createDataFrame(
+        [(2, "d1", 21.0)], "k long, day string, v double")  # d2 -> d1
+    rep = merge_upsert(spark, path, source, keys=["k"], partition_col="day")
+    assert set(rep.partitions_rewritten) == {"d1", "d2"}
+
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("d1", 10.0), 2: ("d1", 21.0)}  # no stale k=2 in d2
+    assert not (pathlib.Path(path) / "day=d2").exists()
