@@ -42,7 +42,11 @@ def strip_html(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"<script[\s\S]*?</script>", " ")
     c = F.regexp_replace(c, r"<!--[\s\S]*?-->", " ")
     c = F.regexp_replace(c, r"<[^>]*>", " ")
-    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
+    # the common five entities; &amp; LAST so "&amp;lt;" decodes to the
+    # literal text "&lt;", not "<"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r" +", " "))
 
 

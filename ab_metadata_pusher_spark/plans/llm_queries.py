@@ -985,11 +985,14 @@ c AS (
   SELECT doc_id,
          trim(regexp_replace(
            replace(
+             replace(replace(replace(replace(
              regexp_replace(
                regexp_replace(
                  regexp_replace(html, '<script[\s\S]*?</script>', ' ', 'g'),
                  '<!--[\s\S]*?-->', ' ', 'g'),
                '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), chr(38) || '#39;',
+             chr(39)),
              '&amp;', '&'),
            ' +', ' ', 'g')) AS clean
   FROM h

@@ -353,10 +353,14 @@ def test_strip_html_removes_script_bodies_and_decodes(spark):
     from ab_metadata_pusher_spark.operators.text import strip_html
     df = spark.createDataFrame(
         [(1, '<p>keep &amp; this</p><script>if (1 < 2) drop();</script>'
-             '<!-- gone --><b>tail</b>')],
+             '<!-- gone --><b>tail</b>'),
+         (2, 'a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp;lt; end')],
         "id long, html string")
-    out = df.select(strip_html("html").alias("c")).collect()[0].c
-    assert out == "keep & this tail"
+    out = {r.id: r.c for r in
+           df.select("id", strip_html("html").alias("c")).collect()}
+    assert out[1] == "keep & this tail"
+    # &amp; decodes LAST: "&amp;lt;" is the literal text "&lt;", not "<"
+    assert out[2] == 'a <tag> "q" \'s\' &lt; end'
 
 
 def test_jsonl_ingest_quarantines_corrupt_lines(spark, sf_dir, tmp_path):
