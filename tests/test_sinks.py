@@ -367,7 +367,7 @@ def test_corpus_demo_runs_end_to_end(spark, capsys):
               capsys.readouterr().out.splitlines()
               if line.startswith('{"stage"')]
     names = [s["stage"] for s in stages]
-    assert names[-1] == "DONE" and len(names) == 8
+    assert names[-1] == "DONE" and len(names) == 9
     by = {s["stage"]: s for s in stages}
     assert by["write_clustered"]["rows_out"] <= by["ingest_annotate"]["rows_in"]
     assert by["write_clustered"]["rows_out"] > 0
