@@ -127,6 +127,47 @@ def q_jsonl_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_corpus_ingest",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_with_id,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '_corrupt' AS lang, 1 AS n_docs, 0 AS n_with_id, 0 AS total_chars
+""",
+    covers=("A.xml",),
+)
+def q_xml_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML corpus ingest round trip on Spark 4's NATIVE xml source
+    (sources/xml_corpus.py): documents written as rowTag-framed XML
+    (entity escaping handled by the format), plus one schema-violating
+    record, read back with an explicit schema in PERMISSIVE mode — the
+    malformed record quarantines into a '_corrupt' group instead of
+    failing the scan.  Completes the ingest triad with JSONL and
+    WARC."""
+    from ab_metadata_pusher_spark.sources.jsonl import (
+        DOCUMENTS_JSONL_SCHEMA,
+    )
+    from ab_metadata_pusher_spark.sources.xml_corpus import (
+        prepare_documents_xml, read_xml_corpus,
+    )
+    path = prepare_documents_xml(spark, sf_dir)
+    parsed = read_xml_corpus(spark, path, DOCUMENTS_JSONL_SCHEMA)
+    key = (F.when(F.col("_corrupt_record").isNotNull(), "_corrupt")
+           .otherwise(F.col("lang")))
+    # n_with_id deliberately aggregates doc_id: schema-violation
+    # quarantine only triggers when the offending column is PARSED, and
+    # column pruning would otherwise drop doc_id from the parse schema
+    # and let the bad record through as clean.
+    return (parsed.groupBy(key.alias("lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count("doc_id").alias("n_with_id"),
+                 F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint")
+                  .alias("total_chars")))
+
+
+@register(
     "warc_corpus_ingest",
     oracle="""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

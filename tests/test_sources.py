@@ -287,3 +287,35 @@ def test_warc_record_roundtrip_property():
             assert headers["warc-target-uri"] == f"http://x/{uri}"
 
     prop()
+
+
+def test_xml_corrupt_detection_requires_parsing_the_bad_column(spark, sf_dir,
+                                                               tmp_path):
+    """Schema-violation quarantine in the native XML source triggers
+    only when the offending column survives column pruning: a plan that
+    never reads doc_id sees the bad record as CLEAN.  Engine queries
+    must aggregate the schema-critical column (xml_corpus_ingest does)."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.sources.jsonl import DOCUMENTS_JSONL_SCHEMA
+    from ab_metadata_pusher_spark.sources.xml_corpus import (
+        prepare_documents_xml, read_xml_corpus,
+    )
+
+    path = prepare_documents_xml(spark, sf_dir, base_dir=str(tmp_path))
+    parsed = read_xml_corpus(spark, path, DOCUMENTS_JSONL_SCHEMA)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    with_id = parsed.agg(
+        F.count(F.lit(1)).alias("n"), F.count("doc_id").alias("ok"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("bad")
+    ).collect()[0]
+    assert (with_id.n, with_id.ok, with_id.bad) == (n_docs + 1, n_docs, 1)
+
+    # pruned plan (no doc_id): the same record parses clean — the
+    # documented caveat this test pins down
+    pruned = parsed.agg(
+        F.count("lang").alias("langs"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("bad")
+    ).collect()[0]
+    assert pruned.bad == 0 and pruned.langs == n_docs + 1
