@@ -66,12 +66,17 @@ def prepare_documents_jsonl(spark: SparkSession, sf_dir: str,
     """Materialize the documents fixture as a JSONL directory (plus a
     file of deliberately corrupt lines) and return its path.
 
-    Deterministic per ``sf_dir`` and rebuilt on every call (overwrite) —
-    this is the test stand-in for a corpus that already EXISTS as JSONL;
-    production never runs this step.
+    Deterministic CONTENT per ``sf_dir``; the directory itself is fresh
+    per invocation (``mkdtemp``) so concurrent runs — two harnesses
+    verifying the same query at once — can never observe each other's
+    half-written corpus.  This is the test stand-in for a corpus that
+    already EXISTS as JSONL; production never runs this step.
     """
+    import tempfile
+
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(base_dir, tag)
+    os.makedirs(base_dir, exist_ok=True)
+    out = tempfile.mkdtemp(prefix=f"{tag}-", dir=base_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     (docs.coalesce(4).write.mode("overwrite").json(out))
     with open(os.path.join(out, "corrupt.jsonl"), "w",

@@ -106,10 +106,14 @@ def prepare_documents_warc(spark: SparkSession, sf_dir: str,
     """Materialize the documents fixture as ``n_files`` WARC segments
     (plus one deliberately-truncated record at the end of file 0, which
     the tolerant parser must drop without losing earlier records).
-    Test scaffolding for a corpus that already EXISTS as WARC."""
+    Test scaffolding for a corpus that already EXISTS as WARC.  Fresh
+    dir per invocation (``mkdtemp``) so concurrent verification runs
+    cannot race on a shared path."""
+    import tempfile
+
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(base_dir, tag)
-    os.makedirs(out, exist_ok=True)
+    os.makedirs(base_dir, exist_ok=True)
+    out = tempfile.mkdtemp(prefix=f"{tag}-", dir=base_dir)
     rows = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text", "lang").collect())
     buckets: list[list[bytes]] = [[] for _ in range(n_files)]

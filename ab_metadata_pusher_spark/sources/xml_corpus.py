@@ -43,9 +43,13 @@ def prepare_documents_xml(spark: SparkSession, sf_dir: str,
                           base_dir: str = "/tmp/spark_graft_xml") -> str:
     """Materialize the documents fixture as XML (plus a corrupt file)
     and return the directory — test scaffolding for a corpus that
-    already EXISTS as XML."""
+    already EXISTS as XML.  Fresh dir per invocation (``mkdtemp``) so
+    concurrent verification runs cannot race on a shared path."""
+    import tempfile
+
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(base_dir, tag)
+    os.makedirs(base_dir, exist_ok=True)
+    out = tempfile.mkdtemp(prefix=f"{tag}-", dir=base_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     (docs.coalesce(4).write.mode("overwrite").format("xml")
      .option("rootTag", "docs").option("rowTag", "doc").save(out))
