@@ -127,6 +127,45 @@ def q_jsonl_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "csv_corpus_ingest",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_with_id,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '_corrupt' AS lang, 2 AS n_docs, 0 AS n_with_id, 0 AS total_chars
+""",
+    covers=("A.csv_read",),
+)
+def q_csv_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus ingest round trip (sources/csv_corpus.py): headerless
+    quoted CSV plus one type-violating and one arity-short line, read
+    back with an explicit schema in PERMISSIVE mode — both malformed
+    lines quarantine into '_corrupt'.  n_with_id aggregates doc_id so
+    column pruning cannot skip parsing the schema-critical column
+    (same caveat as the XML ingest).  Completes the tolerant-read
+    ingest set: JSONL / XML / WARC / CSV."""
+    from ab_metadata_pusher_spark.sources.csv_corpus import (
+        prepare_documents_csv, read_csv_corpus,
+    )
+    from ab_metadata_pusher_spark.sources.jsonl import (
+        DOCUMENTS_JSONL_SCHEMA,
+    )
+    path = prepare_documents_csv(spark, sf_dir)
+    parsed = read_csv_corpus(spark, path, DOCUMENTS_JSONL_SCHEMA)
+    key = (F.when(F.col("_corrupt_record").isNotNull(), "_corrupt")
+           .otherwise(F.col("lang")))
+    return (parsed.groupBy(key.alias("lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count("doc_id").alias("n_with_id"),
+                 F.coalesce(F.sum(F.when(
+                     F.col("_corrupt_record").isNull(),
+                     F.col("n_chars"))), F.lit(0)).cast("bigint")
+                  .alias("total_chars")))
+
+
+@register(
     "xml_corpus_ingest",
     oracle="""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -112,7 +112,8 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "text_html_strip", "text_unicode_nfc", "sample_global_shuffle",
     "quality_expectations", "multimodal_decode_video",
     "corpus_build_pipeline", "text_bpe_pair_counts", "window_ema_bounded",
-    "warc_corpus_ingest", "xml_corpus_ingest", "similarity_ivf_recall",
+    "warc_corpus_ingest", "xml_corpus_ingest", "csv_corpus_ingest",
+    "similarity_ivf_recall",
     "window_gap_islands",
     "quality_fk_violations",
 )

@@ -74,7 +74,7 @@ DEFAULT = [
     "agg_heavy_hitters_guaranteed", "multimodal_decode_audio",
     "multimodal_decode_video", "text_bpe_pair_counts",
     "corpus_build_pipeline", "window_ema_bounded", "warc_corpus_ingest",
-    "similarity_ivf_recall", "xml_corpus_ingest",
+    "similarity_ivf_recall", "xml_corpus_ingest", "csv_corpus_ingest",
 ]
 
 
