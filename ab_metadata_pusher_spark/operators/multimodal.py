@@ -25,7 +25,8 @@ __all__ = ["with_binary_payload", "decode_features", "DECODE_SCHEMA",
            "IMAGE_SCHEMA", "resize_payload", "sample_frames",
            "RESIZE_SCHEMA", "FRAME_SCHEMA", "with_wav_payload",
            "decode_audio_wave", "AUDIO_SCHEMA", "with_avi_payload",
-           "decode_video_avi", "VIDEO_SCHEMA"]
+           "decode_video_avi", "VIDEO_SCHEMA", "audio_fingerprint",
+           "AUDIO_FP_SCHEMA"]
 
 
 def with_binary_payload(documents: DataFrame) -> DataFrame:
@@ -255,6 +256,71 @@ def decode_audio_wave(multimodal: DataFrame) -> DataFrame:
 
     return (multimodal.select("doc_id", "payload")
             .mapInPandas(decode, AUDIO_SCHEMA))
+
+
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_windows", T.IntegerType()),
+    T.StructField("total_energy", T.LongType()),
+    T.StructField("fp_bits", T.StringType()),
+])
+
+
+def audio_fingerprint(multimodal: DataFrame,
+                      frames_per_window: int = 25) -> DataFrame:
+    """Acoustic fingerprint for audio dedup (a Chromaprint-style energy
+    fingerprint, reduced to its distributable core): decode each WAV
+    payload, split the PCM stream into fixed ``frames_per_window``
+    windows, and emit one bit per window — 1 when the window's absolute
+    energy is at or above the track mean.  All-integer math
+    (``energy * n_windows >= total_energy`` avoids the float mean), so
+    the bit string is exactly reproducible on any engine.
+
+    The 100 TB shape matches the other multimodal decoders: Arrow-batched
+    ``mapInPandas``, per-row work linear in payload bytes, no shuffle —
+    downstream dedup groups by the (short) fingerprint string exactly
+    like exact text dedup groups by md5 (operators/dedup.py).
+    Parity with the reference: the reference has no media path at all
+    (SURVEY.md §2.G); this extends the decode_audio_wave surface."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_windows": [], "total_energy": [],
+                   "fp_bits": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        ch = w.getnchannels()
+                        nf = w.getnframes()
+                        pcm = np.frombuffer(w.readframes(nf), dtype="<i2")
+                except Exception:
+                    out["n_windows"].append(-1)
+                    out["total_energy"].append(-1)
+                    out["fp_bits"].append("")
+                    continue
+                amp = np.abs(pcm.astype(np.int64))
+                nw = -(-nf // frames_per_window)
+                energies = [
+                    int(amp[w0 * frames_per_window * ch:
+                            min((w0 + 1) * frames_per_window, nf) * ch].sum())
+                    for w0 in range(nw)]
+                tot = sum(energies)
+                out["n_windows"].append(nw)
+                out["total_energy"].append(tot)
+                out["fp_bits"].append(
+                    "".join("1" if e * nw >= tot else "0" for e in energies))
+            pdf_out = pd.DataFrame(out)
+            pdf_out["n_windows"] = pdf_out["n_windows"].astype("int32")
+            yield pdf_out
+
+    return (multimodal.select("doc_id", "payload")
+            .mapInPandas(fp, AUDIO_FP_SCHEMA))
 
 
 VIDEO_SCHEMA = T.StructType([

@@ -2328,3 +2328,328 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     | (F.col("o.digest") != F.col("n.digest")))
             .select(F.coalesce(F.col("o.doc_id"), F.col("n.doc_id"))
                     .alias("doc_id"), status.alias("status")))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: model-based quality filtering, budgeted selection,
+# data-recipe planning, URL canonicalization, audio fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1.0
+           / greatest(len(toks), 1) AS stop_r,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS alpha_r,
+         len(toks) / (len(toks) + 50.0) AS len_sat,
+         length(replace(text, ' ', '')) * 1.0
+           / greatest(len(toks), 1) AS wlen
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+)
+SELECT doc_id,
+       round(-2.0 + 3.0 * stop_r + 2.5 * alpha_r + 1.5 * len_sat
+             - 0.1 * wlen, 6) AS logit,
+       round(1.0 / (1.0 + exp(-(-2.0 + 3.0 * stop_r + 2.5 * alpha_r
+             + 1.5 * len_sat - 0.1 * wlen))), 4) AS prob_keep,
+       (-2.0 + 3.0 * stop_r + 2.5 * alpha_r + 1.5 * len_sat
+        - 0.1 * wlen) >= 0 AS keep
+FROM feats
+""",
+    covers=("G.text.classifier",),
+)
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier stage of
+    web-corpus pipelines, e.g. CCNet/LLaMA-style "looks like a reference
+    page" filters): a linear model over engineered features — stopword
+    ratio, alphabetic ratio, saturating length term, mean word length —
+    with FIXED public weights, emitting logit, sigmoid probability and a
+    keep decision.
+
+    Determinism discipline: the keep decision compares the UNROUNDED
+    logit against 0 — the logit is pure rational arithmetic (no
+    transcendentals), so both engines produce bit-identical doubles; only
+    the reported probability goes through exp() and is rounded to 4
+    decimals.  At 100 TB this is a single narrow projection — fixed-size
+    expression per row, whole-stage codegen, zero shuffles; swapping in
+    real learned weights changes literals, not the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_tokens = F.size(toks)
+    one = F.greatest(n_tokens, F.lit(1))
+    stop_r = F.size(F.filter(toks, lambda t: t.isin(*X.STOPWORDS))) / one
+    alpha_r = (F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+               / F.greatest(F.length("text"), F.lit(1)))
+    len_sat = n_tokens / (n_tokens + F.lit(50.0))
+    wlen = F.length(F.regexp_replace(F.col("text"), " ", "")) / one
+    logit = (F.lit(-2.0) + F.lit(3.0) * stop_r + F.lit(2.5) * alpha_r
+             + F.lit(1.5) * len_sat - F.lit(0.1) * wlen)
+    return d.select(
+        "doc_id",
+        F.round(logit, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4)
+         .alias("prob_keep"),
+        (logit >= 0).alias("keep"))
+
+
+@register(
+    "corpus_token_budget",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, len({_TOKS}) AS n_tokens,
+         (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000)
+           // greatest(length(text), 1) AS bucket
+  FROM documents
+),
+tot AS (SELECT sum(n_tokens) AS total FROM d),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY bucket DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM d
+)
+SELECT doc_id, bucket, n_tokens, cum_tokens
+FROM c, tot
+WHERE cum_tokens * 2 <= total
+""",
+    covers=("G.sample.token_budget",),
+)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: keep the highest-quality documents
+    until a global token budget (here 50% of corpus tokens) is spent —
+    the final "cut the corpus to N tokens" step of training-data
+    curation.  Quality key = integer-quantized alphabetic ratio (pure
+    integer division, exact on every engine), ties broken by doc_id.
+
+    The oracle states the semantics as one global ordered cumsum; the
+    Spark plan DISTRIBUTES it: (1) per-bucket token totals (tiny
+    aggregate, ≤1001 rows regardless of corpus size), (2) running total
+    over that bucket histogram (single-partition window over ≤1001
+    rows — bounded, not data-sized), (3) broadcast bucket prefixes back
+    and rank WITHIN each bucket only (parallel window partitions).  A
+    naive row_number over the whole corpus would funnel 100 TB through
+    one window partition; this shape never moves more than one bucket
+    through any single task."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.size(X.tokens("text")).alias("n_tokens"),
+                 F.expr("(length(regexp_replace(text, '[^a-zA-Z]', '')) "
+                        "* 1000) div greatest(length(text), 1)")
+                  .alias("bucket")))
+    per_bucket = d.groupBy("bucket").agg(F.sum("n_tokens").alias("btoks"))
+    wb = (Window.orderBy(F.col("bucket").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    buckets = (per_bucket
+               .withColumn("prefix", F.sum("btoks").over(wb) - F.col("btoks"))
+               .select("bucket", "prefix"))
+    total = d.agg(F.sum("n_tokens").alias("total"))
+    wd = (Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (d.withColumn("in_b", F.sum("n_tokens").over(wd))
+            .join(F.broadcast(buckets), "bucket")
+            .join(F.broadcast(total))
+            .withColumn("cum_tokens", F.col("prefix") + F.col("in_b"))
+            .filter(F.col("cum_tokens") * 2 <= F.col("total"))
+            .select("doc_id", "bucket", "n_tokens", "cum_tokens"))
+
+
+@register(
+    "sample_epoch_mixture",
+    oracle=f"""
+WITH avail AS (
+  SELECT lang, CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(available_tokens) * 2 AS BIGINT) AS budget
+        FROM avail),
+w AS (
+  SELECT lang, available_tokens,
+         CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2
+                        WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                        ELSE 0.1 END AS DOUBLE) AS weight
+  FROM avail)
+SELECT lang, available_tokens, weight,
+       CAST(floor(weight * budget) AS BIGINT) AS target_tokens,
+       round(least(floor(weight * budget) / available_tokens, 4.0), 4)
+         AS epochs,
+       CAST(floor(least(floor(weight * budget) / available_tokens, 4.0)
+                  * available_tokens) AS BIGINT) AS planned_tokens
+FROM w, tot
+""",
+    covers=("G.sample.epochs",),
+)
+def q_sample_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe epoch planning (the DoReMi / LLaMA-style mixture
+    table): given target domain weights and a global token budget (2×
+    the corpus here, forcing some domains past one epoch), compute per
+    domain the available tokens, the weighted target, the number of
+    epochs (capped at 4 — the repetition ceiling after which returns
+    degrade), and the planned token count.
+
+    Scale shape: one map-side-combinable aggregate to |domains| rows,
+    then constant arithmetic on a frame small enough to collect — the
+    planning output is a training-run manifest, not data.  The budget
+    scalar joins in via broadcast, never a shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    avail = (docs.groupBy("lang")
+             .agg(F.sum(F.size(X.tokens("text"))).alias("available_tokens")))
+    budget = avail.agg((F.sum("available_tokens") * 2).alias("budget"))
+    weight = (F.when(F.col("lang") == "en", 0.4)
+              .when(F.col("lang") == "zh", 0.2)
+              .when(F.col("lang") == "es", 0.15)
+              .when(F.col("lang") == "fr", 0.15)
+              .otherwise(0.1))
+    target = F.floor(F.col("weight") * F.col("budget"))
+    epochs = F.least(target / F.col("available_tokens"), F.lit(4.0))
+    return (avail.withColumn("weight", weight)
+            .join(F.broadcast(budget))
+            .select("lang", "available_tokens", "weight",
+                    target.cast("long").alias("target_tokens"),
+                    F.round(epochs, 4).alias("epochs"),
+                    F.floor(epochs * F.col("available_tokens"))
+                     .cast("long").alias("planned_tokens")))
+
+
+_URL_SYNTH_SQL = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+       || (CASE doc_id % 3 WHEN 0 THEN 'Example.COM'
+                           WHEN 1 THEN 'docs.example.com'
+                           ELSE 'example.com' END)
+       || '/' || lang || '/page-' || (doc_id % 40)::VARCHAR
+       || (CASE doc_id % 4
+             WHEN 0 THEN ''
+             WHEN 1 THEN '/'
+             WHEN 2 THEN '?utm_source=feed&id=' || (doc_id % 5)::VARCHAR
+             ELSE '#sec-' || (doc_id % 6)::VARCHAR END) AS url
+FROM documents
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+WITH raw AS ({_URL_SYNTH_SQL}),
+canon AS (
+  SELECT doc_id, url,
+         regexp_extract(regexp_replace(url, '#.*$', ''),
+                        '^([^/]+//[^/]+)', 1) AS sh,
+         regexp_replace(regexp_replace(url, '#.*$', ''),
+                        '^[^/]+//[^/]+', '') AS rest
+  FROM raw
+),
+c2 AS (
+  SELECT doc_id, url,
+         lower(sh) ||
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(rest, 'utm_[a-z]+=[^&#]*&?', ''),
+             '[?&]$', ''),
+           '/$', '') AS canonical_url
+  FROM canon
+)
+SELECT canonical_url,
+       min(doc_id) AS kept_id,
+       count(*) AS n_dupes,
+       count(DISTINCT url) AS n_forms
+FROM c2
+GROUP BY canonical_url
+""",
+    covers=("G.dedup.url",),
+)
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup pass of every crawl
+    pipeline (CommonCrawl processing dedups by canonical URL before any
+    content hashing): case-fold scheme+host, strip fragments, strip
+    utm_* tracking parameters (KEEPING meaningful params like id=),
+    strip trailing slashes, then group by the canonical form.
+
+    The fixture synthesizes URL variants deterministically per row
+    (upper/lower scheme and host, trailing slash, tracking params,
+    fragments), but the canonicalizer operates only on the URL STRING —
+    the same regexp chain a production run applies to crawled URLs.
+    Scale shape: per-row regexp projection (codegen) + one groupBy on
+    the canonical string — identical cost profile to exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://"))
+         .otherwise(F.lit("https://")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Example.COM"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("docs.example.com"))
+         .otherwise(F.lit("example.com")),
+        F.lit("/"), F.col("lang"), F.lit("/page-"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+         .when(F.col("doc_id") % 4 == 1, F.lit("/"))
+         .when(F.col("doc_id") % 4 == 2,
+               F.concat(F.lit("?utm_source=feed&id="),
+                        (F.col("doc_id") % 5).cast("string")))
+         .otherwise(F.concat(F.lit("#sec-"),
+                             (F.col("doc_id") % 6).cast("string"))))
+    raw = docs.select("doc_id", url.alias("url"))
+    defrag = F.regexp_replace(F.col("url"), "#.*$", "")
+    sh = F.regexp_extract(defrag, "^([^/]+//[^/]+)", 1)
+    rest = F.regexp_replace(defrag, "^[^/]+//[^/]+", "")
+    canonical = F.concat(
+        F.lower(sh),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(rest, "utm_[a-z]+=[^&#]*&?", ""),
+                "[?&]$", ""),
+            "/$", ""))
+    return (raw.select("doc_id", "url", canonical.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.min("doc_id").alias("kept_id"),
+                 F.count(F.lit(1)).alias("n_dupes"),
+                 F.countDistinct("url").alias("n_forms")))
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, 50 + length(text) % 100 AS nf,
+         CAST(1 + doc_id % 2 AS BIGINT) AS ch
+  FROM documents
+),
+w AS (
+  SELECT doc_id, nf, ch, unnest(range(0, (nf + 24) // 25)) AS win
+  FROM base
+),
+e AS (
+  SELECT doc_id, win,
+         list_aggregate([abs((doc_id * 7 + i) % 251 - 125)
+                         for i in range(win * 25 * ch,
+                                        least((win + 1) * 25, nf) * ch)],
+                        'sum') AS energy
+  FROM w
+),
+t AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_windows,
+         CAST(sum(energy) AS BIGINT) AS total_energy
+  FROM e GROUP BY doc_id
+)
+SELECT t.doc_id, n_windows, total_energy,
+       string_agg(CASE WHEN e.energy * n_windows >= total_energy
+                       THEN '1' ELSE '0' END, '' ORDER BY e.win) AS fp_bits
+FROM e JOIN t ON e.doc_id = t.doc_id
+GROUP BY t.doc_id, n_windows, total_energy
+""",
+    covers=("G.multimodal.audio_fp",),
+)
+def q_multimodal_audio_fingerprint(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Acoustic fingerprint over REAL WAV payloads
+    (operators/multimodal.py audio_fingerprint): synthesize genuine
+    RIFF/WAVE files (with_wav_payload), then decode the PCM stream and
+    emit a per-window energy bit string — the audio analogue of SimHash,
+    group-by-able for audio dedup.  The oracle recomputes the expected
+    bits from the synthesis formula directly in SQL, so any mis-parse of
+    channel interleaving, frame windows, or sample sign flips the bit
+    string and hash-mismatches."""
+    mm = M.with_wav_payload(load_table(spark, sf_dir, "documents"))
+    return M.audio_fingerprint(mm, frames_per_window=25)

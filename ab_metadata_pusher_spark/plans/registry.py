@@ -116,6 +116,8 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "similarity_ivf_recall",
     "window_gap_islands",
     "quality_fk_violations",
+    "text_quality_classifier", "corpus_token_budget", "sample_epoch_mixture",
+    "dedup_url_canonical", "multimodal_audio_fingerprint",
 )
 
 

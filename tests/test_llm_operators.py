@@ -326,6 +326,30 @@ def test_decode_audio_sentinel_on_garbage(spark):
     assert row.sample_rate == -1 and row.pcm_md5 == ""
 
 
+def test_audio_fingerprint_bits_match_recomputation(spark):
+    """audio_fingerprint must emit one bit per 25-frame window, exactly
+    the integer comparison energy*n_windows >= total_energy over samples
+    independently re-synthesized here; garbage payloads get the sentinel
+    row instead of failing the batch."""
+    docs = spark.createDataFrame(
+        [(1, "y" * 123)], "doc_id long, text string")
+    row = M.audio_fingerprint(M.with_wav_payload(docs)).collect()[0]
+    nf, ch = 50 + 123 % 100, 2  # doc_id 1 -> stereo
+    nw = -(-nf // 25)
+    samples = [(1 * 7 + i) % 251 - 125 for i in range(nf * ch)]
+    energies = [sum(abs(s) for s in
+                    samples[w * 25 * ch:min((w + 1) * 25, nf) * ch])
+                for w in range(nw)]
+    tot = sum(energies)
+    assert row.n_windows == nw and row.total_energy == tot
+    assert row.fp_bits == "".join(
+        "1" if e * nw >= tot else "0" for e in energies)
+    garbage = spark.createDataFrame(
+        [(9, bytearray(b"nope"))], "doc_id long, payload binary")
+    bad = M.audio_fingerprint(garbage).collect()[0]
+    assert bad.n_windows == -1 and bad.fp_bits == ""
+
+
 def test_duplicated_spans_marks_common_windows_only(spark):
     """Two docs sharing an exact 10-token run: every window inside the
     run is flagged in BOTH docs; unique text is untouched; docs shorter
