@@ -32,7 +32,8 @@ from ab_metadata_pusher_spark.operators.text import shingle_array, tokens
 
 __all__ = [
     "exact_dedup_keep_min", "doc_shingles", "jaccard_pairs",
-    "containment_pairs", "minhash_signatures", "lsh_candidate_pairs",
+    "containment_pairs", "minhash_signatures", "lsh_bands",
+    "lsh_candidate_pairs",
     "simhash", "simhash_pairs",
     "star_edges", "connected_components", "cluster_labels",
 ]
@@ -295,14 +296,12 @@ def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
     return sh.groupBy("sid").agg(*aggs)
 
 
-def lsh_candidate_pairs(df: DataFrame, k: int = 16, bands: int = 4,
-                        n: int = 3) -> DataFrame:
-    """LSH banding over MinHash signatures: docs agreeing on ALL rows of
-    any band become a candidate pair (sid_a < sid_b).
-
-    The pair search is an equi-join on (band_idx, band_hash) — at 100 TB
-    this is the only join; its fan-out tracks true similarity, not n^2.
-    """
+def lsh_bands(df: DataFrame, k: int = 16, bands: int = 4,
+              n: int = 3) -> DataFrame:
+    """MinHash signatures folded into per-band hashes: (sid, band_idx,
+    band_hash) — the joinable index form.  Shared by the self-join pair
+    search (:func:`lsh_candidate_pairs`) and the incremental new-vs-index
+    probe (plans/llm_queries.py dedup_incremental_minhash)."""
     rows_per_band = k // bands
     sig = minhash_signatures(df, k, n)
     band_cols = []
@@ -313,8 +312,19 @@ def lsh_candidate_pairs(df: DataFrame, k: int = 16, bands: int = 4,
             F.lit(b).alias("band_idx"),
             F.md5(F.concat_ws("-", *[c.cast("string") for c in cols])
                   .cast("binary")).alias("band_hash")))
-    banded = sig.select("sid", F.explode(F.array(*band_cols)).alias("bd")) \
-                .select("sid", "bd.band_idx", "bd.band_hash")
+    return (sig.select("sid", F.explode(F.array(*band_cols)).alias("bd"))
+            .select("sid", "bd.band_idx", "bd.band_hash"))
+
+
+def lsh_candidate_pairs(df: DataFrame, k: int = 16, bands: int = 4,
+                        n: int = 3) -> DataFrame:
+    """LSH banding over MinHash signatures: docs agreeing on ALL rows of
+    any band become a candidate pair (sid_a < sid_b).
+
+    The pair search is an equi-join on (band_idx, band_hash) — at 100 TB
+    this is the only join; its fan-out tracks true similarity, not n^2.
+    """
+    banded = lsh_bands(df, k, bands, n)
     # The self-join's two branches share the signature groupBy's exchange
     # (ReusedExchange), so the hashing pipeline runs once despite the
     # self-reference.

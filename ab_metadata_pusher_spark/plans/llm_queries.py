@@ -2653,3 +2653,195 @@ def q_multimodal_audio_fingerprint(spark: SparkSession,
     string and hash-mismatches."""
     mm = M.with_wav_payload(load_table(spark, sf_dir, "documents"))
     return M.audio_fingerprint(mm, frames_per_window=25)
+
+
+@register(
+    "dedup_paragraph_rewrite",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, toks AS l FROM (SELECT doc_id, {_TOKS} AS toks
+                                 FROM documents)
+  WHERE len(toks) > 0
+),
+ch AS (
+  SELECT doc_id, u.pos AS pos, u.chunk AS chunk
+  FROM (SELECT doc_id,
+               unnest([{{'pos': i,
+                        'chunk': array_to_string(
+                            list_slice(l, i * 20 + 1, i * 20 + 20), ' ')}}
+                       for i in range(0, (len(l) - 1) // 20 + 1)]) AS u
+        FROM t)
+),
+rk AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, pos) AS rk
+  FROM ch
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(chunk, ' ' ORDER BY pos)) AS new_md5
+  FROM rk WHERE rk = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, (len(l) - 1) // 20 + 1 AS n_chunks FROM t)
+SELECT tot.doc_id, n_chunks,
+       coalesce(n_kept, 0) AS n_kept,
+       n_chunks - coalesce(n_kept, 0) AS n_removed,
+       coalesce(new_md5, '') AS new_md5
+FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+""",
+    covers=("G.dedup.paragraph_rewrite",),
+)
+def q_dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup WITH reconstruction (the Lee et al. "Dedup-
+    licating Training Data Makes Language Models Better" pipeline shape):
+    cut each doc into fixed 20-token chunks, keep only each chunk's FIRST
+    corpus occurrence (global order: doc_id, then position), and rebuild
+    every document from its surviving chunks — emitting kept/removed
+    counts and the md5 of the rewritten text so the reconstruction is
+    value-checkable, not just counted.
+
+    Scale shape: the only corpus-sized shuffle keys on chunk text
+    (hash-even); first-occurrence-wins is a per-chunk window (bounded by
+    a chunk's duplication count, never corpus-wide), and reassembly
+    shuffles (doc_id, pos, chunk) once.  The chunk length knob trades
+    recall for chunk-frame size exactly as in dedup_chunks."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (docs.select("doc_id", X.tokens("text").alias("l"))
+         .filter(F.size("l") > 0))
+    n_chunks = (F.floor((F.size("l") - 1) / 20) + 1).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(F.col("l"), i * 20 + 1, F.lit(20)),
+                               " "))
+    ch = t.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = (ch.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1))
+    reb = (kept.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.md5(F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("pos", "chunk"))),
+                        lambda s: s["chunk"]),
+                    " ").cast("binary")).alias("new_md5")))
+    tot = t.select("doc_id", n_chunks.alias("n_chunks"))
+    return (tot.join(reb, "doc_id", "left")
+            .select("doc_id", "n_chunks",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_removed"),
+                    F.coalesce("new_md5", F.lit("")).alias("new_md5")))
+
+
+@register(
+    "quality_adaptive_threshold",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS score
+  FROM documents
+),
+t AS (SELECT quantile_cont(score, 0.1) AS thr FROM s)
+SELECT doc_id, round(score, 6) AS score, round(thr, 6) AS thr
+FROM s, t
+WHERE score > thr
+""",
+    covers=("G.quality.adaptive",),
+)
+def q_quality_adaptive_threshold(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Adaptive quality filtering: instead of a fixed cutoff, drop the
+    bottom decile of the corpus by quality score — the data-dependent
+    thresholding real pipelines use so one knob survives distribution
+    shift between crawls.  The threshold is the exact interpolated 10th
+    percentile (Spark ``percentile`` == DuckDB ``quantile_cont``
+    semantics); the score is pure rational arithmetic so the filter
+    comparison is engine-exact.
+
+    Scale shape: one aggregate to a single threshold row (exact
+    percentile shuffles per-partition sorted runs of the score column
+    only), broadcast back over the corpus scan — two passes over one
+    double column, no corpus-wide sort.  At 100 TB swap the exact
+    percentile for approx_percentile and the plan is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = (F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+             / F.greatest(F.length("text"), F.lit(1)))
+    s = docs.select("doc_id", score.alias("score"))
+    thr = s.agg(F.expr("percentile(score, 0.1)").alias("thr"))
+    return (s.join(F.broadcast(thr))
+            .filter(F.col("score") > F.col("thr"))
+            .select("doc_id", F.round("score", 6).alias("score"),
+                    F.round("thr", 6).alias("thr")))
+
+
+def _minhash_incremental_sql(k: int = 16, bands: int = 4) -> str:
+    rpb = k // bands
+    coeffs = minhash_coeffs(k)
+    sig_cols = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS h{j}"
+        for j, (a, b) in enumerate(coeffs))
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT sid, {b} AS band_idx, md5(concat_ws('-', "
+        + ", ".join(f"h{j}::VARCHAR" for j in range(b * rpb, (b + 1) * rpb))
+        + ")) AS band_hash FROM sig"
+        for b in range(bands))
+    return ("WITH " + _CORPUS_CTE + "," + _SHINGLES_CTE + f""",
+hashed AS (SELECT sid, {sql_md5_long('shingle')} % {MERSENNE_P} AS h FROM sh),
+sig AS (
+  SELECT sid,
+         {sig_cols}
+  FROM hashed GROUP BY sid
+),
+banded AS (
+{band_selects}
+),
+m AS (
+  SELECT n.sid, CAST(count(DISTINCT o.sid) AS BIGINT) AS n_index_matches
+  FROM (SELECT * FROM banded WHERE sid >= 1000000) n
+  JOIN (SELECT * FROM banded WHERE sid < 1000000) o
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+  GROUP BY n.sid
+)
+SELECT c.doc_id, coalesce(m.n_index_matches, 0) AS n_index_matches,
+       coalesce(m.n_index_matches, 0) > 0 AS dropped
+FROM (SELECT DISTINCT doc_id FROM corpus WHERE doc_id >= 1000000) c
+LEFT JOIN m ON c.doc_id = m.sid
+""")
+
+
+@register("dedup_incremental_minhash", oracle=_minhash_incremental_sql(),
+          covers=("G.dedup.incremental_minhash",))
+def q_dedup_incremental_minhash(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest gate: probe a new batch's MinHash-LSH
+    bands against the already-indexed corpus and drop new docs that
+    collide — the production shape of "don't re-ingest what we almost
+    have" (dedup_incremental is the exact-digest analogue; this catches
+    the mutated re-crawls digests miss).
+
+    The index side is exactly the (sid, band_idx, band_hash) frame a
+    standing corpus index stores; the probe is one equi-join from the
+    (small) new batch against it — at 100 TB the index is bucketed by
+    band_hash on disk and the probe touches matching buckets only, never
+    a corpus self-join.  New batch here = the corpus builder's mutated +
+    exact copies (ids >= 1e6); the index = the originals."""
+    corpus = _doc_corpus(spark, sf_dir)
+    banded = D.lsh_bands(corpus, k=16, bands=4)
+    newb = banded.filter(F.col("sid") >= 1_000_000).alias("n")
+    oldb = banded.filter(F.col("sid") < 1_000_000).alias("o")
+    m = (newb.join(oldb,
+                   (F.col("n.band_idx") == F.col("o.band_idx"))
+                   & (F.col("n.band_hash") == F.col("o.band_hash")))
+         .groupBy(F.col("n.sid").alias("doc_id"))
+         .agg(F.countDistinct(F.col("o.sid")).alias("n_index_matches")))
+    news = (corpus.filter(F.col("doc_id") >= 1_000_000)
+            .select("doc_id").distinct())
+    return (news.join(m, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_index_matches", F.lit(0))
+                     .alias("n_index_matches"),
+                    (F.coalesce("n_index_matches", F.lit(0)) > 0)
+                    .alias("dropped")))

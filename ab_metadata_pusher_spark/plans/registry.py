@@ -118,6 +118,8 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "quality_fk_violations",
     "text_quality_classifier", "corpus_token_budget", "sample_epoch_mixture",
     "dedup_url_canonical", "multimodal_audio_fingerprint",
+    "dedup_paragraph_rewrite", "quality_adaptive_threshold",
+    "dedup_incremental_minhash",
 )
 
 

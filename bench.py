@@ -79,6 +79,12 @@ REGISTRY_BENCH = [
     "text_bpe_pair_counts",
     "corpus_build_pipeline",
     "window_ema_bounded",
+    "text_quality_classifier",
+    "corpus_token_budget",
+    "dedup_url_canonical",
+    "multimodal_audio_fingerprint",
+    "dedup_paragraph_rewrite",
+    "quality_adaptive_threshold",
 ]
 
 
@@ -193,10 +199,24 @@ def main() -> None:
     }
     regressions = _regressions_vs_previous_round(timings)
     if regressions is not None:
+        for q, note in _KNOWN_SLOWDOWNS.items():
+            if q in regressions["flagged"]:
+                regressions["flagged"][q]["note"] = note
         summary["regressions"] = regressions
     if errors:
         summary["errors"] = errors
     print(json.dumps(summary))
+
+
+#: Intentional, explained slowdowns vs the prior round — annotated in the
+#: regressions block so a semantic upgrade is not mistaken for a perf bug.
+_KNOWN_SLOWDOWNS = {
+    "similarity_ivf_full": (
+        "r2 used the fixture label column as IVF cells (a crutch the r2 "
+        "verdict flagged); r3 learns cells with seeded k-means inside the "
+        "timed build — the extra seconds are the real index-build cost, "
+        "and recall is oracle-gated by similarity_ivf_recall"),
+}
 
 
 def _regressions_vs_previous_round(
