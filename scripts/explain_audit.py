@@ -42,7 +42,11 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      # 1-row corpus-total broadcast onto the ≤k candidates
                      "agg_heavy_hitters_guaranteed",
                      # brute-force comparison side is the intended baseline
-                     "similarity_ann_recall", "similarity_ivf_recall"}
+                     "similarity_ann_recall", "similarity_ivf_recall",
+                     # 1-row scalar broadcasts: corpus token total /
+                     # mixture budget / percentile threshold
+                     "corpus_token_budget", "sample_epoch_mixture",
+                     "quality_adaptive_threshold"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -75,6 +79,10 @@ DEFAULT = [
     "multimodal_decode_video", "text_bpe_pair_counts",
     "corpus_build_pipeline", "window_ema_bounded", "warc_corpus_ingest",
     "similarity_ivf_recall", "xml_corpus_ingest", "csv_corpus_ingest",
+    "text_quality_classifier", "corpus_token_budget", "sample_epoch_mixture",
+    "dedup_url_canonical", "multimodal_audio_fingerprint",
+    "dedup_paragraph_rewrite", "quality_adaptive_threshold",
+    "dedup_incremental_minhash",
 ]
 
 
