@@ -25,7 +25,8 @@ from pyspark.sql import Window
 
 __all__ = ["dot", "l2_norm", "cosine", "topk_cosine_bruteforce",
            "hyperplanes", "ann_lsh_topk", "embedding_near_dup_pairs",
-           "embedding_near_dup_pairs_lsh", "ivf_centroids", "ann_ivf_topk"]
+           "embedding_near_dup_pairs_lsh", "ivf_centroids", "ann_ivf_topk",
+           "semantic_dedup_pairs"]
 
 
 def _dbl(col: Column) -> Column:
@@ -276,3 +277,34 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "neighbor_id",
                 F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
     )
+
+
+def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
+                         n_cells: int = 8, iters: int = 2) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs found by
+    clustering the embedding space and comparing ONLY within each
+    cluster — the trick that makes embedding dedup tractable at corpus
+    scale (pairwise work drops from n² to Σ|cell|²; cells are balanced
+    by k-means, and at 100 TB the corpus is written bucketed by cell so
+    the within-cell self-join is shuffle-free on re-use).
+
+    Training reuses the deterministic learned quantizer
+    (:func:`ivf_centroids`, seeded + fixed iterations) so a SQL oracle
+    replays the exact run; assignment is 1-nearest-cell.  Emits
+    (vec_a < vec_b, shared cell, cosine) for pairs at or above
+    ``threshold`` — survivor selection (keep min id per near-dup
+    cluster) composes downstream exactly as for MinHash pairs."""
+    cents = ivf_centroids(corpus, n_cells=n_cells, iters=iters)
+    assigned = _assign_cells(
+        corpus.select("vec_id", "embedding"), cents,
+        "vec_id", "embedding", nprobe=1)
+    a = assigned.select(F.col("vec_id").alias("vec_a"),
+                        F.col("embedding").alias("va"), "cell")
+    b = assigned.select(F.col("vec_id").alias("vec_b"),
+                        F.col("embedding").alias("vb"), "cell")
+    return (a.join(b, "cell")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cs", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cs") >= threshold)
+            .select("vec_a", "vec_b", "cell",
+                    F.round("cs", 6).alias("cosine_sim")))

@@ -804,10 +804,14 @@ def q_multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_video_avi(mm)
 
 
-_IVF_TOPK_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
--- replay the deterministic k-means training (seed = 8 smallest ids,
--- 2 Lloyd iterations, euclidean assignment with lower-cell tiebreak)
+def _kmeans_cells_ctes(src: str) -> str:
+    """CTE chain replaying the deterministic k-means training (seed = 8
+    smallest ids, 2 Lloyd iterations, euclidean assignment with
+    lower-cell tiebreak) over ``src`` and the 1-nearest-cell corpus
+    assignment — shared prefix of the IVF probe oracle and the SemDeDup
+    oracle (no leading WITH so callers can prepend their own CTEs)."""
+    return f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
 c0 AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < 8),
 a1 AS (
   SELECT vec_id, cell FROM (
@@ -845,9 +849,12 @@ c_assign AS (
              PARTITION BY e.vec_id
              ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                              c.cvec) DESC, c.cell) AS r
-    FROM embeddings e, cent c
+    FROM {src} e, cent c
   ) WHERE r = 1
-),
+)"""
+
+
+_IVF_TOPK_SQL = "WITH " + _kmeans_cells_ctes("embeddings") + """,
 q_assign AS (
   SELECT query_id, qv, cell FROM (
     SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
@@ -2845,3 +2852,31 @@ def q_dedup_incremental_minhash(spark: SparkSession,
                      .alias("n_index_matches"),
                     (F.coalesce("n_index_matches", F.lit(0)) > 0)
                     .alias("dropped")))
+
+
+_SEMDEDUP_SQL = (
+    "WITH " + _EMB_CORPUS_CTE + ",\n" + _kmeans_cells_ctes("ecorpus")
+    + f""",
+pairs AS (
+  SELECT a.neighbor_id AS vec_a, b.neighbor_id AS vec_b, a.cell,
+         list_cosine_similarity(a.cv, b.cv) AS cs
+  FROM c_assign a JOIN c_assign b
+    ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+)
+SELECT vec_a, vec_b, cell, round(cs, 6) AS cosine_sim
+FROM pairs WHERE cs >= {_NEARDUP_T}
+""")
+
+
+@register("dedup_semantic", oracle=_SEMDEDUP_SQL,
+          covers=("G.dedup.semantic",))
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the perturbed embedding corpus: learned k-means
+    cells (operators/similarity.py semantic_dedup_pairs; deterministic
+    training the oracle replays in SQL), then exact cosine only WITHIN
+    cells — semantic near-dups that n-gram/MinHash can never see, at
+    Σ|cell|² cost instead of n².  The companion to dedup_embedding_cosine
+    (hyperplane-LSH blocking): k-means cells give balanced blocks and
+    double as the IVF index cells, so the dedup pass and the ANN index
+    share one training run."""
+    return S.semantic_dedup_pairs(_emb_corpus(spark, sf_dir), _NEARDUP_T)

@@ -85,6 +85,7 @@ REGISTRY_BENCH = [
     "multimodal_audio_fingerprint",
     "dedup_paragraph_rewrite",
     "quality_adaptive_threshold",
+    "dedup_semantic",
 ]
 
 

@@ -46,7 +46,10 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      # 1-row scalar broadcasts: corpus token total /
                      # mixture budget / percentile threshold
                      "corpus_token_budget", "sample_epoch_mixture",
-                     "quality_adaptive_threshold"}
+                     "quality_adaptive_threshold",
+                     # k-means cell assignment broadcasts the tiny
+                     # centroid table (same as similarity_ann_ivf)
+                     "dedup_semantic"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -82,7 +85,7 @@ DEFAULT = [
     "text_quality_classifier", "corpus_token_budget", "sample_epoch_mixture",
     "dedup_url_canonical", "multimodal_audio_fingerprint",
     "dedup_paragraph_rewrite", "quality_adaptive_threshold",
-    "dedup_incremental_minhash",
+    "dedup_incremental_minhash", "dedup_semantic",
 ]
 
 
