@@ -2880,3 +2880,81 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     double as the IVF index cells, so the dedup pass and the ANN index
     share one training run."""
     return S.semantic_dedup_pairs(_emb_corpus(spark, sf_dir), _NEARDUP_T)
+
+
+#: Fixed BPE merge table (learned offline by text_bpe_pair_counts-style
+#: rounds over this corpus; chained merges build "table" end-to-end).
+_BPE_MERGES = [("e", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+               ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e")]
+_BPE_SEP = "\x1f"
+
+
+def _bpe_sql_encode(w: str) -> str:
+    """DuckDB rendering of the anchored symbol-sequence merge chain."""
+    s = (f"chr(31) || array_to_string("
+         f"list_filter(string_split({w}, ''), c -> c <> ''), chr(31))")
+    for a, b in _BPE_MERGES:
+        s = (f"replace({s}, chr(31)||'{a}'||chr(31)||'{b}', "
+             f"chr(31)||'{a}{b}')")
+    return s
+
+
+def _bpe_spark_encode(w):
+    """Spark rendering of the same chain (identical replace semantics:
+    all occurrences, left-to-right, non-overlapping)."""
+    chars = F.filter(F.split(w, "(?!^)"), lambda c: c != "")
+    s = F.concat(F.lit(_BPE_SEP), F.array_join(chars, _BPE_SEP))
+    for a, b in _BPE_MERGES:
+        s = F.replace(s, F.lit(_BPE_SEP + a + _BPE_SEP + b),
+                      F.lit(_BPE_SEP + a + b))
+    return s
+
+
+@register(
+    "text_bpe_apply",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)
+         AS n_chars,
+       CAST(list_sum(list_transform(toks, w ->
+              len(string_split({_bpe_sql_encode('w')}, chr(31))) - 1))
+            AS BIGINT) AS n_tokens_bpe,
+       round(list_sum(list_transform(toks, w -> length(w))) * 1.0
+             / list_sum(list_transform(toks, w ->
+                 len(string_split({_bpe_sql_encode('w')}, chr(31))) - 1)), 4)
+         AS chars_per_token
+FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+""",
+    covers=("G.text.bpe_apply",),
+)
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with a fixed merge table — the other half of tokenizer
+    training (text_bpe_pair_counts learns the merges; this applies them
+    to measure real token counts, the number every data-budget decision
+    downstream consumes).  Each word becomes a leading-separator symbol
+    string and the merge table applies as a chain of anchored literal
+    replaces — merges only fire at symbol boundaries, and chained merges
+    compose (t+a, ta+b, tab+l, tabl+e collapses "table" to ONE token).
+    tests/test_llm_operators.py proves the chain equals a reference
+    iterative BPE encoder over the corpus vocabulary.
+
+    Scale shape: pure per-row expression work inside one projection —
+    the whole encode is codegen'd string replaces, zero shuffles, no
+    UDF; a 100k-merge production table compiles to the same shape (or
+    moves to a broadcast trie in a pandas UDF past the expression-depth
+    limit, same plan otherwise)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+
+    def n_syms(w):
+        return F.size(F.split(_bpe_spark_encode(w), _BPE_SEP)) - 1
+
+    n_chars = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_bpe = F.aggregate(toks, F.lit(0), lambda acc, w: acc + n_syms(w))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        n_bpe.cast("long").alias("n_tokens_bpe"),
+        F.round(n_chars / n_bpe, 4).alias("chars_per_token"))

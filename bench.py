@@ -86,6 +86,7 @@ REGISTRY_BENCH = [
     "dedup_paragraph_rewrite",
     "quality_adaptive_threshold",
     "dedup_semantic",
+    "text_bpe_apply",
 ]
 
 

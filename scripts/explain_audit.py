@@ -85,7 +85,7 @@ DEFAULT = [
     "text_quality_classifier", "corpus_token_budget", "sample_epoch_mixture",
     "dedup_url_canonical", "multimodal_audio_fingerprint",
     "dedup_paragraph_rewrite", "quality_adaptive_threshold",
-    "dedup_incremental_minhash", "dedup_semantic",
+    "dedup_incremental_minhash", "dedup_semantic", "text_bpe_apply",
 ]
 
 

@@ -446,3 +446,39 @@ def test_avi_roundtrip_and_sentinel(spark):
     bad = spark.createDataFrame([(9, bytearray(b"RIFFxxxxJUNK"))],
                                 "doc_id long, payload binary")
     assert M.decode_video_avi(bad).collect()[0].width == -1
+
+
+def test_bpe_apply_chain_equals_reference_encoder(spark, sf_dir):
+    """The anchored replace chain in text_bpe_apply must produce exactly
+    the token count a reference iterative BPE encoder produces (apply
+    each merge fully, in table order) for EVERY word in the corpus — the
+    replace form is only valid while no merged symbol is a proper prefix
+    of a following symbol, so pin it against the real algorithm."""
+    from ab_metadata_pusher_spark.plans.llm_queries import (
+        _BPE_MERGES, _BPE_SEP, _bpe_spark_encode,
+    )
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    def ref_encode(word):
+        syms = list(word)
+        for a, b in _BPE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = [r.w for r in
+             docs.select(F.explode(F.split("text", " ")).alias("w"))
+                 .filter(F.col("w") != "").distinct().collect()]
+    enc = (spark.createDataFrame([(w,) for w in vocab], "w string")
+           .select("w", _bpe_spark_encode(F.col("w")).alias("e")).collect())
+    for r in enc:
+        got = [s for s in r.e.split(_BPE_SEP) if s != ""]
+        assert got == ref_encode(r.w), (r.w, got, ref_encode(r.w))
