@@ -482,3 +482,66 @@ def test_bpe_apply_chain_equals_reference_encoder(spark, sf_dir):
     for r in enc:
         got = [s for s in r.e.split(_BPE_SEP) if s != ""]
         assert got == ref_encode(r.w), (r.w, got, ref_encode(r.w))
+
+
+def test_url_canonicalizer_idempotent_and_budget_boundary(spark, sf_dir):
+    """Two invariants the oracles cannot express:
+    (1) URL canonicalization is idempotent — canonical forms pass through
+    the canonicalizer unchanged (a second crawl of a canonical URL maps
+    to itself);
+    (2) corpus_token_budget selects a MAXIMAL prefix: the selected set
+    fits the 50% budget and the first unselected doc in quality order
+    would overflow it (proves the distributed bucket decomposition equals
+    the global ordered cumsum exactly)."""
+    from ab_metadata_pusher_spark.plans.registry import queries
+
+    reg = queries()
+    # (1) idempotence: run the dedup, re-run the same grouping keyed on
+    # canonical_url fed back through as raw urls — counts must be stable.
+    urls = reg["dedup_url_canonical"](spark, sf_dir)
+    n1 = urls.count()
+    # canonical urls contain no fragments/utm/trailing slash by
+    # construction; a second canonicalization pass must be a no-op.
+    from pyspark.sql import functions as F2
+    defrag = F2.regexp_replace(F2.col("canonical_url"), "#.*$", "")
+    sh = F2.regexp_extract(defrag, "^([^/]+//[^/]+)", 1)
+    rest = F2.regexp_replace(defrag, "^[^/]+//[^/]+", "")
+    canon2 = F2.concat(
+        F2.lower(sh),
+        F2.regexp_replace(
+            F2.regexp_replace(
+                F2.regexp_replace(rest, "utm_[a-z]+=[^&#]*&?", ""),
+                "[?&]$", ""),
+            "/$", ""))
+    changed = (urls.select(F2.col("canonical_url").alias("u"),
+                           canon2.alias("u2"))
+               .filter(F2.col("u") != F2.col("u2")).count())
+    assert changed == 0 and n1 > 0
+
+    # (2) maximal-prefix invariant
+    sel = reg["corpus_token_budget"](spark, sf_dir)
+    rows = sel.orderBy(F2.col("cum_tokens").desc()).limit(1).collect()
+    assert rows, "budget selected nothing"
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    total, nxt = con.execute("""
+WITH d AS (
+  SELECT doc_id, len(list_filter(string_split(text,' '), t->t<>''))
+           AS n_tokens,
+         (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000)
+           // greatest(length(text), 1) AS bucket
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY bucket DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d)
+SELECT (SELECT sum(n_tokens) FROM d),
+       (SELECT min(cum) FROM c WHERE cum * 2 >
+         (SELECT sum(n_tokens) FROM d))
+""").fetchone()
+    kept_max = rows[0].cum_tokens
+    assert kept_max * 2 <= total, "selected set overflows the budget"
+    assert nxt * 2 > total, "a selectable doc was left out (not maximal)"
