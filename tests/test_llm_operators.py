@@ -545,3 +545,30 @@ SELECT (SELECT sum(n_tokens) FROM d),
     kept_max = rows[0].cum_tokens
     assert kept_max * 2 <= total, "selected set overflows the budget"
     assert nxt * 2 > total, "a selectable doc was left out (not maximal)"
+
+
+def test_bloom_no_false_negatives_and_filters(spark, sf_dir):
+    """Every inserted key must probe True (bloom correctness invariant);
+    a disjoint fresh key set must probe mostly False (the filter actually
+    filters — FPR well under 50% at ~10 bits/key)."""
+    from ab_metadata_pusher_spark.operators import bloom as B
+
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text").cast("binary"))
+    existing = (d.filter(F.col("doc_id") < 300)
+                .select(digest.alias("k")).distinct())
+    bloom = B.bloom_build(existing, "k", 4096, 4)
+
+    probe = existing.join(F.broadcast(bloom)).select(
+        B.bloom_might_contain(F.col("bloom"), F.col("k"), 4096, 4).alias("hit"))
+    hits = probe.agg(F.sum(F.col("hit").cast("int")).alias("s"),
+                     F.count(F.lit(1)).alias("n")).first()
+    assert hits.s == hits.n, "false negative: an inserted key probed False"
+
+    fresh = (d.select(F.md5(F.concat(F.col("text"), F.lit("#novel"))
+                            .cast("binary")).alias("k")).distinct())
+    fp = fresh.join(F.broadcast(bloom)).select(
+        B.bloom_might_contain(F.col("bloom"), F.col("k"), 4096, 4).alias("hit"))
+    r = fp.agg(F.sum(F.col("hit").cast("int")).alias("s"),
+               F.count(F.lit(1)).alias("n")).first()
+    assert r.s / r.n < 0.5, f"bloom does not filter: FPR {r.s}/{r.n}"
