@@ -3026,3 +3026,89 @@ def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(existing, "content_md5", "left_anti")
                 .select("doc_id", "content_md5"))
     return fresh.unionByName(verified)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring (CCNet-style perplexity bucketing)
+# ---------------------------------------------------------------------------
+
+_JM_LAMBDA = "0.75"  # literal shared by plan and oracle
+
+
+@register(
+    "text_bigram_lm",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+),
+tot AS (SELECT sum(c1) AS n FROM uni),
+big AS (
+  SELECT doc_id, t.toks[i] AS w1, t.toks[i + 1] AS w2
+  FROM t, generate_series(1, 1024) AS g(i)
+  WHERE i <= len(t.toks) - 1
+),
+big_c AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2
+)
+SELECT b.doc_id,
+       round(avg(-ln({_JM_LAMBDA} * bc.c2 * 1.0 / u1.c1
+                     + (1 - {_JM_LAMBDA}) * u2.c1 * 1.0 / tot.n)), 4)
+         AS bigram_lm_score,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM big b
+JOIN big_c bc USING (w1, w2)
+JOIN uni u1 ON b.w1 = u1.w
+JOIN uni u2 ON b.w2 = u2.w
+CROSS JOIN tot
+GROUP BY b.doc_id
+""",
+    covers=("G.text.bigram_lm",),
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM score — the KenLM-perplexity
+    quality signal CCNet-style pipelines bucket web corpora by, one order
+    up from q_text_lm_score's unigram proxy:
+    score(doc) = mean over adjacent pairs of
+    -ln( λ·p(w2|w1) + (1-λ)·p(w2) ), counts from the corpus itself.
+
+    Spark shape: bigrams are built IN-ROW (zip_with over two slices of
+    the token array — zero shuffle) then exploded once.  The bigram and
+    unigram count tables are corpus-level aggregates orders of magnitude
+    smaller than the token stream (they shuffle |vocab| partial rows,
+    map-side combined); scoring joins broadcast them back, so the only
+    full-data shuffle is the final doc_id aggregation.  At 100 TB the
+    bigram table may outgrow a broadcast — the join then degrades to a
+    shuffle on the (w1,w2) key while everything else keeps its shape.
+    """
+    lam = float(_JM_LAMBDA)
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_t = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n_t - 1),
+        F.slice(toks, 2, n_t - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    big = (d.select("doc_id", F.explode(pairs).alias("p"))
+           .select("doc_id", F.col("p.w1").alias("w1"),
+                   F.col("p.w2").alias("w2")))
+    uni = (d.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    tot = d.agg(F.sum(F.size(toks)).alias("n"))
+    big_c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    p = (F.lit(lam) * F.col("c2") / F.col("u1c")
+         + F.lit(1 - lam) * F.col("u2c") / F.col("n"))
+    scored = (big
+              .join(F.broadcast(big_c), ["w1", "w2"])
+              .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                           F.col("c1").alias("u1c"))), "w1")
+              .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                           F.col("c1").alias("u2c"))), "w2")
+              .join(F.broadcast(tot)))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.avg(-F.log(p)), 4).alias("bigram_lm_score"),
+                 F.count(F.lit(1)).alias("n_bigrams")))
