@@ -3112,3 +3112,102 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.groupBy("doc_id")
             .agg(F.round(F.avg(-F.log(p)), 4).alias("bigram_lm_score"),
                  F.count(F.lit(1)).alias("n_bigrams")))
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256          # feature hash buckets
+_DSIR_TAKE = 100       # resampled docs
+_DSIR_U_M = 1_000_000  # deterministic-uniform grid for the Gumbel draw
+
+
+@register(
+    "sample_dsir",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source, f FROM (
+    SELECT doc_id, source, unnest(toks) AS f FROM t
+    UNION ALL
+    SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS f
+    FROM t, generate_series(1, 1024) AS g(i)
+    WHERE i <= len(toks) - 1)
+),
+b AS (SELECT doc_id, source,
+             {sql_md5_long('f')} % {_DSIR_B} AS bkt FROM feats),
+ct AS (SELECT bkt, count(*) AS c FROM b WHERE source = 'src0' GROUP BY bkt),
+cr AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+nt AS (SELECT count(*) AS n FROM b WHERE source = 'src0'),
+nr AS (SELECT count(*) AS n FROM b),
+w AS (
+  SELECT cr.bkt,
+         ln((coalesce(ct.c, 0) + 1.0) / (nt.n + {_DSIR_B}))
+           - ln((cr.c + 1.0) / (nr.n + {_DSIR_B})) AS lw
+  FROM cr LEFT JOIN ct USING (bkt) CROSS JOIN nt CROSS JOIN nr
+),
+scored AS (
+  SELECT b.doc_id, sum(w.lw) AS logw FROM b JOIN w USING (bkt)
+  GROUP BY b.doc_id
+),
+keyed AS (
+  SELECT doc_id, logw,
+         logw - ln(-ln((({sql_md5_long('CAST(doc_id AS VARCHAR)')}
+                          % {_DSIR_U_M}) + 0.5) / {_DSIR_U_M})) AS k
+  FROM scored
+)
+SELECT doc_id, round(logw, 4) AS logw
+FROM keyed ORDER BY k DESC, doc_id LIMIT {_DSIR_TAKE}
+""",
+    covers=("G.sample.dsir",),
+)
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    pick raw-corpus documents that look like a target domain by importance
+    weighting in a hashed n-gram feature space, then Gumbel-top-k
+    resampling.  Target here = the fixture's 'src0' slice; features =
+    unigrams + bigrams hashed into 256 buckets; weights are add-1
+    smoothed log-ratios ln p_target(b) - ln p_raw(b); the Gumbel noise is
+    DETERMINISTIC (inverse-CDF over an md5-derived uniform) so the oracle
+    replays the exact draw.
+
+    Spark shape: features build in-row (token array + zip_with bigrams)
+    and explode once; both bucket-count tables are 256-row map-side
+    combined aggregates; the weight table broadcasts back onto the
+    feature stream, so the only full-data shuffles are the doc_id sum and
+    the global top-k (TakeOrdered — no full sort materializes).  Exactly
+    the published algorithm's shape: the expensive pass is embarrassingly
+    parallel feature hashing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_t = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_t - 1), F.slice(toks, 2, n_t - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    feats = (d.select("doc_id", "source",
+                      F.explode(F.concat(toks, bigrams)).alias("f"))
+             .select("doc_id", "source",
+                     F.pmod(md5_long(F.col("f")), F.lit(_DSIR_B))
+                     .alias("bkt")))
+    is_t = (F.col("source") == "src0").cast("long")
+    counts = (feats.groupBy("bkt")
+              .agg(F.sum(is_t).alias("ct"), F.count(F.lit(1)).alias("cr")))
+    totals = feats.agg(F.sum(is_t).alias("nt"), F.count(F.lit(1)).alias("nr"))
+    w = (counts.join(F.broadcast(totals))
+         .select("bkt",
+                 (F.log((F.col("ct") + 1.0) / (F.col("nt") + _DSIR_B))
+                  - F.log((F.col("cr") + 1.0) / (F.col("nr") + _DSIR_B)))
+                 .alias("lw")))
+    scored = (feats.join(F.broadcast(w), "bkt")
+              .groupBy("doc_id").agg(F.sum("lw").alias("logw")))
+    u = (F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(_DSIR_U_M))
+         + 0.5) / _DSIR_U_M
+    keyed = scored.withColumn("k", F.col("logw") - F.log(-F.log(u)))
+    return (keyed.orderBy(F.col("k").desc(), "doc_id").limit(_DSIR_TAKE)
+            .select("doc_id", F.round("logw", 4).alias("logw")))
