@@ -24,6 +24,7 @@ from ab_metadata_pusher_spark.functions.hashing import (
 )
 from ab_metadata_pusher_spark.operators import bloom as B
 from ab_metadata_pusher_spark.operators import dedup as D
+from ab_metadata_pusher_spark.operators import linalg as L
 from ab_metadata_pusher_spark.operators import multimodal as M
 from ab_metadata_pusher_spark.operators import similarity as S
 from ab_metadata_pusher_spark.operators import text as X
@@ -3211,3 +3212,55 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = scored.withColumn("k", F.col("logw") - F.log(-F.log(u)))
     return (keyed.orderBy(F.col("k").desc(), "doc_id").limit(_DSIR_TAKE)
             .select("doc_id", F.round("logw", 4).alias("logw")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance / PCA (one-pass Gramian)
+# ---------------------------------------------------------------------------
+
+_EMB_D = 64
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+n AS (SELECT count(*) AS c FROM embeddings)
+SELECT a.i AS i, b.i AS j,
+       round(sum(a.v * b.v) / n.c - avg(a.v) * avg(b.v), 6) + 0.0 AS cov
+FROM x a JOIN x b USING (vec_id) CROSS JOIN n
+GROUP BY a.i, b.i, n.c
+""",
+    covers=("G.embedding.covariance",),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the embedding corpus as (i, j, cov) rows —
+    the statistic behind PCA whitening, OPQ rotations, and drift
+    monitoring over embedding tables.
+
+    Spark shape (operators/linalg.py): each partition folds its vectors
+    into ONE d x d partial via Arrow-batched numpy BLAS and emits
+    d^2 + d + 1 rows; a groupBy(i,j) sum combines partials.  Shuffle
+    volume is partitions * d^2 — independent of corpus size — where the
+    oracle's explode-and-self-join form shuffles n * d^2 rows (the reason
+    it is the oracle, not the engine path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return L.covariance(emb, "embedding", _EMB_D, decimals=6)
+
+
+@register("embedding_pca_variance", oracle=None,
+          covers=("G.embedding.pca",))
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA eigenvalues + explained-variance ratios over the
+    embedding corpus: the one-pass distributed Gramian reduces to a
+    bounded d x d matrix; numpy eigh finishes on the driver (O(d^3),
+    corpus never re-read).  No SQL oracle — DuckDB has no eigensolver —
+    so this registers rows-only; determinism is pinned by
+    tests/test_llm_operators.py against a direct numpy covariance of the
+    same fixture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return L.pca_eigh(emb, "embedding", _EMB_D, top=8)

@@ -572,3 +572,20 @@ def test_bloom_no_false_negatives_and_filters(spark, sf_dir):
     r = fp.agg(F.sum(F.col("hit").cast("int")).alias("s"),
                F.count(F.lit(1)).alias("n")).first()
     assert r.s / r.n < 0.5, f"bloom does not filter: FPR {r.s}/{r.n}"
+
+
+def test_pca_matches_direct_numpy_covariance(spark, sf_dir):
+    """The one-pass distributed Gramian must reproduce numpy's direct
+    population covariance eigenvalues on the same fixture."""
+    import numpy as np
+    from ab_metadata_pusher_spark.operators import linalg as L
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = np.array(emb.toPandas()["embedding"].to_list(), dtype=np.float64)
+    ref = np.linalg.eigvalsh(np.cov(X, rowvar=False, bias=True))[::-1]
+
+    got = L.pca_eigh(emb, "embedding", X.shape[1], top=8).toPandas()
+    assert np.allclose(got["eigenvalue"].to_numpy(), ref[:8], atol=1e-4)
+    total = ref.sum()
+    assert np.allclose(got["explained_ratio"].to_numpy(),
+                       ref[:8] / total, atol=1e-4)
