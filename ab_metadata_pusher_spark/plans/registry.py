@@ -120,6 +120,8 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "dedup_url_canonical", "multimodal_audio_fingerprint",
     "dedup_paragraph_rewrite", "quality_adaptive_threshold",
     "dedup_incremental_minhash", "dedup_semantic", "text_bpe_apply",
+    "dedup_bloom_incremental", "text_bigram_lm", "sample_dsir",
+    "embedding_covariance",
 )
 
 

@@ -87,6 +87,10 @@ REGISTRY_BENCH = [
     "quality_adaptive_threshold",
     "dedup_semantic",
     "text_bpe_apply",
+    "dedup_bloom_incremental",
+    "text_bigram_lm",
+    "sample_dsir",
+    "embedding_covariance",
 ]
 
 

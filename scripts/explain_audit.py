@@ -49,7 +49,13 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      "quality_adaptive_threshold",
                      # k-means cell assignment broadcasts the tiny
                      # centroid table (same as similarity_ann_ivf)
-                     "dedup_semantic"}
+                     "dedup_semantic",
+                     # 1-row broadcast cross joins by design: the bloom
+                     # word-map row onto the batch; corpus token totals
+                     # onto the bigram/DSIR streams; the n scalar onto
+                     # the d^2 covariance partials
+                     "dedup_bloom_incremental", "text_bigram_lm",
+                     "sample_dsir", "embedding_covariance"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -86,6 +92,8 @@ DEFAULT = [
     "dedup_url_canonical", "multimodal_audio_fingerprint",
     "dedup_paragraph_rewrite", "quality_adaptive_threshold",
     "dedup_incremental_minhash", "dedup_semantic", "text_bpe_apply",
+    "dedup_bloom_incremental", "text_bigram_lm", "sample_dsir",
+    "embedding_covariance",
 ]
 
 
