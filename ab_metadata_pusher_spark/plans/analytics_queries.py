@@ -468,3 +468,70 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.coalesce(F.sum(
                      F.when(F.col("adev") > 3 * F.col("mad"), 1)
                       .otherwise(0)), F.lit(0)).alias("n_outliers")))
+
+
+# --------------------------------------------------------------------------
+# Label-propagation community detection (synchronous, deterministic)
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Unrolled SQL mirror of the synchronous LPA loop: the fixed
+    iteration count makes the iterative algorithm exactly expressible as
+    a chain of CTE stages, one per round."""
+    parts = ["WITH e0 AS (" + _COOCCUR + "),",
+             "e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),",
+             "l0 AS (SELECT DISTINCT a AS v, CAST(a AS BIGINT) AS lab FROM e)"]
+    for it in range(1, iters + 1):
+        p, c = f"l{it - 1}", f"l{it}"
+        parts.append(f""",
+c{it} AS (SELECT e.a AS v, {p}.lab, count(*) AS c
+          FROM e JOIN {p} ON e.b = {p}.v GROUP BY e.a, {p}.lab),
+{c} AS (SELECT v, lab FROM (
+          SELECT v, lab, row_number() OVER (
+            PARTITION BY v ORDER BY c DESC, lab) AS rn FROM c{it})
+        WHERE rn = 1)""")
+    parts.append(f"""
+SELECT CAST(v AS BIGINT) AS node, lab AS community
+FROM l{iters}""")
+    return "\n".join(parts)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(_LPA_ITERS),
+          covers=("G.graph.label_propagation",))
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the part
+    co-occurrence graph: every node starts as its own label; each round
+    it adopts its neighbors' most frequent label (ties -> smallest
+    label), fully deterministic, fixed 3 rounds.  Complements the
+    connected-components / pagerank / triangle surface with the standard
+    cheap community algorithm.
+
+    Spark shape: one round = edge-label join + groupBy(v, lab) count +
+    argmax folded into a groupBy(v) max(struct(count, -lab)) — no
+    per-round window sort, so a round costs one join plus two map-side-
+    combined aggregations ((v,lab) then its prefix v), both shuffling
+    label-table-sized data.  The label frame is |V| rows (orders of magnitude
+    smaller than edges); at scale the join broadcasts it while the edge
+    table never re-shuffles (AQE picks broadcast here).  The oracle
+    unrolls the same fixed iteration count as CTE stages."""
+    e0 = _cooccur_edges(spark, sf_dir)
+    edges = (e0.unionByName(e0.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
+             .select(F.col("a").cast("long").alias("a"),
+                     F.col("b").cast("long").alias("b")))
+    labels = edges.select(F.col("a").alias("v"),
+                          F.col("a").alias("lab")).distinct()
+    for _ in range(_LPA_ITERS):
+        labels = (edges
+                  .join(labels.withColumnRenamed("v", "b"), "b")
+                  .groupBy(F.col("a").alias("v"), "lab")
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .groupBy("v")
+                  .agg(F.max(F.struct(F.col("c"),
+                                      (-F.col("lab")).alias("nl"))).alias("m"))
+                  .select("v", (-F.col("m.nl")).alias("lab")))
+    return labels.select(F.col("v").alias("node"),
+                         F.col("lab").alias("community"))
