@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ab_metadata_pusher_spark.functions.hashing import (
     MERSENNE_P, md5_long, minhash_coeffs, sql_md5_long,
 )
+from ab_metadata_pusher_spark.observability import capture_plan_segment
 from ab_metadata_pusher_spark.operators import bloom as B
 from ab_metadata_pusher_spark.operators import dedup as D
 from ab_metadata_pusher_spark.operators import linalg as L
@@ -3264,3 +3265,96 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixture."""
     emb = load_table(spark, sf_dir, "embeddings")
     return L.pca_eigh(emb, "embedding", _EMB_D, top=8)
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE training loop (k merge rounds)
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_ITERS = 6
+
+
+def _bpe_train_oracle(iters: int) -> str:
+    """Unrolled SQL mirror of the BPE training loop.  Each round's winner
+    is data-dependent, so round r's segmentation applies rounds 1..r-1's
+    winners as scalar-subquery replaces — the fixed round count makes the
+    whole loop one (deep) SQL expression."""
+    base = ("chr(31) || array_to_string("
+            "list_filter(string_split(w, ''), c -> c <> ''), chr(31))")
+    parts = [f"WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents)"]
+    for r in range(1, iters + 1):
+        seg = base
+        for j in range(1, r):
+            seg = (f"replace({seg}, "
+                   f"(SELECT chr(31)||a||chr(31)||b FROM w{j}), "
+                   f"(SELECT chr(31)||a||b FROM w{j}))")
+        parts.append(f""",
+s{r} AS (SELECT list_filter(string_split({seg}, chr(31)), x -> x <> '') AS sy
+         FROM toks),
+p{r} AS (SELECT sy[i] AS a, sy[i + 1] AS b
+         FROM s{r}, generate_series(1, 64) AS g(i)
+         WHERE i <= len(sy) - 1),
+w{r} AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM p{r}
+         GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, a, b, n FROM w{r}"
+        for r in range(1, iters + 1))
+    parts.append("\n" + unions)
+    return "".join(parts)
+
+
+def _bpe_seg(w, merges):
+    """Symbol-sequence segmentation of a word under a merge list — the
+    dynamic-merge generalization of _bpe_spark_encode."""
+    chars = F.filter(F.split(w, "(?!^)"), lambda c: c != "")
+    s = F.concat(F.lit(_BPE_SEP), F.array_join(chars, _BPE_SEP))
+    for a, b in merges:
+        s = F.replace(s, F.lit(_BPE_SEP + a + _BPE_SEP + b),
+                      F.lit(_BPE_SEP + a + b))
+    return s
+
+
+@register("text_bpe_train", oracle=_bpe_train_oracle(_BPE_TRAIN_ITERS),
+          covers=("G.text.bpe_train",))
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL distributed BPE training loop — text_bpe_pair_counts is
+    one round; this runs 6, each picking the corpus-wide most frequent
+    adjacent symbol pair (ties -> lexicographic) and merging it before
+    the next count.  Output is the learned merge table (rank, a, b, n) —
+    the artifact text_bpe_apply consumes.
+
+    Spark shape per round: segmentation is an in-row replace chain over
+    the cached token stream (codegen, zero shuffle — recomputed from raw
+    words each round so no lineage growth), pair counts are one
+    map-side-combined groupBy bounded by the symbol vocabulary squared,
+    and the winner is a 1-row TakeOrdered driver action (the same
+    bounded-artifact collect as k-means centroids).  6 rounds = 6 corpus
+    passes; at 100 TB the token stream would persist on disk-backed
+    storage and the passes pipeline over it unchanged.  The oracle
+    unrolls the data-dependent loop as scalar-subquery replaces."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(X.tokens("text")).alias("w"))
+    words = words.persist()
+    try:
+        merges: list[tuple[str, str]] = []
+        out: list[tuple[int, str, str, int]] = []
+        for r in range(_BPE_TRAIN_ITERS):
+            syms = F.filter(F.split(_bpe_seg(F.col("w"), merges), _BPE_SEP),
+                            lambda c: c != "")
+            n_s = F.size(syms)
+            pairs = F.zip_with(
+                F.slice(syms, 1, n_s - 1), F.slice(syms, 2, n_s - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+            counts = (words.select(F.explode(pairs).alias("p"))
+                      .groupBy(F.col("p.a").alias("a"),
+                               F.col("p.b").alias("b"))
+                      .agg(F.count(F.lit(1)).alias("n"))
+                      .orderBy(F.col("n").desc(), "a", "b"))
+            capture_plan_segment(counts)  # per-round plan for the audit
+            win = counts.first()
+            merges.append((win.a, win.b))
+            out.append((r + 1, win.a, win.b, win.n))
+        return spark.createDataFrame(
+            out, "rank int, a string, b string, n bigint")
+    finally:
+        words.unpersist()
