@@ -3087,33 +3087,9 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram table may outgrow a broadcast — the join then degrades to a
     shuffle on the (w1,w2) key while everything else keeps its shape.
     """
-    lam = float(_JM_LAMBDA)
-    d = load_table(spark, sf_dir, "documents")
-    toks = X.tokens("text")
-    n_t = F.size(toks)
-    pairs = F.zip_with(
-        F.slice(toks, 1, n_t - 1),
-        F.slice(toks, 2, n_t - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
-    big = (d.select("doc_id", F.explode(pairs).alias("p"))
-           .select("doc_id", F.col("p.w1").alias("w1"),
-                   F.col("p.w2").alias("w2")))
-    uni = (d.select(F.explode(toks).alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
-    tot = d.agg(F.sum(F.size(toks)).alias("n"))
-    big_c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    p = (F.lit(lam) * F.col("c2") / F.col("u1c")
-         + F.lit(1 - lam) * F.col("u2c") / F.col("n"))
-    scored = (big
-              .join(F.broadcast(big_c), ["w1", "w2"])
-              .join(F.broadcast(uni.select(F.col("w").alias("w1"),
-                                           F.col("c1").alias("u1c"))), "w1")
-              .join(F.broadcast(uni.select(F.col("w").alias("w2"),
-                                           F.col("c1").alias("u2c"))), "w2")
-              .join(F.broadcast(tot)))
-    return (scored.groupBy("doc_id")
-            .agg(F.round(F.avg(-F.log(p)), 4).alias("bigram_lm_score"),
-                 F.count(F.lit(1)).alias("n_bigrams")))
+    return (_bigram_scores(spark, sf_dir)
+            .select("doc_id", F.round("s", 4).alias("bigram_lm_score"),
+                    "n_bigrams"))
 
 
 # ---------------------------------------------------------------------------
@@ -3358,3 +3334,120 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             out, "rank int, a string, b string, n bigint")
     finally:
         words.unpersist()
+
+
+_BIGRAM_SCORE_SQL = f"""
+  WITH t AS (
+    SELECT doc_id, n_chars,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  ),
+  uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c1
+    FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+  ),
+  tot AS (SELECT sum(c1) AS n FROM uni),
+  big AS (
+    SELECT doc_id, t.toks[i] AS w1, t.toks[i + 1] AS w2
+    FROM t, generate_series(1, 1024) AS g(i)
+    WHERE i <= len(t.toks) - 1
+  ),
+  big_c AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2
+  ),
+  scores AS (
+    SELECT b.doc_id,
+           avg(-ln({_JM_LAMBDA} * bc.c2 * 1.0 / u1.c1
+                   + (1 - {_JM_LAMBDA}) * u2.c1 * 1.0 / tot.n)) AS s
+    FROM big b
+    JOIN big_c bc USING (w1, w2)
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w
+    CROSS JOIN tot
+    GROUP BY b.doc_id
+  )
+"""
+
+
+def _bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s, n_bigrams) — unrounded JM bigram LM score, the shared
+    subplan behind text_bigram_lm and quality_ppl_buckets."""
+    lam = float(_JM_LAMBDA)
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_t = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n_t - 1), F.slice(toks, 2, n_t - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    big = (d.select("doc_id", F.explode(pairs).alias("p"))
+           .select("doc_id", F.col("p.w1").alias("w1"),
+                   F.col("p.w2").alias("w2")))
+    uni = (d.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    tot = d.agg(F.sum(F.size(toks)).alias("n"))
+    big_c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    p = (F.lit(lam) * F.col("c2") / F.col("u1c")
+         + F.lit(1 - lam) * F.col("u2c") / F.col("n"))
+    return (big
+            .join(F.broadcast(big_c), ["w1", "w2"])
+            .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                         F.col("c1").alias("u1c"))), "w1")
+            .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                         F.col("c1").alias("u2c"))), "w2")
+            .join(F.broadcast(tot))
+            .groupBy("doc_id").agg(F.avg(-F.log(p)).alias("s"),
+                                   F.count(F.lit(1)).alias("n_bigrams")))
+
+
+@register(
+    "quality_ppl_buckets",
+    oracle=_BIGRAM_SCORE_SQL + """,
+  th AS (
+    SELECT quantile_cont(s, 1.0/3) AS t1, quantile_cont(s, 2.0/3) AS t2
+    FROM scores
+  ),
+  bucketed AS (
+    SELECT d.doc_id, d.n_chars, sc.s,
+           CASE WHEN sc.s <= th.t1 THEN 'head'
+                WHEN sc.s <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM documents d JOIN scores sc USING (doc_id) CROSS JOIN th
+  )
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(s), 4) AS avg_score,
+       round(avg(n_chars), 2) AS avg_chars
+FROM bucketed GROUP BY bucket
+""",
+    covers=("G.quality.ppl_buckets",),
+)
+def q_quality_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: split the corpus into
+    head / middle / tail terciles of the bigram-LM score (low score =
+    model-familiar text) and report per-bucket volume and stats — the
+    standard mixture knob for weighting clean vs diverse web data.
+
+    Spark shape: scores reuse _bigram_scores (broadcast count tables,
+    one doc_id shuffle); the tercile thresholds are ONE exact-percentile
+    row broadcast back (at 100 TB swap percentile -> approx_percentile
+    and the plan is identical with a sketch instead of a sort); the
+    bucket label is a codegen CASE, and the final aggregate is 3 rows.
+    Thresholds are interpolated between distinct score values (n not
+    divisible by 3), so the boundary comparison is float-stable across
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = _bigram_scores(spark, sf_dir)
+    th = scores.agg(
+        F.percentile("s", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("s", F.lit(2.0 / 3)).alias("t2"))
+    bucketed = (d.select("doc_id", "n_chars")
+                .join(scores, "doc_id")
+                .join(F.broadcast(th))
+                .withColumn("bucket",
+                            F.when(F.col("s") <= F.col("t1"), "head")
+                            .when(F.col("s") <= F.col("t2"), "middle")
+                            .otherwise("tail")))
+    return (bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("s"), 4).alias("avg_score"),
+                 F.round(F.avg("n_chars"), 2).alias("avg_chars")))

@@ -55,7 +55,9 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      # onto the bigram/DSIR streams; the n scalar onto
                      # the d^2 covariance partials
                      "dedup_bloom_incremental", "text_bigram_lm",
-                     "sample_dsir", "embedding_covariance"}
+                     "sample_dsir", "embedding_covariance",
+                     # corpus-total + 1-row tercile-threshold broadcasts
+                     "quality_ppl_buckets"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -93,7 +95,7 @@ DEFAULT = [
     "dedup_paragraph_rewrite", "quality_adaptive_threshold",
     "dedup_incremental_minhash", "dedup_semantic", "text_bpe_apply",
     "dedup_bloom_incremental", "text_bigram_lm", "sample_dsir",
-    "embedding_covariance", "graph_label_propagation", "text_bpe_train",
+    "embedding_covariance", "graph_label_propagation", "text_bpe_train", "quality_ppl_buckets",
 ]
 
 
