@@ -3451,3 +3451,124 @@ def q_quality_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("s"), 4).alias("avg_score"),
                  F.round(F.avg("n_chars"), 2).alias("avg_chars")))
+
+
+@register(
+    "dedup_suffix_prefix",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+),
+-- deterministic "page 2" docs: first 16 tokens = doc d's last 16 tokens
+stitched AS (
+  SELECT doc_id + 5000000 AS doc_id,
+         array_to_string(toks[len(toks) - 15:len(toks)], ' ')
+           || ' pad pad pad pad pad pad pad pad pad pad pad pad pad pad pad pad'
+           AS text
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+               AS toks
+        FROM documents WHERE doc_id < 20)
+  WHERE len(toks) >= 16
+),
+t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM stitched)
+),
+ends AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[1:16], ' ')) AS prefix_md5,
+         md5(array_to_string(toks[len(toks) - 15:len(toks)], ' '))
+           AS suffix_md5
+  FROM t WHERE len(toks) >= 16
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id
+FROM ends a JOIN ends b
+  ON a.suffix_md5 = b.prefix_md5 AND a.doc_id <> b.doc_id
+""",
+    covers=("G.dedup.suffix_prefix",),
+)
+def q_dedup_suffix_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination-stitch detection: doc A's trailing 16 tokens equal doc
+    B's leading 16 tokens — the signature of one source page split
+    across crawl records (each pair is a candidate for re-joining or
+    overlap-trimming before training).  Exactly the overlap class that
+    whole-doc hashing, MinHash, and even windowed substring dedup
+    under-rank, because the shared span is a tiny fraction of each doc.
+    The fixture corpus has no natural stitches, so a deterministic
+    "page 2" copy of the first 20 docs (their last 16 tokens + filler)
+    is unioned in on BOTH engines — the join provably fires.
+
+    Spark shape: one projection computes both end-hashes IN-ROW (slice +
+    concat_ws + md5 — codegen, zero shuffle), then a single
+    suffix-hash = prefix-hash equi-join; output is bounded by true
+    stitch pairs, never pairwise in corpus size.  16-byte join keys, so
+    at 100 TB the shuffle carries two digests per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n = F.size(toks)
+    pad = " ".join(["pad"] * 16)
+    stitched = (docs.filter((F.col("doc_id") < 20) & (n >= 16))
+                .select((F.col("doc_id") + 5_000_000).alias("doc_id"),
+                        F.concat(F.concat_ws(" ", F.slice(toks, n - 15, 16)),
+                                 F.lit(" " + pad)).alias("text")))
+    d = (docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+         .unionByName(stitched))
+    ends = (d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 16)).cast("binary"))
+         .alias("prefix_md5"),
+        F.md5(F.concat_ws(" ", F.slice(toks, n - 15, 16)).cast("binary"))
+         .alias("suffix_md5"))
+        .where(n >= 16))
+    a = ends.select(F.col("doc_id").alias("left_id"),
+                    F.col("suffix_md5").alias("h"))
+    b = ends.select(F.col("doc_id").alias("right_id"),
+                    F.col("prefix_md5").alias("h"))
+    return (a.join(b, "h")
+            .where(F.col("left_id") != F.col("right_id"))
+            .select("left_id", "right_id"))
+
+
+@register(
+    "quality_mixture_kl",
+    oracle="""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_docs) AS nd, sum(n_chars) AS nc FROM c)
+SELECT c.source, c.n_docs,
+       round(c.n_docs * 1.0 / tot.nd, 6) AS doc_share,
+       round(c.n_chars * 1.0 / tot.nc, 6) AS char_share,
+       round((c.n_chars * 1.0 / tot.nc)
+             * ln((c.n_chars * 1.0 / tot.nc)
+                  / (c.n_docs * 1.0 / tot.nd)), 6) + 0.0 AS kl_term
+FROM c CROSS JOIN tot
+""",
+    covers=("G.quality.mixture_kl",),
+)
+def q_quality_mixture_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture balance report: per-source document and character
+    shares plus each source's KL(char-mass ‖ doc-mass) contribution —
+    the drift statistic mixture-weighting pipelines watch (a source
+    whose byte share runs ahead of its document share dominates training
+    more than its sampling weight suggests).
+
+    Spark shape: one map-side-combined groupBy(source) carrying two sums,
+    a 1-row total broadcast back, all arithmetic codegen.  Per-source
+    cardinality is tiny at any corpus size, so the report costs one scan
+    + one |sources|-row shuffle at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"))
+    tot = c.agg(F.sum("n_docs").alias("nd"), F.sum("n_chars").alias("nc"))
+    doc_share = F.col("n_docs") / F.col("nd")
+    char_share = F.col("n_chars") / F.col("nc")
+    return (c.join(F.broadcast(tot))
+            .select("source", "n_docs",
+                    F.round(doc_share, 6).alias("doc_share"),
+                    F.round(char_share, 6).alias("char_share"),
+                    (F.round(char_share * F.log(char_share / doc_share), 6)
+                     + F.lit(0.0)).alias("kl_term")))

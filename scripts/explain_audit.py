@@ -57,7 +57,9 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      "dedup_bloom_incremental", "text_bigram_lm",
                      "sample_dsir", "embedding_covariance",
                      # corpus-total + 1-row tercile-threshold broadcasts
-                     "quality_ppl_buckets"}
+                     "quality_ppl_buckets",
+                     # 1-row corpus-totals broadcast onto |sources| rows
+                     "quality_mixture_kl"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -96,6 +98,7 @@ DEFAULT = [
     "dedup_incremental_minhash", "dedup_semantic", "text_bpe_apply",
     "dedup_bloom_incremental", "text_bigram_lm", "sample_dsir",
     "embedding_covariance", "graph_label_propagation", "text_bpe_train", "quality_ppl_buckets",
+    "dedup_suffix_prefix", "quality_mixture_kl",
 ]
 
 
