@@ -36,6 +36,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash", "simhash_pairs",
     "star_edges", "connected_components", "cluster_labels",
+    "hamming_pairs",
 ]
 
 
@@ -395,18 +396,33 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 6,
     the 60-bit ``md5_long`` supports (w≈8.5 at hamming 6) — or tighten
     max_hamming so buckets stay small.
     """
-    s = simhash(df, bits)
+    return hamming_pairs(simhash(df, bits), "simhash",
+                         max_hamming=max_hamming, bits=bits)
+
+
+def hamming_pairs(hashes: DataFrame, hash_col: str, max_hamming: int,
+                  bits: int, id_col: str = "sid") -> DataFrame:
+    """Generic lossless pigeonhole Hamming join over ANY integer
+    fingerprint column (SimHash, image pHash, audio fingerprints):
+    (id_a, id_b, hamming) for all pairs within ``max_hamming``.
+
+    Same Manku-style blocking as simhash_pairs (which delegates here);
+    ``shiftrightunsigned`` keeps block extraction correct even for
+    full-64-bit fingerprints whose sign bit is set.
+    """
     nb = max_hamming + 1
     bounds = [round(j * bits / nb) for j in range(nb + 1)]
     blocks = F.array(*[
         F.struct(
             F.lit(j).alias("blk"),
-            F.shiftright(F.col("simhash"), bounds[j])
+            F.shiftrightunsigned(F.col(hash_col), bounds[j])
              .bitwiseAND(F.lit((1 << (bounds[j + 1] - bounds[j])) - 1))
              .alias("val"))
         for j in range(nb)])
-    keyed = (s.select("sid", "simhash", F.explode(blocks).alias("b"))
-             .select("sid", "simhash", F.col("b.blk").alias("blk"),
+    keyed = (hashes.select(F.col(id_col).alias("sid"),
+                           F.col(hash_col).alias("h"),
+                           F.explode(blocks).alias("b"))
+             .select("sid", "h", F.col("b.blk").alias("blk"),
                      F.col("b.val").alias("val")))
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
@@ -414,7 +430,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 6,
                & (F.col("a.val") == F.col("b.val"))
                & (F.col("a.sid") < F.col("b.sid")))
         .select(F.col("a.sid").alias("sid_a"), F.col("b.sid").alias("sid_b"),
-                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
+                F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
         .distinct())
     return (
         cand.withColumn("hamming", F.bit_count(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,7 +27,7 @@ __all__ = ["with_binary_payload", "decode_features", "DECODE_SCHEMA",
            "RESIZE_SCHEMA", "FRAME_SCHEMA", "with_wav_payload",
            "decode_audio_wave", "AUDIO_SCHEMA", "with_avi_payload",
            "decode_video_avi", "VIDEO_SCHEMA", "audio_fingerprint",
-           "AUDIO_FP_SCHEMA"]
+           "AUDIO_FP_SCHEMA", "image_phash", "PHASH_SCHEMA"]
 
 
 def with_binary_payload(documents: DataFrame) -> DataFrame:
@@ -497,3 +498,47 @@ def sample_frames(multimodal: DataFrame, frame_bytes: int = 64,
 
     return (multimodal.select("doc_id", "payload")
             .mapInPandas(sample, FRAME_SCHEMA))
+
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def image_phash(multimodal: DataFrame, cells: int = 64) -> DataFrame:
+    """64-bit perceptual average-hash over binary payloads — the
+    standard near-dup key for image corpora (aHash: downsample to a
+    cell grid, bit = cell mean > global mean).
+
+    The "decode" here is the engine's deterministic stand-in (payload
+    bytes ARE the pixel stream, split into ``cells`` equal chunks —
+    numpy vectorized per Arrow batch); swap the chunk-means line for
+    ``PIL.Image.open(...).convert("L").resize((8, 8))`` pixels when a
+    real codec is present and everything downstream (packing, the
+    pigeonhole Hamming join in operators/dedup.py hamming_pairs) is
+    unchanged.  Bit 63 packs via uint64 and reinterprets as signed, so
+    the full 64-bit hash survives Spark's signed long.
+    """
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.uint64)
+            for row, payload in enumerate(pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if not len(arr):
+                    continue
+                means = np.array([c.mean() if len(c) else 0.0
+                                  for c in np.array_split(arr, cells)])
+                bits = means > arr.mean()
+                h = np.uint64(0)
+                for j, b in enumerate(bits):
+                    if b:
+                        h |= np.uint64(1) << np.uint64(j)
+                out[row] = h
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "phash": out.astype(np.int64),
+            })
+
+    return (multimodal.select("doc_id", "payload")
+            .mapInPandas(fold, PHASH_SCHEMA))

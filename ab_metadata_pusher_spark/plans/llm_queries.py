@@ -3572,3 +3572,32 @@ def q_quality_mixture_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(char_share, 6).alias("char_share"),
                     (F.round(char_share * F.log(char_share / doc_share), 6)
                      + F.lit(0.0)).alias("kl_term")))
+
+
+@register("multimodal_phash_pairs", oracle=None,
+          covers=("G.multimodal.phash",))
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: 64-bit average-hash per
+    payload (operators/multimodal.py image_phash — deterministic
+    stand-in decode, real-codec swap point documented) joined through
+    the SAME lossless pigeonhole Hamming operator the text path uses
+    (operators/dedup.py hamming_pairs).  The corpus is the bounded docs
+    plus one-byte-mutated copies, so near-identical "images" provably
+    pair up without matching exactly.
+
+    No SQL oracle (the hash folds byte chunks in numpy); correctness is
+    pinned by tests: the blocked join must equal the all-pairs
+    brute-force on this corpus, and each mutated copy must land within
+    the Hamming budget of its original."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < _BOUND).select("doc_id", "text"))
+    mutated = d.select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.concat(F.lit("x"), F.substring("text", 2, 1_000_000))
+         .alias("text"))
+    corpus = d.unionByName(mutated).withColumn(
+        "source", F.lit("img")).withColumn("n_chars", F.length("text"))
+    payloads = M.with_binary_payload(corpus)
+    hashes = M.image_phash(payloads)
+    return D.hamming_pairs(hashes, "phash", max_hamming=6, bits=64,
+                           id_col="doc_id")

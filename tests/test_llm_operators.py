@@ -589,3 +589,34 @@ def test_pca_matches_direct_numpy_covariance(spark, sf_dir):
     total = ref.sum()
     assert np.allclose(got["explained_ratio"].to_numpy(),
                        ref[:8] / total, atol=1e-4)
+
+
+def test_phash_blocked_join_equals_bruteforce(spark, sf_dir):
+    """The pigeonhole Hamming join must be lossless for 64-bit pHashes
+    (sign bit exercised), and every one-byte mutation must pair with its
+    original within the budget."""
+    from ab_metadata_pusher_spark.operators import dedup as D
+    from ab_metadata_pusher_spark.plans.registry import queries
+
+    pairs = queries()["multimodal_phash_pairs"](spark, sf_dir)
+    got = {(r.sid_a, r.sid_b) for r in pairs.collect()}
+    assert got, "no near-dup pairs found"
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 300")
+    mutated = docs.selectExpr("doc_id + 6000000 AS doc_id",
+                              "concat('x', substring(text, 2)) AS text")
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    hashes = M.image_phash(
+        corpus.selectExpr("doc_id", "cast(text AS binary) AS payload"))
+    rows = hashes.collect()
+    brute = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            x, y = sorted((a.doc_id, b.doc_id))
+            if bin((a.phash ^ b.phash) & (2**64 - 1)).count("1") <= 6:
+                brute.add((x, y))
+    assert got == brute, "blocked join diverges from brute force"
+    # each mutated copy pairs with its original
+    originals = {r.doc_id for r in rows if r.doc_id < 300}
+    paired = {(a, b) for a, b in got if b - a == 6_000_000}
+    assert paired, "no original->mutation pair within Hamming budget"
