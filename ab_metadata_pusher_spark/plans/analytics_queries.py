@@ -522,6 +522,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.col("a").alias("b")))
              .select(F.col("a").cast("long").alias("a"),
                      F.col("b").cast("long").alias("b")))
+    edges = edges.persist()
     labels = edges.select(F.col("a").alias("v"),
                           F.col("a").alias("lab")).distinct()
     for _ in range(_LPA_ITERS):
@@ -533,5 +534,13 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.max(F.struct(F.col("c"),
                                       (-F.col("lab")).alias("nl"))).alias("m"))
                   .select("v", (-F.col("m.nl")).alias("lab")))
+        # Sever per-round lineage: without this, round r's broadcast
+        # build re-executes rounds 1..r-1 inside the broadcast thread
+        # (measured driver OOM at sf0.1).  Same discipline as the
+        # connected-components loop; the plan segment keeps the audit's
+        # cumulative shuffle counts honest.
+        capture_plan_segment(labels)
+        labels = labels.localCheckpoint(eager=True)
+    edges.unpersist()
     return labels.select(F.col("v").alias("node"),
                          F.col("lab").alias("community"))
