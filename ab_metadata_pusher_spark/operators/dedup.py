@@ -36,7 +36,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash", "simhash_pairs",
     "star_edges", "connected_components", "cluster_labels",
-    "hamming_pairs",
+    "hamming_pairs", "ppjoin_pairs",
 ]
 
 
@@ -525,3 +525,64 @@ def lsh_verified_pairs(df: DataFrame, threshold: float,
                                    - F.col("n_inter")), 4))
             .filter(F.col("jaccard") >= threshold)
             .select("sid_a", "sid_b", "jaccard"))
+
+
+def ppjoin_pairs(df: DataFrame, threshold: float, n: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (PPJoin-lite, Xiao et
+    al., WWW'08) — lossless, unlike the df-gate, and candidate-bounded,
+    unlike the all-pairs join.
+
+    Every document's shingle set is ordered by ascending global document
+    frequency (rarest first, ties by shingle).  For Jaccard >= t, two
+    sets must share at least one shingle among each one's first
+    ``|x| - ceil(t*|x|) + 1`` shingles in that order (prefix-filter
+    principle: fewer than that, and even perfect overlap on the
+    remainder cannot reach t).  So candidates come from an equi-join of
+    PREFIXES only — the join stream carries the few rarest shingles per
+    doc instead of all of them, and boilerplate shingles (high df) sort
+    to the back and never generate candidates.  Each candidate is then
+    verified exactly with an in-row ``array_intersect`` of the two full
+    sorted shingle arrays.
+
+    Plan: shingles (1 distinct shuffle) -> df counts (vocab-sized,
+    map-side combined) -> df joined back (broadcast while the vocab
+    fits, shuffle join past that) -> one groupBy(sid) building the
+    sorted array -> prefix explode -> candidate equi-join on shingle ->
+    verify join against the (sid -> array) table.  Output is identical
+    to jaccard_pairs(max_df=None); the candidate volume is sum over
+    prefix shingles of df_prefix^2, which threshold t keeps near-linear
+    on real corpora.
+    """
+    sh = doc_shingles(df, n, text_col, id_col)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    docs_arr = (sh.join(F.broadcast(dfreq), "shingle")
+                .groupBy("sid")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("df", "shingle"))).alias("sorted_sh")))
+    n_sh = F.size("sorted_sh")
+    prefix_len = n_sh - F.ceil(F.lit(threshold) * n_sh).cast("int") + 1
+    prefix = (docs_arr.select(
+        "sid", F.explode(F.slice("sorted_sh", 1, prefix_len)).alias("p"))
+        .select("sid", F.col("p.shingle").alias("shingle")))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.sid") < F.col("b.sid")))
+            .select(F.col("a.sid").alias("sid_a"),
+                    F.col("b.sid").alias("sid_b"))
+            .distinct())
+    sets = docs_arr.select(
+        "sid",
+        F.transform("sorted_sh", lambda s: s["shingle"]).alias("sh_set"))
+    verified = (cand
+                .join(sets.select(F.col("sid").alias("sid_a"),
+                                  F.col("sh_set").alias("sa")), "sid_a")
+                .join(sets.select(F.col("sid").alias("sid_b"),
+                                  F.col("sh_set").alias("sb")), "sid_b")
+                .withColumn("n_inter",
+                            F.size(F.array_intersect("sa", "sb")))
+                .withColumn("jaccard", F.round(
+                    F.col("n_inter")
+                    / (F.size("sa") + F.size("sb") - F.col("n_inter")), 4))
+                .filter(F.col("jaccard") >= threshold))
+    return verified.select("sid_a", "sid_b", "jaccard")

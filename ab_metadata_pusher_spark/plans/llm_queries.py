@@ -3601,3 +3601,33 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = M.image_phash(payloads)
     return D.hamming_pairs(hashes, "phash", max_hamming=6, bits=64,
                            id_col="doc_id")
+
+
+_PPJOIN_SQL = "WITH " + _CORPUS_CTE + "," + _SHINGLES_CTE + f""",
+sizes AS (SELECT sid, count(*) AS n_shingles FROM sh GROUP BY sid),
+inter AS (
+  SELECT a.sid AS sid_a, b.sid AS sid_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+  GROUP BY a.sid, b.sid
+)
+SELECT sid_a, sid_b,
+       round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 4)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.sid = sid_a
+JOIN sizes sb ON sb.sid = sid_b
+WHERE n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter) >= {_JACCARD_T}
+"""
+
+
+@register("dedup_ppjoin", oracle=_PPJOIN_SQL, covers=("G.dedup.ppjoin",))
+def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (PPJoin-lite, operators/
+    dedup.py ppjoin_pairs): candidates must share a shingle within each
+    document's df-rarest prefix, then verify exactly in-row — LOSSLESS
+    (output equals the ungated all-pairs join, which is the oracle here)
+    where dedup_ngram_jaccard's df-gate is an approximation, and
+    candidate-bounded where the ungated join is quadratic in the df of
+    the worst boilerplate shingle.  The third point in the
+    exactness/cost trade-off next to the df-gate and MinHash-LSH."""
+    return D.ppjoin_pairs(_doc_corpus(spark, sf_dir), _JACCARD_T)

@@ -91,6 +91,11 @@ REGISTRY_BENCH = [
     "text_bigram_lm",
     "sample_dsir",
     "embedding_covariance",
+    "quality_ppl_buckets",
+    "dedup_suffix_prefix",
+    "quality_mixture_kl",
+    "dedup_ppjoin",
+    "graph_label_propagation",
 ]
 
 
