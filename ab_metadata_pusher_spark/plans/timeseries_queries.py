@@ -449,3 +449,102 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("b.l_linenumber").alias("ln_b"),
                     F.col("a.s").alias("a_start"), F.col("a.e").alias("a_end"),
                     F.col("b.s").alias("b_start"), F.col("b.e").alias("b_end")))
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle="""
+WITH hourly AS (
+  -- integer cents: 2-decimal fixture values sum exactly
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         CAST(round(sum(value) * 100) AS BIGINT) AS vc
+  FROM events GROUP BY user_id, hr
+),
+trended AS (
+  SELECT user_id, hr, vc,
+         sum(vc) OVER w AS tc, count(*) OVER w AS tn
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+-- half-up rounding as FLOOR((2*num + den) / (2*den)): integer inputs,
+-- ONE double division, floor — bit-identical across engines, immune to
+-- the engines' divergent native round() near half boundaries
+t4 AS (
+  SELECT user_id, hr, vc,
+         CAST(floor((2.0 * tc * 100 + tn) / (2.0 * tn)) AS BIGINT)
+           AS trend_e4
+  FROM trended
+),
+seasonal AS (
+  SELECT user_id, CAST(hour(hr) AS BIGINT) AS hod,
+         sum(vc * 100 - trend_e4) AS ss_e4, count(*) AS sn
+  FROM t4 GROUP BY user_id, hod
+),
+s4 AS (
+  SELECT user_id, hod,
+         CAST(floor((2.0 * ss_e4 + sn) / (2.0 * sn)) AS BIGINT)
+           AS seasonal_e4
+  FROM seasonal
+)
+SELECT t.user_id, t.hr,
+       t.vc / 100.0 AS v,
+       t.trend_e4 / 10000.0 AS trend,
+       s.seasonal_e4 / 10000.0 AS seasonal,
+       (t.vc * 100 - t.trend_e4 - s.seasonal_e4) / 10000.0 AS residual
+FROM t4 t
+JOIN s4 s ON s.user_id = t.user_id AND s.hod = hour(t.hr)
+""",
+    covers=("G.timeseries.seasonal",),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (STL-lite) per user series:
+    hourly rollup -> centered 25-point moving-average trend ->
+    hour-of-day seasonal component (mean detrended value) -> residual.
+    The anomaly-detection preprocessing step every observability
+    pipeline runs.
+
+    Spark shape: one rollup shuffle; the trend window PARTITIONS BY the
+    series key, so at 100 TB every series sorts independently (no global
+    sort); the 24-row seasonal table per series is a map-side-combined
+    aggregate joined straight back.
+
+    Determinism: every statistic is kept as an exact integer (cents /
+    1e-4 dollars) and rounded with FLOOR((2*num + den)/(2*den)) — one
+    double division of identical integers per value — because both
+    engines' native round() disagree on identical doubles whose exact
+    decimal expansion sits within an ulp of a half boundary (Spark
+    rounds the exact binary expansion, DuckDB multiplies by 10^d first;
+    observed on 13/9567 rows of the avg-based formulation)."""
+    from pyspark.sql import Window
+
+    def half_up(num, den):
+        return F.floor((2.0 * num + den) / (2.0 * den)).cast("bigint")
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("user_id",
+                         F.date_trunc("hour", "ts").cast("timestamp_ntz")
+                          .alias("hr"))
+              .agg(F.round(F.sum("value") * 100).cast("bigint").alias("vc")))
+    w = (Window.partitionBy("user_id").orderBy("hr")
+         .rowsBetween(-12, 12))
+    t4 = (hourly
+          .withColumn("tc", F.sum("vc").over(w))
+          .withColumn("tn", F.count(F.lit(1)).over(w))
+          .withColumn("trend_e4",
+                      half_up(F.col("tc") * 100, F.col("tn")))
+          .drop("tc", "tn"))
+    s4 = (t4.groupBy("user_id", F.hour("hr").cast("bigint").alias("hod"))
+          .agg(F.sum(F.col("vc") * 100 - F.col("trend_e4")).alias("ss_e4"),
+               F.count(F.lit(1)).alias("sn"))
+          .withColumn("seasonal_e4",
+                      half_up(F.col("ss_e4"), F.col("sn")))
+          .select("user_id", "hod", "seasonal_e4"))
+    t = t4.withColumn("hod", F.hour("hr").cast("bigint"))
+    return (t.join(s4, ["user_id", "hod"])
+            .select("user_id", "hr",
+                    (F.col("vc") / 100.0).alias("v"),
+                    (F.col("trend_e4") / 10000.0).alias("trend"),
+                    (F.col("seasonal_e4") / 10000.0).alias("seasonal"),
+                    ((F.col("vc") * 100 - F.col("trend_e4")
+                      - F.col("seasonal_e4")) / 10000.0).alias("residual")))
