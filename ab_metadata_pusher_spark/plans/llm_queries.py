@@ -3631,3 +3631,84 @@ def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the worst boilerplate shingle.  The third point in the
     exactness/cost trade-off next to the df-gate and MinHash-LSH."""
     return D.ppjoin_pairs(_doc_corpus(spark, sf_dir), _JACCARD_T)
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy diversity sampling (farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled SQL mirror: each round's pick is data-dependent (the
+    point farthest from the chosen set), so round r selects via scalar
+    subqueries over rounds 1..r-1 — same technique as the BPE-train
+    oracle."""
+    parts = ["""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+d0 AS (SELECT min(vec_id) AS c FROM e)"""]
+    # dist(a, b) = sum of squared diffs (monotone in L2 — no sqrt needed)
+    def dist(va, vb):
+        return (f"list_sum(list_transform(list_zip({va}, {vb}), "
+                f"p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    for r in range(1, k):
+        prev = ", ".join(f"(SELECT c FROM d{j})" for j in range(r))
+        parts.append(f""",
+m{r} AS (
+  SELECT e.vec_id,
+         least({", ".join(dist("e.v", f"(SELECT v FROM e WHERE vec_id = (SELECT c FROM d{j}))") for j in range(r))}) AS md
+  FROM e WHERE e.vec_id NOT IN ({prev})
+),
+d{r} AS (SELECT vec_id AS c FROM m{r} ORDER BY md DESC, vec_id LIMIT 1)""")
+    sels = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, c AS vec_id FROM d{r}"
+        for r in range(k))
+    parts.append("\n" + sels)
+    return "".join(parts)
+
+
+@register("sample_kcenter", oracle=_kcenter_oracle(_KCENTER_K),
+          covers=("G.sample.kcenter",))
+def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy (farthest-point) diversity sampling over the
+    embedding corpus — the coreset selector behind diverse-subset
+    curation: start from the min-id vector, then repeatedly take the
+    point with the LARGEST distance to its nearest chosen center
+    (deterministic ties -> smallest vec_id).  Output is the ordered
+    center list (rank, vec_id).
+
+    Spark shape per round: the chosen center's vector is a 1-row
+    bounded collect (like k-means centroids); the min-distance update is
+    a map-only in-row expression against the broadcast center (running
+    min kept as a column — each round touches the corpus once, no
+    growing join).  k rounds = k scans; lineage is cut per round with
+    localCheckpoint exactly like the other iterative operators.  The
+    oracle unrolls the data-dependent picks as scalar subqueries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    first = pts.agg(F.min("vec_id")).first()[0]
+    centers = [int(first)]
+    cvec = pts.filter(F.col("vec_id") == first).first().v
+
+    def dist_to(center_vec):
+        arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.aggregate(
+            F.zip_with("v", arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    state = pts.withColumn("md", dist_to(cvec))
+    for _ in range(_KCENTER_K - 1):
+        state = state.filter(~F.col("vec_id").isin(centers))
+        capture_plan_segment(state)
+        state = state.localCheckpoint(eager=True)
+        nxt = state.orderBy(F.col("md").desc(), "vec_id").first()
+        centers.append(int(nxt.vec_id))
+        nvec = state.filter(F.col("vec_id") == nxt.vec_id).first().v
+        state = state.withColumn("md", F.least("md", dist_to(nvec)))
+    return spark.createDataFrame(
+        [(r, c) for r, c in enumerate(centers)], "rank int, vec_id bigint")
