@@ -3712,3 +3712,51 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = state.withColumn("md", F.least("md", dist_to(nvec)))
     return spark.createDataFrame(
         [(r, c) for r, c in enumerate(centers)], "rank int, vec_id bigint")
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i + 2], ' ') AS shingle
+  FROM t, generate_series(1, 1024) AS g(i)
+  WHERE i <= len(toks) - 2
+),
+df AS (SELECT shingle, count(*) AS d FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS novelty
+FROM sh JOIN df USING (shingle)
+GROUP BY sh.doc_id
+""",
+    covers=("G.text.novelty",),
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct 3-gram shingles that appear NOWHERE else in the corpus —
+    the cheap self-information signal dedup-aware samplers use to
+    up-weight genuinely novel text (a doc of df=1 shingles is fresh; a
+    doc of high-df shingles is boilerplate even if no single near-dup
+    partner exists).
+
+    Spark shape: one distinct-shingle shuffle, a vocab-sized df count
+    (map-side combined) broadcast back onto the shingle stream, and one
+    doc_id aggregation — exactly the decontamination plan with the eval
+    set replaced by the corpus itself, linear at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(d, 3)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
+    uniq = (F.col("d") == 1).cast("long")
+    return (sh.join(F.broadcast(dfreq), "shingle")
+            .groupBy(F.col("sid").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(uniq).alias("n_unique"),
+                 F.round(F.sum(uniq) / F.count(F.lit(1)), 4)
+                  .alias("novelty")))
