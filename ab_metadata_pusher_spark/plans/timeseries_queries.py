@@ -451,9 +451,7 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("b.s").alias("b_start"), F.col("b.e").alias("b_end")))
 
 
-@register(
-    "timeseries_seasonal_decompose",
-    oracle="""
+_DECOMP_CTE = """
 WITH hourly AS (
   -- integer cents: 2-decimal fixture values sum exactly
   SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
@@ -486,36 +484,19 @@ s4 AS (
          CAST(floor((2.0 * ss_e4 + sn) / (2.0 * sn)) AS BIGINT)
            AS seasonal_e4
   FROM seasonal
-)
-SELECT t.user_id, t.hr,
-       t.vc / 100.0 AS v,
-       t.trend_e4 / 10000.0 AS trend,
-       s.seasonal_e4 / 10000.0 AS seasonal,
-       (t.vc * 100 - t.trend_e4 - s.seasonal_e4) / 10000.0 AS residual
-FROM t4 t
-JOIN s4 s ON s.user_id = t.user_id AND s.hod = hour(t.hr)
-""",
-    covers=("G.timeseries.seasonal",),
-)
-def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical seasonal decomposition (STL-lite) per user series:
-    hourly rollup -> centered 25-point moving-average trend ->
-    hour-of-day seasonal component (mean detrended value) -> residual.
-    The anomaly-detection preprocessing step every observability
-    pipeline runs.
+),
+decomp AS (
+  SELECT t.user_id, t.hr, t.vc, t.trend_e4, s.seasonal_e4,
+         t.vc * 100 - t.trend_e4 - s.seasonal_e4 AS residual_e4
+  FROM t4 t
+  JOIN s4 s ON s.user_id = t.user_id AND s.hod = hour(t.hr)
+)"""
 
-    Spark shape: one rollup shuffle; the trend window PARTITIONS BY the
-    series key, so at 100 TB every series sorts independently (no global
-    sort); the 24-row seasonal table per series is a map-side-combined
-    aggregate joined straight back.
 
-    Determinism: every statistic is kept as an exact integer (cents /
-    1e-4 dollars) and rounded with FLOOR((2*num + den)/(2*den)) — one
-    double division of identical integers per value — because both
-    engines' native round() disagree on identical doubles whose exact
-    decimal expansion sits within an ulp of a half boundary (Spark
-    rounds the exact binary expansion, DuckDB multiplies by 10^d first;
-    observed on 13/9567 rows of the avg-based formulation)."""
+def _decompose_e4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared STL-lite subplan in exact 1e-4-dollar integers:
+    (user_id, hr, vc, trend_e4, seasonal_e4, residual_e4).  See
+    q_seasonal_decompose for the determinism rationale."""
     from pyspark.sql import Window
 
     def half_up(num, den):
@@ -542,9 +523,94 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("user_id", "hod", "seasonal_e4"))
     t = t4.withColumn("hod", F.hour("hr").cast("bigint"))
     return (t.join(s4, ["user_id", "hod"])
+            .withColumn("residual_e4",
+                        F.col("vc") * 100 - F.col("trend_e4")
+                        - F.col("seasonal_e4"))
+            .select("user_id", "hr", "vc", "trend_e4", "seasonal_e4",
+                    "residual_e4"))
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle=_DECOMP_CTE + """
+SELECT user_id, hr,
+       vc / 100.0 AS v,
+       trend_e4 / 10000.0 AS trend,
+       seasonal_e4 / 10000.0 AS seasonal,
+       residual_e4 / 10000.0 AS residual
+FROM decomp
+""",
+    covers=("G.timeseries.seasonal",),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (STL-lite) per user series:
+    hourly rollup -> centered 25-point moving-average trend ->
+    hour-of-day seasonal component (mean detrended value) -> residual.
+    The anomaly-detection preprocessing step every observability
+    pipeline runs.
+
+    Spark shape: one rollup shuffle; the trend window PARTITIONS BY the
+    series key, so at 100 TB every series sorts independently (no global
+    sort); the 24-row seasonal table per series is a map-side-combined
+    aggregate joined straight back.
+
+    Determinism: every statistic is kept as an exact integer (cents /
+    1e-4 dollars) and rounded with FLOOR((2*num + den)/(2*den)) — one
+    double division of identical integers per value — because both
+    engines' native round() disagree on identical doubles whose exact
+    decimal expansion sits within an ulp of a half boundary (Spark
+    rounds the exact binary expansion, DuckDB multiplies by 10^d first;
+    observed on 13/9567 rows of the avg-based formulation)."""
+    d = _decompose_e4(spark, sf_dir)
+    return d.select(
+        "user_id", "hr",
+        (F.col("vc") / 100.0).alias("v"),
+        (F.col("trend_e4") / 10000.0).alias("trend"),
+        (F.col("seasonal_e4") / 10000.0).alias("seasonal"),
+        (F.col("residual_e4") / 10000.0).alias("residual"))
+
+
+@register(
+    "timeseries_anomaly_zscore",
+    oracle=_DECOMP_CTE + """,
+stats AS (
+  SELECT user_id, count(*) AS n,
+         sum(residual_e4) AS s1,
+         sum(residual_e4 * residual_e4) AS s2
+  FROM decomp GROUP BY user_id
+)
+SELECT d.user_id, d.hr,
+       d.residual_e4 / 10000.0 AS residual,
+       (d.residual_e4 - s1 * 1.0 / n)
+         / sqrt(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)) AS z
+FROM decomp d JOIN stats USING (user_id)
+WHERE sqrt(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)) > 0
+  AND abs((d.residual_e4 - s1 * 1.0 / n)
+          / sqrt(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n))) > 3
+""",
+    covers=("G.timeseries.anomaly",),
+)
+def q_timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual z-score anomaly flags on top of the seasonal
+    decomposition: hours whose detrended, deseasonalized residual sits
+    more than 3 population-sigmas from the user's mean residual — the
+    standard observability alert after STL.
+
+    Per-user moment sums stay exact integers (residual_e4 and its
+    square), so sigma and z are single double expressions of identical
+    ints — bit-identical across engines WITHOUT rounding (z is emitted
+    at full precision and still hash-matches).  One extra user-keyed
+    aggregate + broadcast join over the shared decomposition subplan."""
+    d = _decompose_e4(spark, sf_dir)
+    stats = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("residual_e4").alias("s1"),
+        F.sum(F.col("residual_e4") * F.col("residual_e4")).alias("s2"))
+    mean = F.col("s1") * 1.0 / F.col("n")
+    sigma = F.sqrt(F.col("s2") * 1.0 / F.col("n") - mean * mean)
+    z = (F.col("residual_e4") - mean) / sigma
+    return (d.join(F.broadcast(stats), "user_id")
+            .where((sigma > 0) & (F.abs(z) > 3))
             .select("user_id", "hr",
-                    (F.col("vc") / 100.0).alias("v"),
-                    (F.col("trend_e4") / 10000.0).alias("trend"),
-                    (F.col("seasonal_e4") / 10000.0).alias("seasonal"),
-                    ((F.col("vc") * 100 - F.col("trend_e4")
-                      - F.col("seasonal_e4")) / 10000.0).alias("residual")))
+                    (F.col("residual_e4") / 10000.0).alias("residual"),
+                    z.alias("z")))
