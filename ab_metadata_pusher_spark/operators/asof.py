@@ -38,7 +38,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
               left_ts: str = "ts", right_ts: str = "ts",
               right_payload: Sequence[str] | None = None,
               prefix: str = "asof_",
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance_sec: float | None = None) -> DataFrame:
     """Inclusive as-of join, ``direction`` backward (default) or forward.
 
     Backward matches the latest right row with ``right_ts <= left_ts``;
@@ -46,6 +47,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
     Returns all ``left`` columns plus, per payload column ``c`` of the right
     side, ``{prefix}{c}`` — NULL when no right row qualifies (left-outer
     semantics).  ``{prefix}{right_ts}`` carries the matched right timestamp.
+
+    ``tolerance_sec`` (pandas ``merge_asof(tolerance=...)`` parity) nulls
+    the match when the matched row is further than the tolerance from the
+    left timestamp — a post-window projection, so the plan is unchanged:
+    still one union + one per-key sort window.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -90,6 +96,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
         .withColumn("_match", F.last("_right", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+    if tolerance_sec is not None:
+        gap = F.abs(F.unix_micros(F.col("_ts").cast("timestamp_ltz"))
+                    - F.unix_micros(F.col(f"_match.{right_ts}")
+                                    .cast("timestamp_ltz")))
+        within = gap <= int(tolerance_sec * 1_000_000)
+        matched = matched.withColumn(
+            "_match", F.when(within, F.col("_match")))
     return matched.select(
         *keys,
         F.col("_ts").alias(left_ts),

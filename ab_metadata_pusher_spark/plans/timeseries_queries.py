@@ -614,3 +614,30 @@ def q_timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "hr",
                     (F.col("residual_e4") / 10000.0).alias("residual"),
                     z.alias("z")))
+
+
+_ASOF_TOL_SQL = """
+SELECT l.user_id, l.ts, l.event_id, l.value,
+       CASE WHEN epoch(l.ts) - epoch(r.ts) <= 900 THEN r.ts END AS asof_ts,
+       CASE WHEN epoch(l.ts) - epoch(r.ts) <= 900 THEN r.event_id END
+         AS asof_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_SQL,
+          covers=("G.join.asof_tolerance",))
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 15-minute tolerance (pandas merge_asof
+    parity): a purchase more than 900 s after the user's latest prior
+    click gets NULLs instead of a stale match — the guard every
+    clickstream-attribution pipeline wants.  Tolerance is a post-window
+    projection (operators/asof.py), so the plan is identical to
+    join_asof_clicks: one union + one per-key sort window, no extra
+    shuffle; the oracle applies the same cutoff to DuckDB's native ASOF
+    match."""
+    purchases, clicks = _purchases_and_clicks(spark, sf_dir)
+    return asof_join(purchases, clicks, on="user_id",
+                     right_payload=["event_id"], tolerance_sec=900)

@@ -100,6 +100,7 @@ DEFAULT = [
     "embedding_covariance", "graph_label_propagation", "text_bpe_train", "quality_ppl_buckets",
     "dedup_suffix_prefix", "quality_mixture_kl", "dedup_ppjoin", "timeseries_seasonal_decompose",
     "sample_kcenter", "text_ngram_novelty", "timeseries_anomaly_zscore",
+    "join_asof_tolerance",
 ]
 
 
