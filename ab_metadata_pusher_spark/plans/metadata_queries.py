@@ -549,3 +549,70 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("o.col_type").alias("old_type"),
                     F.col("n.col_type").alias("new_type"),
                     change.alias("change")))
+
+
+#: Candidate (child_table, child_col, parent_table, parent_col) pairs the
+#: FK-inference profiler scores.  A real catalog crawler would enumerate
+#: type-compatible column pairs; the fixed list keeps the fixture query
+#: deterministic while exercising true FKs, a reversed (non-FK)
+#: direction, and an unrelated pair.
+_FK_CANDIDATES = (
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("nation", "n_nationkey", "customer", "c_nationkey"),   # reversed
+    ("orders", "o_orderkey", "customer", "c_custkey"),      # unrelated
+)
+
+
+def _fk_sql() -> str:
+    selects = []
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        selects.append(f"""
+SELECT '{ct}' AS child_table, '{cc}' AS child_col,
+       '{pt}' AS parent_table, '{pc}' AS parent_col,
+       (SELECT count(DISTINCT {cc}) FROM {ct}) AS n_child_distinct,
+       (SELECT count(*) FROM (SELECT DISTINCT {cc} FROM {ct}) c
+        WHERE c.{cc} IN (SELECT {pc} FROM {pt})) AS n_contained,
+       round((SELECT count(*) FROM (SELECT DISTINCT {cc} FROM {ct}) c
+              WHERE c.{cc} IN (SELECT {pc} FROM {pt}))
+             * 1.0 / (SELECT count(DISTINCT {cc}) FROM {ct}), 4)
+         AS inclusion""")
+    return "\nUNION ALL".join(selects)
+
+
+@register("metadata_fk_inference", oracle=_fk_sql(),
+          covers=("G.metadata.fk_inference",))
+def q_metadata_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key candidate inference by inclusion coefficient — the
+    profiling step catalog systems (Amundsen-adjacent) run to propose
+    table relationships the source DB never declared: for each candidate
+    column pair, |distinct(child) ⊆ parent| / |distinct(child)|.
+    Inclusion 1.0 marks an FK candidate; the list deliberately includes
+    a reversed direction and an unrelated pair so the score separates.
+
+    Spark shape per pair: distinct on the child column (digest-sized
+    shuffle), a left-semi join against the parent key (broadcast — key
+    columns are dimension-sized), two counts, one row out.  Pairs union
+    into one plan, so Spark schedules the tiny jobs concurrently; at
+    warehouse scale the same plan runs per type-compatible pair batch
+    with approx_count_distinct as the pre-filter."""
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    out = None
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        child = load_table(spark, sf_dir, ct).select(cc).distinct()
+        parent = load_table(spark, sf_dir, pt).select(pc).distinct()
+        contained = child.join(
+            F.broadcast(parent), child[cc] == parent[pc], "left_semi")
+        row = (child.agg(F.count(F.lit(1)).alias("n_child_distinct"))
+               .join(contained.agg(F.count(F.lit(1)).alias("n_contained"))))
+        row = row.select(
+            F.lit(ct).alias("child_table"), F.lit(cc).alias("child_col"),
+            F.lit(pt).alias("parent_table"), F.lit(pc).alias("parent_col"),
+            "n_child_distinct", "n_contained",
+            F.round(F.col("n_contained") / F.col("n_child_distinct"), 4)
+             .alias("inclusion"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -125,7 +125,7 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "dedup_suffix_prefix", "quality_mixture_kl", "dedup_ppjoin",
     "timeseries_seasonal_decompose", "sample_kcenter",
     "text_ngram_novelty", "timeseries_anomaly_zscore",
-    "join_asof_tolerance",
+    "join_asof_tolerance", "metadata_fk_inference",
 )
 
 

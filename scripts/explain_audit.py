@@ -59,7 +59,10 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      # corpus-total + 1-row tercile-threshold broadcasts
                      "quality_ppl_buckets",
                      # 1-row corpus-totals broadcast onto |sources| rows
-                     "quality_mixture_kl"}
+                     "quality_mixture_kl",
+                     # 1-row x 1-row count cross joins, one per candidate
+                     # column pair
+                     "metadata_fk_inference"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -100,7 +103,7 @@ DEFAULT = [
     "embedding_covariance", "graph_label_propagation", "text_bpe_train", "quality_ppl_buckets",
     "dedup_suffix_prefix", "quality_mixture_kl", "dedup_ppjoin", "timeseries_seasonal_decompose",
     "sample_kcenter", "text_ngram_novelty", "timeseries_anomaly_zscore",
-    "join_asof_tolerance",
+    "join_asof_tolerance", "metadata_fk_inference",
 ]
 
 
