@@ -525,6 +525,12 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.persist()
     labels = edges.select(F.col("a").alias("v"),
                           F.col("a").alias("lab")).distinct()
+    # Label/count frames are |V|-sized — pin the loop's shuffle width to
+    # that cardinality, not CPU count (same measurement as the CC loop:
+    # near-empty partitions cost per-round scheduling).
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_conf = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
     for _ in range(_LPA_ITERS):
         labels = (edges
                   .join(labels.withColumnRenamed("v", "b"), "b")
@@ -541,6 +547,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cumulative shuffle counts honest.
         capture_plan_segment(labels)
         labels = labels.localCheckpoint(eager=True)
+    spark.conf.set(conf_key, prev_conf)
     edges.unpersist()
     return labels.select(F.col("v").alias("node"),
                          F.col("lab").alias("community"))
