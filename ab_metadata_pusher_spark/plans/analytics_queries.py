@@ -551,3 +551,114 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     return labels.select(F.col("v").alias("node"),
                          F.col("lab").alias("community"))
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+tot AS (SELECT event_type, sum(n) AS t FROM c GROUP BY event_type)
+SELECT c.event_type, c.next_type, c.n,
+       round(c.n * 1.0 / tot.t, 4) AS p
+FROM c JOIN tot USING (event_type)
+""",
+    covers=("G.analytics.markov",),
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) with transition counts —
+    the user-journey model behind flow diagrams and next-action
+    prediction baselines.
+
+    Spark shape: one user-keyed sort window builds the (current, next)
+    stream (deterministic ordering: ts then event_id ties), then a
+    map-side-combined count over the tiny |types|² key space and a
+    per-row normalize against the |types|-row totals broadcast.  The
+    fact table is scanned once and shuffled once (by user for the
+    window); everything after is bounded by the type-alphabet size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type",
+                    F.lead("event_type").over(w).alias("next_type"))
+    c = (seq.filter(F.col("next_type").isNotNull())
+         .groupBy("event_type", "next_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = c.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return (c.join(F.broadcast(tot), "event_type")
+            .select("event_type", "next_type", "n",
+                    F.round(F.col("n") / F.col("t"), 4).alias("p")))
+
+
+@register(
+    "graph_link_prediction",
+    oracle="WITH e0 AS (" + _COOCCUR + """),
+e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+wedge AS (
+  SELECT x.a AS a, y.a AS b, CAST(count(*) AS BIGINT) AS n_common
+  FROM e x JOIN e y ON x.b = y.b AND x.a < y.a
+  GROUP BY x.a, y.a
+),
+cand AS (
+  SELECT w.a, w.b, w.n_common
+  FROM wedge w LEFT JOIN e0 ON e0.a = w.a AND e0.b = w.b
+  WHERE e0.a IS NULL
+)
+SELECT c.a, c.b, c.n_common,
+       round(c.n_common * 1.0 / (da.d + db.d - c.n_common), 4) AS score
+FROM cand c
+JOIN deg da ON da.v = c.a
+JOIN deg db ON db.v = c.b
+ORDER BY score DESC, c.a, c.b LIMIT 50
+""",
+    covers=("G.graph.link_prediction",),
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard link prediction: for part pairs at distance
+    2 (share a neighbor, no direct edge), score = |N(a)∩N(b)| /
+    |N(a)∪N(b)|; top 50.  The classic "products bought together with
+    the same partners but never co-bought" recommender signal.
+
+    Spark shape mirrors graph_triangles, not the oracle's wedge
+    self-join: common-neighbor pairs expand MAP-SIDE from each node's
+    sorted adjacency array (transform x slice after one groupBy
+    shuffle), so the fact-sized edge table never self-joins; the
+    distance-2 pair stream aggregates by (a, b), anti-joins the edge
+    set, and joins the |V|-row degree table broadcast.  Hub fan-out is
+    deg², the same quantity the result itself counts — cap hubs by
+    degree (drop deg > K adjacency rows) at open-graph scale, exactly
+    as the triangle docstring prescribes."""
+    e0 = _cooccur_edges(spark, sf_dir)
+    sym = e0.unionByName(e0.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+    adj = (sym.groupBy("b")
+           .agg(F.sort_array(F.collect_set("a")).alias("ns")))
+    pairs = F.flatten(F.transform("ns", lambda x, i: F.transform(
+        F.slice("ns", i + F.lit(2), F.size("ns")),
+        lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    wedge = (adj.select(F.explode(pairs).alias("p"))
+             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    cand = wedge.join(e0, ["a", "b"], "left_anti")
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("d"))
+    return (cand
+            .join(F.broadcast(deg.select(F.col("v").alias("a"),
+                                         F.col("d").alias("da"))), "a")
+            .join(F.broadcast(deg.select(F.col("v").alias("b"),
+                                         F.col("d").alias("db"))), "b")
+            .select("a", "b", "n_common",
+                    F.round(F.col("n_common")
+                            / (F.col("da") + F.col("db")
+                               - F.col("n_common")), 4).alias("score"))
+            .orderBy(F.col("score").desc(), "a", "b").limit(50))

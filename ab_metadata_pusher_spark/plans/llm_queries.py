@@ -3760,3 +3760,96 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(uniq).alias("n_unique"),
                  F.round(F.sum(uniq) / F.count(F.lit(1)), 4)
                   .alias("novelty")))
+
+
+# ---------------------------------------------------------------------------
+# Weighted MinHash (probability-proportional-to-weight sampling)
+# ---------------------------------------------------------------------------
+
+_WMH_K = 16
+_WMH_R = 8  # components that must agree
+
+
+def _wmh_sql() -> str:
+    coeffs = minhash_coeffs(_WMH_K)
+    h = sql_md5_long("w") + f" % {MERSENNE_P}"
+    es = [f"(-ln((({a} * h + {b}) % {MERSENNE_P} + 0.5) / {MERSENNE_P}) / tf)"
+          for a, b in coeffs]
+    args = ",\n         ".join(
+        f"arg_min(w, {e}) AS t{j}" for j, e in enumerate(es))
+    comp = "\n  UNION ALL\n".join(
+        f"  SELECT sid, {j} AS j, t{j} AS t FROM sig"
+        for j in range(_WMH_K))
+    return ("WITH " + _CORPUS_CTE + f""",
+toks AS (
+  SELECT doc_id AS sid, unnest({_TOKS}) AS w FROM corpus
+),
+tf AS (
+  SELECT sid, w, {h} AS h, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY sid, w
+),
+sig AS (
+  SELECT sid,
+         {args}
+  FROM tf GROUP BY sid
+),
+comp AS (
+{comp}
+)
+SELECT a.sid AS sid_a, b.sid AS sid_b,
+       CAST(count(*) AS BIGINT) AS n_agree,
+       round(count(*) / {_WMH_K}.0, 4) AS est_weighted_jaccard
+FROM comp a JOIN comp b ON a.j = b.j AND a.t = b.t AND a.sid < b.sid
+GROUP BY a.sid, b.sid
+HAVING count(*) >= {_WMH_R}
+""")
+
+
+@register("dedup_weighted_minhash", oracle=_wmh_sql(),
+          covers=("G.dedup.weighted_minhash",))
+def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MinHash near-dup pairs: plain MinHash treats a document
+    as a token SET, so tf-skewed documents (one phrase repeated 100x)
+    collide with anything sharing their vocabulary; weighting by term
+    frequency estimates the weighted Jaccard sum(min tf)/sum(max tf)
+    instead.  Each of k components samples one token with probability
+    proportional to its tf via the exponential-race trick
+    (argmin over tokens of -ln(u_j(token)) / tf — u_j from the shared
+    md5+LCG coefficients, so the draw is deterministic and the oracle
+    replays it exactly); two docs agree on a component with probability
+    equal to their weighted Jaccard.
+
+    Spark shape: tf table (one (sid, token) groupBy), k min-aggregates
+    in ONE map-side-combined pass (same plan as unweighted
+    minhash_signatures), component equi-join on (j, token) whose output
+    tracks true matches — never n².  Pairs agreeing on >= r of k
+    components survive."""
+    corpus = _doc_corpus(spark, sf_dir)
+    toks = corpus.select(F.col("doc_id").alias("sid"),
+                         F.explode(X.tokens("text")).alias("w"))
+    tf = (toks.groupBy("sid", "w")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .withColumn("h", F.pmod(md5_long(F.col("w")), F.lit(MERSENNE_P))))
+    aggs = []
+    for j, (a, b) in enumerate(minhash_coeffs(_WMH_K)):
+        u = (F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))
+             + 0.5) / MERSENNE_P
+        e = -F.log(u) / F.col("tf")
+        aggs.append(F.min(F.struct(e.alias("e"), F.col("w").alias("t")))
+                    .alias(f"s{j}"))
+    sig = tf.groupBy("sid").agg(*aggs)
+    comp = (sig.select("sid", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), F.col(f"s{j}.t").alias("t"))
+        for j in range(_WMH_K)])).alias("c"))
+        .select("sid", F.col("c.j").alias("j"), F.col("c.t").alias("t")))
+    a_, b_ = comp.alias("a"), comp.alias("b")
+    return (a_.join(b_, (F.col("a.j") == F.col("b.j"))
+                    & (F.col("a.t") == F.col("b.t"))
+                    & (F.col("a.sid") < F.col("b.sid")))
+            .groupBy(F.col("a.sid").alias("sid_a"),
+                     F.col("b.sid").alias("sid_b"))
+            .agg(F.count(F.lit(1)).alias("n_agree"))
+            .filter(F.col("n_agree") >= _WMH_R)
+            .select("sid_a", "sid_b", "n_agree",
+                    F.round(F.col("n_agree") / F.lit(float(_WMH_K)), 4)
+                     .alias("est_weighted_jaccard")))

@@ -104,6 +104,8 @@ DEFAULT = [
     "dedup_suffix_prefix", "quality_mixture_kl", "dedup_ppjoin", "timeseries_seasonal_decompose",
     "sample_kcenter", "text_ngram_novelty", "timeseries_anomaly_zscore",
     "join_asof_tolerance", "metadata_fk_inference",
+    "events_markov_transitions", "graph_link_prediction",
+    "dedup_weighted_minhash",
 ]
 
 
