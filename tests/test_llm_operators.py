@@ -620,3 +620,43 @@ def test_phash_blocked_join_equals_bruteforce(spark, sf_dir):
     originals = {r.doc_id for r in rows if r.doc_id < 300}
     paired = {(a, b) for a, b in got if b - a == 6_000_000}
     assert paired, "no original->mutation pair within Hamming budget"
+
+
+def test_mllib_minhash_recall_vs_native_exact_jaccard(spark, sf_dir):
+    """Cross-validate the native dedup path against Spark's OWN ML
+    library: MLlib MinHashLSH approxSimilarityJoin at Jaccard distance
+    <= 0.4 must recover most of the exact Jaccard >= 0.6 pairs our
+    operator computes (recall >= 0.7 with 16 tables), and every exact
+    pair it reports must be correct (distances agree with our exact
+    scores within rounding)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from ab_metadata_pusher_spark.operators import dedup as D
+    from ab_metadata_pusher_spark.plans.llm_queries import _doc_corpus
+    from ab_metadata_pusher_spark.operators import text as X
+
+    corpus = _doc_corpus(spark, sf_dir)
+    exact = {(r.sid_a, r.sid_b): r.jaccard
+             for r in D.jaccard_pairs(corpus, 0.6).collect()}
+    assert exact, "fixture produced no exact pairs"
+
+    shingled = corpus.select(
+        F.col("doc_id"),
+        F.array_distinct(X.shingle_array(X.tokens("text"), 3))
+         .alias("shingles"))
+    cv = CountVectorizer(inputCol="shingles", outputCol="features",
+                         binary=True)
+    model = cv.fit(shingled)
+    feats = model.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=16, seed=42).fit(feats)
+    approx = lsh.approxSimilarityJoin(feats, feats, 0.4,
+                                      distCol="jdist")
+    got = {(min(r.datasetA.doc_id, r.datasetB.doc_id),
+            max(r.datasetA.doc_id, r.datasetB.doc_id)): 1 - r.jdist
+           for r in approx.collect()
+           if r.datasetA.doc_id != r.datasetB.doc_id}
+    recall = sum(1 for p in exact if p in got) / len(exact)
+    assert recall >= 0.7, f"MLlib LSH recall {recall:.2f} vs native exact"
+    for p, sim in got.items():
+        if p in exact:
+            assert abs(exact[p] - sim) < 1e-3, (p, exact[p], sim)
