@@ -96,6 +96,15 @@ REGISTRY_BENCH = [
     "quality_mixture_kl",
     "dedup_ppjoin",
     "graph_label_propagation",
+    "timeseries_seasonal_decompose",
+    "timeseries_anomaly_zscore",
+    "join_asof_tolerance",
+    "metadata_fk_inference",
+    "events_markov_transitions",
+    "graph_link_prediction",
+    "dedup_weighted_minhash",
+    "sample_kcenter",
+    "text_ngram_novelty",
 ]
 
 
