@@ -220,3 +220,27 @@ def test_incremental_rollup_parquet_round_trip(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in refreshed.collect()}
     want = {tuple(r) for r in single_pass.collect()}
     assert got == want
+
+
+def test_integer_half_up_rounding_matches_exact_decimal():
+    """The FLOOR((2*num + den)/(2*den)) trick used by the seasonal
+    decomposition must equal true round-half-up of num/den for any
+    integers in the magnitudes the query produces — including the
+    boundary cases the engines' native round() gets wrong."""
+    from fractions import Fraction
+    from math import floor
+
+    from hypothesis import given, strategies as st
+
+    @given(st.integers(-10**10, 10**10), st.integers(1, 10**6))
+    def check(num, den):
+        got = floor((2.0 * num + den) / (2.0 * den))
+        exact = Fraction(num, den)
+        want = floor(exact + Fraction(1, 2))
+        # float division of ints this size is exact enough that the
+        # floor can only disagree when the true value sits exactly on an
+        # integer boundary AND the double ratio lands under it — assert
+        # they agree everywhere hypothesis can reach
+        assert got == want, (num, den, got, want)
+
+    check()
