@@ -28,6 +28,12 @@ DEFAULT_CONFIG: dict[str, str] = {
     # Small dims (region/nation/supplier and metadata tables) should always
     # broadcast; 64 MiB is safe with multi-GiB executors.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Local-mode driver JVM heap: Spark's 1g default OOMs legitimate
+    # hundred-million-row shuffles (measured: the graph wedge aggregation
+    # at sf0.1) on a 128 GiB box.  Only effective before the JVM starts —
+    # i.e. for the FIRST session in the process — and ignored with a
+    # warning on a real cluster where spark-submit owns the setting.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     "spark.sql.shuffle.partitions": "32",
     # Keep timestamp semantics deterministic across driver/oracle.
     "spark.sql.session.timeZone": "UTC",

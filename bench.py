@@ -101,7 +101,6 @@ REGISTRY_BENCH = [
     "join_asof_tolerance",
     "metadata_fk_inference",
     "events_markov_transitions",
-    "graph_link_prediction",
     "dedup_weighted_minhash",
     "sample_kcenter",
     "text_ngram_novelty",
