@@ -77,6 +77,16 @@ def _load_all() -> None:
 #: r2 #4 the scored similarity slot is the ANN path
 #: (similarity_ann_lsh), not the brute-force baseline.  Use
 #: scripts/prefix_planner.py to plan the next rotation.
+#:
+#: ROUND-4 PREP (state at end of round 3): 212 registered, 206
+#: oracle-backed, 70 driver-green-ever; the planner's rotation pool
+#: (oracle-backed, never driver-scored) holds ~130 names.  Keep the
+#: 15 sentinels, swap the 35 rotation slots to pool names — the
+#: streaming slots have been scored once now, so they can leave the
+#: head; prioritize the r3-new operators queued below the 50-row
+#: window (bloom/bigram/DSIR/covariance/LPA/BPE-train/ppjoin/seasonal/
+#: anomaly/kcenter/novelty/markov/link-prediction/weighted-minhash/
+#: fk-inference/asof-tolerance) plus untouched scalar/window variants.
 DRIVER_PREFIX: tuple[str, ...] = (
     # --- sentinel core (driver-green in r2, one per family) ---
     "metadata_catalog_columns", "metadata_tables",

@@ -104,6 +104,7 @@ REGISTRY_BENCH = [
     "dedup_weighted_minhash",
     "sample_kcenter",
     "text_ngram_novelty",
+    "multimodal_phash_pairs",
 ]
 
 
