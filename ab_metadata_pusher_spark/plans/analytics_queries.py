@@ -662,3 +662,105 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("da") + F.col("db")
                                - F.col("n_common")), 4).alias("score"))
             .orderBy(F.col("score").desc(), "a", "b").limit(50))
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# --------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_MIN_W = 2
+_KCORE_ROUNDS = 10
+
+
+def _kcore_oracle(k: int, min_w: int, rounds: int) -> str:
+    """Unrolled SQL mirror of the bounded peeling loop: each round is one
+    CTE stage (degree filter + edge restriction), so the iterative
+    algorithm is exactly expressible for a fixed round budget.
+
+    Each stage references its predecessor three times (FROM + two IN
+    filters); MATERIALIZED pins one evaluation per stage — the default
+    inlining expands the chain 3^rounds-fold (observed as a
+    too-many-open-files parquet re-scan storm)."""
+    parts = [f"""WITH ew AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT DISTINCT x.l_orderkey, x.l_partkey AS a, y.l_partkey AS b
+    FROM lineitem x JOIN lineitem y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+  GROUP BY a, b HAVING count(*) >= {min_w}),
+e0 AS (SELECT a, b FROM ew)"""]
+    for r in range(1, rounds + 1):
+        p = f"e{r - 1}"
+        parts.append(f""",
+k{r} AS MATERIALIZED (SELECT s FROM (SELECT a AS s FROM {p}
+                        UNION ALL SELECT b FROM {p}) u
+         GROUP BY s HAVING count(*) >= {k}),
+e{r} AS MATERIALIZED (SELECT a, b FROM {p}
+         WHERE a IN (SELECT s FROM k{r}) AND b IN (SELECT s FROM k{r}))""")
+    parts.append(f"""
+SELECT CAST(s AS BIGINT) AS node, count(*) AS core_degree
+FROM (SELECT a AS s FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) u
+GROUP BY s""")
+    return "\n".join(parts)
+
+
+@register("graph_kcore",
+          oracle=_kcore_oracle(_KCORE_K, _KCORE_MIN_W, _KCORE_ROUNDS),
+          covers=("G.graph.kcore",))
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the repeat co-occurrence graph (parts co-bought in >= 2
+    distinct orders): iteratively peel nodes with degree < k until
+    fixpoint, returning each surviving node with its within-core degree.
+    The standard "dense engagement subgraph" extraction (spam rings,
+    core communities) the flat component/PageRank surface can't express.
+
+    Peeling is a Pregel-style loop of two |V|-sized steps: degree count
+    (one map-side-combined groupBy over the CURRENT edge set) and edge
+    restriction (two semi-joins against the survivor set — broadcast at
+    every realistic k, since survivors only shrink).  Edges start df-
+    gated by the min-weight threshold, the loop early-exits when the
+    survivor count is stable (further rounds provably no-op, so the
+    result equals the oracle's fixed {rounds}-round unroll), and each
+    round ends in an eager localCheckpoint so round r's broadcast build
+    never re-executes rounds 1..r-1 — same discipline as the LPA and CC
+    loops.  At 100 TB: k-core peeling touches only |V|+|E| per round and
+    the round count is bounded by the degeneracy ordering depth; salt
+    the degree groupBy if a hub key dominates."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per = (li.groupBy("l_orderkey")
+           .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pairs = F.flatten(F.transform("ps", lambda x, i: F.transform(
+        F.slice("ps", i + F.lit(2), F.size("ps")),
+        lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    edges = (per.select(F.explode(pairs).alias("p"))
+             .groupBy(F.col("p.a").cast("long").alias("a"),
+                      F.col("p.b").cast("long").alias("b"))
+             .agg(F.count(F.lit(1)).alias("w"))
+             .filter(F.col("w") >= _KCORE_MIN_W)
+             .select("a", "b"))
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_conf = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    edges = edges.localCheckpoint(eager=True)
+    prev_nodes = -1
+    for _ in range(_KCORE_ROUNDS):
+        incid = edges.select(F.col("a").alias("s")).unionByName(
+            edges.select(F.col("b").alias("s")))
+        keep = (incid.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= _KCORE_K).select("s"))
+        keep = keep.localCheckpoint(eager=True)
+        n = keep.count()
+        if n == prev_nodes:
+            break  # fixpoint: every further round is an identity map
+        prev_nodes = n
+        edges = (edges
+                 .join(F.broadcast(keep.withColumnRenamed("s", "a")),
+                       "a", "semi")
+                 .join(F.broadcast(keep.withColumnRenamed("s", "b")),
+                       "b", "semi"))
+        capture_plan_segment(edges)
+        edges = edges.localCheckpoint(eager=True)
+    spark.conf.set(conf_key, prev_conf)
+    return (edges.select(F.col("a").alias("node")).unionByName(
+                edges.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("core_degree")))
