@@ -3853,3 +3853,90 @@ def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("sid_a", "sid_b", "n_agree",
                     F.round(F.col("n_agree") / F.lit(float(_WMH_K)), 4)
                      .alias("est_weighted_jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (CCNet-style corpus line dedup)
+# ---------------------------------------------------------------------------
+
+_BP_RATIO = 0.2
+
+_BP_AUG_SQL = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 2 = 0
+               THEN chr(10) || 'Subscribe to our newsletter' ELSE '' END
+       || chr(10) || 'Copyright 2026 Example Corp. All rights reserved.'
+       || chr(10) || 'Posted in category ' || (doc_id % 7)::VARCHAR
+       AS text
+FROM documents"""
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle=f"""
+WITH aug AS ({_BP_AUG_SQL}),
+split AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM aug),
+idx AS (SELECT doc_id, ls,
+               unnest(generate_series(1, len(ls))) AS pos FROM split),
+lines AS (SELECT doc_id, pos, ls[pos] AS line FROM idx),
+tot AS (SELECT count(*) AS n FROM aug),
+bp AS (SELECT line FROM (
+         SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line
+       ) d, tot WHERE d.df >= {_BP_RATIO} * tot.n),
+marked AS (SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_bp
+           FROM lines l LEFT JOIN bp b ON l.line = b.line)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       string_agg(CASE WHEN NOT is_bp THEN line END,
+                  chr(10) ORDER BY pos) AS clean_text
+FROM marked GROUP BY doc_id
+""",
+    covers=("G.text.boilerplate",),
+)
+def q_text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: a line that occurs in
+    >= 20% of documents (cookie banners, copyright footers, subscribe
+    prompts) is corpus-level boilerplate — strike it from every document,
+    preserving the order of what remains.  The fixture corpus is single-
+    line, so documents are deterministically augmented with a footer mix
+    (always / 50% / 14% document frequency) spanning both sides of the
+    threshold; both engines see the identical corpus.
+
+    Scale shape: one posexplode, ONE corpus-wide aggregation keyed on the
+    16-byte md5 of the line (never shuffles raw line text), and the
+    boilerplate set — tiny by construction, a line needs df >= ratio*n to
+    enter — broadcast back as a left join.  Document reassembly is a
+    groupBy(doc_id) collect_list over (pos, line) structs, i.e. the same
+    single shuffle a tokenize-detokenize pass costs.  At 100 TB this is
+    the standard two-pass shape: line-stats job, then a map-side
+    broadcast filter."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("\nSubscribe to our newsletter")).otherwise(F.lit("")),
+        F.lit("\nCopyright 2026 Example Corp. All rights reserved."),
+        F.concat(F.lit("\nPosted in category "),
+                 (F.col("doc_id") % 7).cast("string")),
+    ).alias("text"))
+    lines = aug.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"))
+    total = aug.agg(F.count(F.lit(1)).alias("n"))
+    bp = (lines.groupBy(F.md5("line").alias("lk"))
+          .agg(F.countDistinct("doc_id").alias("df"))
+          .crossJoin(F.broadcast(total))
+          .filter(F.col("df") >= F.lit(_BP_RATIO) * F.col("n"))
+          .select("lk", F.lit(True).alias("is_bp")))
+    marked = (lines.withColumn("lk", F.md5("line"))
+              .join(F.broadcast(bp), "lk", "left")
+              .withColumn("is_bp", F.coalesce("is_bp", F.lit(False))))
+    return (marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).alias("n_removed"),
+        F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(
+                F.when(~F.col("is_bp"), F.struct("pos", "line")))),
+            lambda s: s["line"])).alias("clean_text")))
