@@ -858,3 +858,68 @@ def q_entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame
                                   edges, shuffle_partitions=8)
     return labels.select(F.col("id").alias("rid"),
                          F.col("label").alias("entity_id"))
+
+
+# --------------------------------------------------------------------------
+# Z-order layout clustering (data-skipping quality report)
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _zorder_oracle() -> str:
+    from ab_metadata_pusher_spark.operators.layout import zorder_sql
+    return f"""
+WITH ext AS (SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+                    min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+             FROM lineitem),
+q AS (SELECT
+        CAST(floor((l_partkey - minp) * {1 << _Z_BITS}
+                   / (maxp - minp + 1)) AS BIGINT) AS px,
+        CAST(floor((l_suppkey - mins) * {1 << _Z_BITS}
+                   / (maxs - mins + 1)) AS BIGINT) AS sx
+      FROM lineitem, ext),
+z AS (SELECT px, sx, {zorder_sql('px', 'sx', _Z_BITS)} AS z FROM q)
+SELECT z >> 11 AS bucket, count(*) AS n,
+       min(px) AS min_px, max(px) AS max_px,
+       min(sx) AS min_sx, max(sx) AS max_sx
+FROM z GROUP BY bucket
+"""
+
+
+@register("layout_zorder_stats", oracle=_zorder_oracle(),
+          covers=("G.layout.zorder",))
+def q_layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout clustering over (l_partkey,
+    l_suppkey): quantize both keys to an 8-bit grid, interleave the bits,
+    and report per-z-range file statistics — the min/max envelope each of
+    32 equal z-ranges would carry as parquet footer stats.  Every bucket
+    covers ~1/6 of EACH key's range (vs. a (partkey, suppkey) sort, where
+    suppkey's envelope is the full range in every file): a filter on
+    either column alone prunes ~5/6 of a z-ordered table's files.
+
+    The whole computation is integer shift/and/add inside whole-stage
+    codegen — no UDF, no sort; the only shuffle is the 32-row final
+    aggregate (extent scan is a separate 1-row agg broadcast back).
+    Writing the layout at 100 TB is
+    ``df.repartitionByRange(n, zcol).sortWithinPartitions(zcol)`` —
+    range partitioning samples the z-key distribution, so skew in the
+    raw keys doesn't unbalance files."""
+    from ab_metadata_pusher_spark.operators.layout import (
+        quantize, zorder_value)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    ext = li.agg(F.min("l_partkey").alias("minp"),
+                 F.max("l_partkey").alias("maxp"),
+                 F.min("l_suppkey").alias("mins"),
+                 F.max("l_suppkey").alias("maxs"))
+    q = li.crossJoin(F.broadcast(ext)).select(
+        quantize(F.col("l_partkey"), F.col("minp"), F.col("maxp"),
+                 _Z_BITS).alias("px"),
+        quantize(F.col("l_suppkey"), F.col("mins"), F.col("maxs"),
+                 _Z_BITS).alias("sx"))
+    z = q.select("px", "sx",
+                 zorder_value(F.col("px"), F.col("sx"), _Z_BITS).alias("z"))
+    return (z.groupBy(F.shiftright("z", 11).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("px").alias("min_px"), F.max("px").alias("max_px"),
+                 F.min("sx").alias("min_sx"), F.max("sx").alias("max_sx")))

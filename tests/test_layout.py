@@ -1,0 +1,64 @@
+"""Z-order layout: the interleaved key must bound BOTH dimensions inside
+every z-range, where a linear (px-major) sort bounds only the leading one
+— the property that makes z-ordering worth a rewrite at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ab_metadata_pusher_spark.operators.layout import quantize, zorder_value
+
+
+def _quantized(spark, sf_dir):
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey", "l_suppkey"))
+    ext = li.agg(F.min("l_partkey").alias("minp"),
+                 F.max("l_partkey").alias("maxp"),
+                 F.min("l_suppkey").alias("mins"),
+                 F.max("l_suppkey").alias("maxs"))
+    return li.crossJoin(F.broadcast(ext)).select(
+        quantize(F.col("l_partkey"), F.col("minp"), F.col("maxp"), 8)
+        .alias("px"),
+        quantize(F.col("l_suppkey"), F.col("mins"), F.col("maxs"), 8)
+        .alias("sx"))
+
+
+def test_zorder_buckets_bound_both_dims(spark, sf_dir):
+    q = _quantized(spark, sf_dir)
+    z = q.select("px", "sx", zorder_value(F.col("px"), F.col("sx"), 8)
+                 .alias("z"))
+    spans = (z.groupBy(F.shiftright("z", 11).alias("bucket"))
+             .agg((F.max("px") - F.min("px")).alias("pspan"),
+                  (F.max("sx") - F.min("sx")).alias("sspan"))
+             .collect())
+    assert spans
+    for r in spans:
+        # bucket = top 5 z bits = px's top 2 + sx's top 3 — hard bounds
+        assert r.pspan <= 63, r
+        assert r.sspan <= 31, r
+
+
+def test_linear_sort_leaves_trailing_dim_unbounded(spark, sf_dir):
+    q = _quantized(spark, sf_dir)
+    spans = (q.groupBy(F.shiftright("px", 3).alias("bucket"))
+             .agg((F.max("sx") - F.min("sx")).alias("sspan"))
+             .collect())
+    # px-major buckets fix px just as tightly, but sx stats are useless
+    assert max(r.sspan for r in spans) > 200
+
+
+def test_zorder_value_is_exact_bit_interleave(spark):
+    df = spark.createDataFrame([(0, 0), (255, 0), (0, 255), (255, 255),
+                                (170, 85)], "x long, y long")
+    out = {(r.x, r.y): r.z for r in df.select(
+        "x", "y", zorder_value(F.col("x"), F.col("y"), 8).alias("z"))
+        .collect()}
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in out.items():
+        assert z == morton(x, y)
