@@ -923,3 +923,55 @@ def q_layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("px").alias("min_px"), F.max("px").alias("max_px"),
                  F.min("sx").alias("min_sx"), F.max("sx").alias("max_sx")))
+
+
+@register(
+    "analytics_winsorize",
+    oracle="""
+WITH p AS (SELECT l_returnflag,
+                  quantile_cont(l_extendedprice, 0.05) AS lo,
+                  quantile_cont(l_extendedprice, 0.95) AS hi
+           FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag, count(*) AS n,
+       CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_hi,
+       round(sum(least(greatest(l_extendedprice, lo), hi)), 2)
+           AS sum_winsorized
+FROM lineitem l JOIN p USING (l_returnflag)
+GROUP BY l.l_returnflag
+""",
+    covers=("G.analytics.winsorize",),
+)
+def q_analytics_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip l_extendedprice to its group's
+    [p05, p95] band and report how much mass was clipped — the robust-
+    statistics companion to analytics_outliers_mad (clip, don't drop).
+    Feature normalization for quality scoring does exactly this before
+    z-scaling so one crawl artifact can't stretch the scale.
+
+    Two passes sharing one shuffle key: an exact per-group percentile
+    pair (3-row frame, broadcast back onto the rows) and one
+    map-side-combined aggregate of the clipped values.  The fact table is
+    scanned twice but shuffled zero times (the final groupBy rides the
+    broadcast join's partitioning of a 3-key column — AQE coalesces).
+    At 100 TB swap F.percentile for percentile_approx to avoid the
+    per-group sort; the clip pass is unchanged."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag",
+                                              "l_extendedprice")
+    pct = F.percentile("l_extendedprice",
+                       F.array(F.lit(0.05), F.lit(0.95)))
+    bands = (li.groupBy("l_returnflag")
+             .agg(pct.getItem(0).alias("lo"), pct.getItem(1).alias("hi")))
+    x = F.col("l_extendedprice")
+    return (li.join(F.broadcast(bands), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(x < F.col("lo"), 1).otherwise(0))
+                  .alias("n_clipped_lo"),
+                 F.sum(F.when(x > F.col("hi"), 1).otherwise(0))
+                  .alias("n_clipped_hi"),
+                 F.round(F.sum(F.least(F.greatest(x, F.col("lo")),
+                                       F.col("hi"))), 2)
+                  .alias("sum_winsorized")))
