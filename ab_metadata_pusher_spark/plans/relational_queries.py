@@ -1789,3 +1789,109 @@ def q_agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min("v").alias("lo"), F.max("v").alias("hi")))
+
+
+@register(
+    "subquery_correlated_scalar",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_small_orders,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey)
+""",
+    covers=("G.subquery.correlated_scalar",),
+)
+def q_subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR aggregate subquery (TPC-H Q17's shape): rows
+    whose quantity is below half their part's own average.  The third
+    correlated-subquery form next to EXISTS (subquery_correlated_exists)
+    and NOT IN (subquery_not_in): a per-outer-row aggregate over the
+    same fact table.
+
+    Expressed as its decorrelation — per-part averages (one map-side-
+    combinable groupBy producing a #parts-sized frame) joined back and
+    filtered — which is exactly the plan Catalyst rewrites the nested
+    SQL into; writing the join directly keeps the threshold frame
+    reusable and the oracle states the nested form, so the two engines
+    agree across the rewrite.  At 100 TB both sides shuffle on partkey
+    once; AQE broadcasts the averages when #parts allows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    th = (li.groupBy("l_partkey")
+          .agg((F.lit(0.5) * F.avg("l_quantity")).alias("q_th")))
+    return (li.join(th, "l_partkey")
+            .filter(F.col("l_quantity") < F.col("q_th"))
+            .agg(F.count(F.lit(1)).alias("n_small_orders"),
+                 F.round(F.sum("l_extendedprice") / 7.0, 2)
+                  .alias("avg_yearly")))
+
+
+@register(
+    "agg_having_in",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       round(big.total_qty, 2) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 270) big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    covers=("G.agg.having",),
+)
+def q_agg_having_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer lookup (TPC-H Q18's shape): aggregate the
+    fact table, keep groups over a HAVING threshold, then join the
+    surviving (tiny) group set back to the dimension chain.  The HAVING
+    filter collapses the fact table to a handful of keys BEFORE any
+    dimension join, so both joins broadcast the aggregate side — the
+    order matters at 100 TB: joining first and filtering last would
+    shuffle orders and customer against the full fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 270))
+    return (F.broadcast(big)
+            .join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.round("total_qty", 2).alias("total_qty")))
+
+
+@register(
+    "join_disjunctive_pred",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_size BETWEEN 11 AND 25 AND l.l_quantity BETWEEN 20 AND 40)
+   OR (p.p_size BETWEEN 26 AND 50 AND l.l_quantity >= 35)
+""",
+    covers=("G.join.disjunctive",),
+)
+def q_join_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive mixed-table predicates over an equi-join (TPC-H Q19's
+    shape): three OR'd conjunction arms, each constraining BOTH sides.
+    The optimizer hazard this pins: the OR must not defeat the equi-join
+    detection (a naive engine falls back to a nested-loop theta join),
+    and the single-table prefilters implied by the disjunction
+    (p_size 1..50, l_quantity >= 1) should still push to the scans.
+    Spark keeps the hash join on p_partkey and evaluates the residual
+    OR post-join; part is the small side and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q, s = F.col("l_quantity"), F.col("p_size")
+    arm1 = s.between(1, 10) & q.between(1, 20)
+    arm2 = s.between(11, 25) & q.between(20, 40)
+    arm3 = s.between(26, 50) & (q >= 35)
+    return (j.filter(arm1 | arm2 | arm3)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))
