@@ -1895,3 +1895,64 @@ def q_join_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
                                * (1 - F.col("l_discount"))), 2)
                   .alias("revenue"),
                  F.count(F.lit(1)).alias("n_rows")))
+
+
+@register(
+    "cdc_join_view_delta",
+    oracle="""
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    covers=("G.cdc.join_view",),
+)
+def q_cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: revenue per order
+    priority over orders ⋈ lineitem, maintained from a base snapshot
+    plus deltas via the delta-join identity
+    Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — the algebra every streaming
+    materialized-view engine implements.  rollup_incremental_merge
+    covers single-table aggregate IVM; this pins the two-table case.
+
+    Both tables are deterministically split into base/delta on
+    coprime key moduli (7 and 5), so all three delta terms are
+    non-empty — including the cross term a full recompute would
+    silently hide.  The maintained result (base view + aggregated
+    delta terms, merged by outer union-sum) is verified against the
+    oracle's FULL recompute, i.e. the check is the IVM identity
+    itself, not a mirrored implementation.
+
+    At 100 TB: the delta terms join a small frame against a big one —
+    broadcast the delta side, never re-shuffle the base; the view merge
+    touches #groups rows.  Partial-sum merge (sum-of-sums, count-of-
+    counts) is exactly how the view stays mergeable."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+
+    a = o.filter(F.col("o_orderkey") % 7 != 0)
+    da = o.filter(F.col("o_orderkey") % 7 == 0)
+    b = li.filter(F.col("l_orderkey") % 5 != 0)
+    db = li.filter(F.col("l_orderkey") % 5 == 0)
+
+    def view(orders_df: DataFrame, items_df: DataFrame) -> DataFrame:
+        return (orders_df.join(
+                    items_df, orders_df.o_orderkey == items_df.l_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.sum(rev).alias("revenue"),
+                     F.count(F.lit(1)).alias("n_items")))
+
+    base_view = view(a, b)  # "yesterday's" materialized state
+    deltas = (view(da, b)
+              .unionByName(view(a, db))
+              .unionByName(view(da, db)))
+    merged = (base_view.unionByName(deltas)
+              .groupBy("o_orderpriority")
+              .agg(F.sum("revenue").alias("revenue"),
+                   F.sum("n_items").alias("n_items")))
+    return merged.select("o_orderpriority",
+                         F.round("revenue", 2).alias("revenue"),
+                         F.col("n_items"))
