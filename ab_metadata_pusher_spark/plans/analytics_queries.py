@@ -975,3 +975,102 @@ def q_analytics_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.least(F.greatest(x, F.col("lo")),
                                        F.col("hi"))), 2)
                   .alias("sum_winsorized")))
+
+
+@register(
+    "analytics_ks_drift",
+    oracle="""
+WITH pop AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS gb
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+tot AS (SELECT CAST(sum(ga) AS BIGINT) AS na,
+               CAST(sum(gb) AS BIGINT) AS nb FROM pop),
+pv AS (SELECT v, CAST(sum(ga) AS BIGINT) AS ca,
+               CAST(sum(gb) AS BIGINT) AS cb FROM pop GROUP BY v),
+cum AS (SELECT sum(ca) OVER (ORDER BY v) AS cca,
+               sum(cb) OVER (ORDER BY v) AS ccb FROM pv)
+SELECT round(max(abs(cca / CAST(na AS DOUBLE)
+                     - ccb / CAST(nb AS DOUBLE))), 6) AS ks_stat,
+       max(na) AS na, max(nb) AS nb
+FROM cum, tot
+""",
+    covers=("G.analytics.ks_drift",),
+)
+def q_analytics_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the order-
+    price distributions of two priority classes — the standard
+    distribution-drift alarm for a corpus/feature pipeline (did this
+    week's crawl shift the length/score distribution?).
+
+    Shape: per-VALUE counts first (one map-side-combinable groupBy), so
+    the global-order cumulative window runs over the distinct-value
+    frame, not the fact table — cardinality-bounded, orders of magnitude
+    smaller.  That unpartitioned running sum is the honest cost of the
+    EXACT statistic; at 100 TB bound the distinct frame with fixed-grid
+    binning (the binned ECDF's KS error is at most one bin's mass) and
+    the rest of the plan is unchanged."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")))
+    pop = o.select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("ga"),
+        (F.col("o_orderpriority") == "5-LOW").cast("long").alias("gb"))
+    pv = pop.groupBy("v").agg(F.sum("ga").alias("ca"),
+                              F.sum("gb").alias("cb"))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = pv.select(F.sum("ca").over(w).alias("cca"),
+                    F.sum("cb").over(w).alias("ccb"))
+    tot = pop.agg(F.sum("ga").alias("na"), F.sum("gb").alias("nb"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .agg(F.round(F.max(F.abs(F.col("cca") / F.col("na")
+                                     - F.col("ccb") / F.col("nb"))), 6)
+                  .alias("ks_stat"),
+                 F.max("na").alias("na"), F.max("nb").alias("nb")))
+
+
+@register(
+    "analytics_chi_square",
+    oracle="""
+WITH cells AS (SELECT event_type AS et, user_id % 4 AS ub, count(*) AS o
+               FROM events GROUP BY et, ub),
+m AS (SELECT et, ub, o,
+             sum(o) OVER (PARTITION BY et) AS rt,
+             sum(o) OVER (PARTITION BY ub) AS ct,
+             sum(o) OVER () AS n
+      FROM cells)
+SELECT round(sum(power(o - rt * ct / CAST(n AS DOUBLE), 2)
+                 / (rt * ct / CAST(n AS DOUBLE))), 4) AS chi2,
+       CAST((count(DISTINCT et) - 1) * (count(DISTINCT ub) - 1)
+            AS BIGINT) AS dof
+FROM m
+""",
+    covers=("G.analytics.chi_square",),
+)
+def q_analytics_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and a user
+    bucket (the categorical drift companion to the KS statistic's
+    numeric one): contingency counts, expected values from the margins,
+    sum of (O−E)²/E plus degrees of freedom.
+
+    Everything after the first groupBy operates on the contingency table
+    itself — #types × #buckets rows — so margins via window sums and
+    the final fold are free at any input scale; the single real cost is
+    one map-side-combined count shuffle over the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (ev.groupBy(F.col("event_type").alias("et"),
+                        (F.col("user_id") % 4).alias("ub"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    m = cells.select(
+        "et", "ub", "o",
+        F.sum("o").over(Window.partitionBy("et")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("ub")).alias("ct"),
+        F.sum("o").over(
+            Window.partitionBy()).alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n").cast("double")
+    return m.agg(
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+        ((F.countDistinct("et") - 1)
+         * (F.countDistinct("ub") - 1)).alias("dof"))

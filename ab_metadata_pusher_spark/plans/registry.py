@@ -78,15 +78,18 @@ def _load_all() -> None:
 #: (similarity_ann_lsh), not the brute-force baseline.  Use
 #: scripts/prefix_planner.py to plan the next rotation.
 #:
-#: ROUND-4 PREP (state at end of round 3): 212 registered, 206
+#: ROUND-4 PREP (state at end of round 3): 218 registered, 212
 #: oracle-backed, 70 driver-green-ever; the planner's rotation pool
-#: (oracle-backed, never driver-scored) holds ~130 names.  Keep the
+#: (oracle-backed, never driver-scored) holds ~140 names.  Keep the
 #: 15 sentinels, swap the 35 rotation slots to pool names — the
 #: streaming slots have been scored once now, so they can leave the
 #: head; prioritize the r3-new operators queued below the 50-row
 #: window (bloom/bigram/DSIR/covariance/LPA/BPE-train/ppjoin/seasonal/
 #: anomaly/kcenter/novelty/markov/link-prediction/weighted-minhash/
-#: fk-inference/asof-tolerance) plus untouched scalar/window variants.
+#: fk-inference/asof-tolerance, plus the second batch: kcore/
+#: boilerplate-lines/entity-resolution/zorder/winsorize/
+#: correlated-scalar/having-in/disjunctive-join/join-view-IVM)
+#: and untouched scalar/window variants.
 DRIVER_PREFIX: tuple[str, ...] = (
     # --- sentinel core (driver-green in r2, one per family) ---
     "metadata_catalog_columns", "metadata_tables",

@@ -105,6 +105,16 @@ REGISTRY_BENCH = [
     "sample_kcenter",
     "text_ngram_novelty",
     "multimodal_phash_pairs",
+    # round-3 second batch
+    "graph_kcore",
+    "text_boilerplate_lines",
+    "entity_resolution_customers",
+    "layout_zorder_stats",
+    "analytics_winsorize",
+    "subquery_correlated_scalar",
+    "agg_having_in",
+    "join_disjunctive_pred",
+    "cdc_join_view_delta",
 ]
 
 
