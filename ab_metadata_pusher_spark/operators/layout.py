@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["quantize", "zorder_value", "zorder_sql"]
+__all__ = ["quantize", "interleave_bits", "zorder_value", "zorder_sql"]
 
 
 def quantize(col: Column, lo: Column, hi: Column, bits: int = 8) -> Column:
@@ -34,18 +34,25 @@ def quantize(col: Column, lo: Column, hi: Column, bits: int = 8) -> Column:
             .cast("long")
 
 
-def zorder_value(x: Column, y: Column, bits: int = 8) -> Column:
-    """Morton-interleave two pre-quantized ``bits``-wide integer columns:
-    bit i of ``x`` lands at position 2i, bit i of ``y`` at 2i+1.  The
-    result orders points along the Z space-filling curve, keeping close
-    (x, y) pairs close in one dimension."""
+def interleave_bits(buckets: list[Column], bits: int = 8) -> Column:
+    """Morton-interleave pre-quantized ``bits``-wide integer columns: bit
+    i of column j lands at position ``i * len(buckets) + j``.  The shared
+    core of the query-side z-statistics here and the write-side
+    ``sinks.layout.write_zordered``."""
+    m = len(buckets)
     z = F.lit(0)
     for i in range(bits):
-        z = (z
-             + F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
-             + F.shiftright(y, i).bitwiseAND(F.lit(1))
-             * F.lit(1 << (2 * i + 1)))
+        for j, b in enumerate(buckets):
+            z = z + (F.shiftright(b, i).bitwiseAND(F.lit(1))
+                     * F.lit(1 << (i * m + j)))
     return z.cast("long")
+
+
+def zorder_value(x: Column, y: Column, bits: int = 8) -> Column:
+    """Two-column z-order: bit i of ``x`` at position 2i, of ``y`` at
+    2i+1 — orders points along the Z space-filling curve, keeping close
+    (x, y) pairs close in one dimension."""
+    return interleave_bits([x, y], bits)
 
 
 def zorder_sql(x: str, y: str, bits: int = 8) -> str:

@@ -50,7 +50,8 @@ def zorder_value(cols: list[str], mins: list[float], maxs: list[float],
     a ``bits``-bit integer against its [min, max], then the bit strings
     are interleaved.  Pure integer expressions — whole-stage codegen, no
     UDF."""
-    m = len(cols)
+    from ab_metadata_pusher_spark.operators.layout import interleave_bits
+
     buckets = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = (hi - lo) or 1.0
@@ -58,12 +59,7 @@ def zorder_value(cols: list[str], mins: list[float], maxs: list[float],
                          / F.lit(float(span)) * ((1 << bits) - 1))
         buckets.append(F.least(F.greatest(scaled, F.lit(0)),
                                F.lit((1 << bits) - 1)).cast("long"))
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, b in enumerate(buckets):
-            z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)),
-                                i * m + j)
-    return z
+    return interleave_bits(buckets, bits)
 
 
 def write_zordered(df: DataFrame, path: str, keys: list[str],
