@@ -62,7 +62,12 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      "quality_mixture_kl",
                      # 1-row x 1-row count cross joins, one per candidate
                      # column pair
-                     "metadata_fk_inference"}
+                     "metadata_fk_inference",
+                     # 1-row scalar broadcasts: corpus doc total onto the
+                     # line-df frame / min-max extents onto the rows /
+                     # population totals onto the distinct-value ECDF
+                     "text_boilerplate_lines", "layout_zorder_stats",
+                     "analytics_ks_drift"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -106,6 +111,11 @@ DEFAULT = [
     "join_asof_tolerance", "metadata_fk_inference",
     "events_markov_transitions", "graph_link_prediction",
     "dedup_weighted_minhash",
+    # round-3 second batch
+    "graph_kcore", "text_boilerplate_lines", "entity_resolution_customers",
+    "layout_zorder_stats", "analytics_winsorize",
+    "subquery_correlated_scalar", "agg_having_in", "join_disjunctive_pred",
+    "cdc_join_view_delta", "analytics_ks_drift", "analytics_chi_square",
 ]
 
 
