@@ -3940,3 +3940,102 @@ def q_text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(
                 F.when(~F.col("is_bp"), F.struct("pos", "line")))),
             lambda s: s["line"])).alias("clean_text")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source score calibration + dimensionality reduction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_quantile_normalize",
+    oracle="""
+WITH s AS (SELECT doc_id, source, n_chars,
+                  percent_rank() OVER (PARTITION BY source
+                                       ORDER BY n_chars) AS pr
+           FROM documents),
+g AS (SELECT list_sort(list(n_chars)) AS garr, count(*) AS n
+      FROM documents)
+SELECT doc_id, source, n_chars, round(pr, 6) AS pr,
+       garr[CAST(floor(pr * (n - 1)) AS BIGINT) + 1] AS qnorm
+FROM s, g
+""",
+    covers=("G.quality.quantile_normalize",),
+)
+def q_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization: map every document's score
+    (n_chars as the stand-in) onto the GLOBAL score distribution by
+    matching its within-source percentile — so a "long doc for src3" and
+    a "long doc for src14" get comparable calibrated scores even when the
+    sources' raw distributions differ.  The standard fix for per-crawl
+    quality-score drift before a global selection threshold.
+
+    Within-source ranks are one window per source partition; the global
+    reference distribution is a single sorted array broadcast to every
+    row (lower-quantile lookup by floor index — no interpolation, so the
+    calibrated value is an EXACT member of the score domain and the
+    cross-engine check is integer-exact).  At 100 TB the global array
+    becomes a t-digest/GK sketch lookup; the window pass is unchanged."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    g = d.agg(F.sort_array(F.collect_list("n_chars")).alias("garr"),
+              F.count(F.lit(1)).alias("n"))
+    return (d.withColumn("pr", F.percent_rank().over(w))
+            .crossJoin(F.broadcast(g))
+            .select("doc_id", "source", "n_chars",
+                    F.round("pr", 6).alias("pr"),
+                    F.element_at(
+                        "garr",
+                        (F.floor(F.col("pr") * (F.col("n") - 1)) + 1)
+                        .cast("int")).alias("qnorm")))
+
+
+_RP_K, _RP_D = 8, 64
+
+
+def _rp_coefs() -> list[list[float]]:
+    """Deterministic ±1 sign-projection matrix from md5 — the same
+    constants generate both the Spark literals and the oracle SQL."""
+    import hashlib
+    return [[1.0 if int(hashlib.md5(f"rp{i}_{j}".encode())
+                        .hexdigest()[:8], 16) & 1 else -1.0
+             for j in range(_RP_D)] for i in range(_RP_K)]
+
+
+def _rp_oracle() -> str:
+    cols = []
+    for i, row in enumerate(_rp_coefs()):
+        terms = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * {c}"
+            for j, c in enumerate(row))
+        cols.append(f"round(({terms}) / sqrt({_RP_D}), 6) AS p{i}")
+    return ("SELECT vec_id, " + ", ".join(cols)
+            + " FROM embeddings")
+
+
+@register("embedding_random_projection", oracle=_rp_oracle(),
+          covers=("G.embedding.random_projection",))
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection: 64-d embeddings down
+    to 8 dims via a deterministic ±1 matrix (seeded md5, so both engines
+    rebuild the identical matrix), scaled by 1/√d.  The cheap first stage
+    before clustering / ANN when the stored dimension is large — distance
+    distortion is bounded by the JL lemma at k = O(log n / ε²).
+
+    Pure JVM expression code: each output dim is one zip_with multiply +
+    ordered aggregate fold over the array column — no shuffle at all, no
+    UDF, embarrassingly parallel over rows; the oracle spells the same
+    fold as an explicit 64-term sum in the same order, so doubles match
+    bit-for-bit before the 6-dp round."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    cols = []
+    for i, row in enumerate(_rp_coefs()):
+        dot = F.aggregate(
+            F.zip_with("emb", F.array(*[F.lit(c) for c in row]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, t: acc + t)
+        cols.append(F.round(dot / F.lit(float(_RP_D) ** 0.5), 6)
+                    .alias(f"p{i}"))
+    return e.select("vec_id", *cols)
