@@ -18,9 +18,11 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ab_metadata_pusher_spark.functions.hashing import md5_long, sql_md5_long
 
 __all__ = ["heavy_hitters_mg", "guaranteed_heavy_hitters", "mg_summary",
            "merge_mg_summaries"]
@@ -141,3 +143,58 @@ def merge_mg_summaries(k: int, *summaries: DataFrame) -> DataFrame:
             .withColumn("weight", F.col("weight") - F.col("kth"))
             .filter(F.col("weight") > 0)
             .select("item", "weight"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (deterministic md5 rows -> exactly oracle-checkable)
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+
+
+def cm_cell(key: Column, row: int, width: int = CM_WIDTH) -> Column:
+    """Column index of ``key`` in sketch row ``row`` — the shared
+    cross-engine md5 hash family (functions/hashing.py), so the oracle
+    rebuilds identical cells."""
+    return F.pmod(md5_long(F.concat(F.lit(f"cm{row}:"), key)),
+                  F.lit(width))
+
+
+def cm_cell_sql(key_expr: str, row: int, width: int = CM_WIDTH) -> str:
+    """DuckDB rendering of :func:`cm_cell`."""
+    inner = f"'cm{row}:' || {key_expr}"
+    return f"({sql_md5_long(inner)} % {width})"
+
+
+def countmin_build(df: DataFrame, col: str,
+                   depth: int = CM_DEPTH, width: int = CM_WIDTH) -> DataFrame:
+    """Build a depth x width Count-Min sketch of ``col``: one narrow
+    (r, c) groupBy over a depth-way in-row expansion.  Cell values are
+    EXACT counts of hash-colliding keys, so unlike HLL/GK internals the
+    whole sketch is deterministic and value-checkable across engines;
+    sketches merge by adding cells (counts are sums)."""
+    k = F.col(col).cast("string")
+    pairs = F.array(*[
+        F.struct(F.lit(r).alias("r"), cm_cell(k, r, width).alias("c"))
+        for r in range(depth)])
+    return (df.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def countmin_estimate(cells: DataFrame, probes: DataFrame, col: str,
+                      depth: int = CM_DEPTH,
+                      width: int = CM_WIDTH) -> DataFrame:
+    """Point-query ``probes[col]`` against a built sketch: min over the
+    depth cells each probe hashes into.  Estimates never undercount
+    (cells only ever add colliding keys); error is bounded by
+    2n/width with probability 1 - 2^-depth."""
+    k = F.col(col).cast("string")
+    pairs = F.array(*[
+        F.struct(F.lit(r).alias("r"), cm_cell(k, r, width).alias("c"))
+        for r in range(depth)])
+    ph = probes.select(F.col(col), F.explode(pairs).alias("p")) \
+               .select(col, F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+    return (ph.join(F.broadcast(cells), ["r", "c"])
+            .groupBy(col).agg(F.min("cnt").alias("cm_est")))

@@ -1956,3 +1956,56 @@ def q_cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderpriority",
                          F.round("revenue", 2).alias("revenue"),
                          F.col("n_items"))
+
+
+def _cm_oracle() -> str:
+    from ab_metadata_pusher_spark.operators.sketches import (
+        CM_DEPTH, cm_cell_sql)
+    cell_selects = " UNION ALL ".join(
+        f"SELECT {r} AS r, "
+        f"{cm_cell_sql('CAST(l_partkey AS VARCHAR)', r)} AS c FROM lineitem"
+        for r in range(CM_DEPTH))
+    probe_selects = " UNION ALL ".join(
+        f"SELECT v, {r} AS r, {cm_cell_sql('CAST(v AS VARCHAR)', r)} AS c "
+        f"FROM pv" for r in range(CM_DEPTH))
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT r, c, count(*) AS cnt FROM ({cell_selects}) GROUP BY r, c),
+pv AS (SELECT CAST(v AS BIGINT) AS v
+       FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) p(v)),
+ph AS ({probe_selects}),
+est AS (SELECT v, min(cnt) AS cm_est FROM ph JOIN cells USING (r, c)
+        GROUP BY v),
+tru AS (SELECT l_partkey AS v, count(*) AS true_cnt FROM lineitem
+        WHERE l_partkey BETWEEN 1 AND 8 GROUP BY l_partkey)
+SELECT tru.v AS item, true_cnt, cm_est FROM tru JOIN est ON tru.v = est.v
+"""
+
+
+@register("agg_countmin_sketch", oracle=_cm_oracle(),
+          covers=("G.agg.countmin",))
+def q_agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch: depth x width cell counts from the shared
+    cross-engine md5 hash family, probed for 8 fixed part keys and
+    reported next to the TRUE counts (estimate >= truth always; error
+    <= 2n/width w.p. 1-2^-depth).  Unlike the HLL/GK sketch internals
+    (engine-specific, rows-only checkable), every Count-Min cell is an
+    exact count of hash-colliding keys — the driver verifies the sketch
+    VALUE-for-value, closing the "sketches aren't oracle-checkable" gap
+    the same way agg_heavy_hitters_guaranteed did for Misra-Gries.
+
+    Build is one narrow (r, c) groupBy over an in-row depth-way
+    expansion (map-side combinable; 256 cells out regardless of input
+    size); estimates broadcast-join the 256-cell frame.  At 100 TB the
+    sketch IS the shuffle payload — constant size, mergeable by adding
+    cells, the same shape streaming aggregation state wants."""
+    from ab_metadata_pusher_spark.operators.sketches import (
+        countmin_build, countmin_estimate)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    cells = countmin_build(li, "l_partkey")
+    probes = spark.range(1, 9).select(F.col("id").alias("l_partkey"))
+    est = countmin_estimate(cells, probes, "l_partkey")
+    tru = (li.filter(F.col("l_partkey").between(1, 8))
+           .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_cnt")))
+    return (tru.join(est, "l_partkey")
+            .select(F.col("l_partkey").alias("item"), "true_cnt", "cm_est"))

@@ -162,3 +162,36 @@ def test_vectorized_mg_fold_bounds_property():
                 assert item in est, (item, t, n, k)
 
     prop()
+
+
+def test_countmin_never_undercounts_and_merges(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators.sketches import (
+        countmin_build, countmin_estimate)
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey"))
+    cells = countmin_build(li, "l_partkey")
+    probes = li.select("l_partkey").distinct().limit(20)
+    est = countmin_estimate(cells, probes, "l_partkey")
+    true = (li.join(probes, "l_partkey", "semi")
+            .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("t")))
+    joined = {r.l_partkey: (r.t, r.cm_est)
+              for r in true.join(est, "l_partkey").collect()}
+    assert joined
+    for t, e in joined.values():
+        assert e >= t  # CM estimates never undercount
+
+    # mergeable: cells(left half) + cells(right half) == cells(whole)
+    half_a = countmin_build(li.filter(F.col("l_partkey") % 2 == 0),
+                            "l_partkey")
+    half_b = countmin_build(li.filter(F.col("l_partkey") % 2 == 1),
+                            "l_partkey")
+    merged = (half_a.unionByName(half_b)
+              .groupBy("r", "c").agg(F.sum("cnt").alias("cnt")))
+    diff = (merged.join(cells.withColumnRenamed("cnt", "cnt0"),
+                        ["r", "c"], "full")
+            .filter(F.coalesce("cnt", F.lit(0))
+                    != F.coalesce("cnt0", F.lit(0))))
+    assert diff.count() == 0
