@@ -345,3 +345,47 @@ def q_stream_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counts.select("win_start", "event_type", "n_events",
                           F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= 2))
+
+
+def _stream_cm_oracle() -> str:
+    from ab_metadata_pusher_spark.operators.sketches import (
+        CM_DEPTH, cm_cell_sql)
+    cell_selects = " UNION ALL ".join(
+        f"SELECT {r} AS r, "
+        f"{cm_cell_sql('CAST(user_id AS VARCHAR)', r)} AS c FROM events"
+        for r in range(CM_DEPTH))
+    return f"""
+SELECT r, c, count(*) AS cnt FROM ({cell_selects}) GROUP BY r, c
+"""
+
+
+@register("stream_countmin_cells", oracle=_stream_cm_oracle(),
+          covers=("G.stream.countmin",))
+def q_stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained AS STREAMING STATE: the event stream
+    explodes each row into its depth (r, c) cells and a streaming
+    aggregation keeps the running cell counts — so the state store holds
+    exactly depth x width rows FOREVER, however long the stream runs.
+    The canonical answer to "frequency tracking over an unbounded
+    stream without unbounded keyed state"; the batch oracle rebuilds
+    the identical sketch because cells are exact md5-bucket counts
+    (operators/sketches.py countmin_build).
+
+    Complete-mode output is safe here for the same reason the state is:
+    the result IS the sketch, 256 rows.  At 100 TB/day the shuffle
+    carries map-side-combined partial cells — constant bytes per
+    partition per batch."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators.sketches import (
+        CM_DEPTH, CM_WIDTH, cm_cell)
+
+    ev = E.events_stream(spark, sf_dir)
+    k = F.col("user_id").cast("string")
+    pairs = F.array(*[
+        F.struct(F.lit(r).alias("r"), cm_cell(k, r, CM_WIDTH).alias("c"))
+        for r in range(CM_DEPTH)])
+    cells = (ev.select(F.explode(pairs).alias("p"))
+             .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    return E.run_to_memory(cells, output_mode="complete")
