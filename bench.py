@@ -115,6 +115,12 @@ REGISTRY_BENCH = [
     "agg_having_in",
     "join_disjunctive_pred",
     "cdc_join_view_delta",
+    "analytics_ks_drift",
+    "analytics_chi_square",
+    "quality_quantile_normalize",
+    "embedding_random_projection",
+    "agg_countmin_sketch",
+    "stream_countmin_cells",
 ]
 
 

@@ -67,7 +67,10 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      # line-df frame / min-max extents onto the rows /
                      # population totals onto the distinct-value ECDF
                      "text_boilerplate_lines", "layout_zorder_stats",
-                     "analytics_ks_drift"}
+                     "analytics_ks_drift",
+                     # 1-row broadcast of the global reference
+                     # distribution array
+                     "quality_quantile_normalize"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -116,6 +119,8 @@ DEFAULT = [
     "layout_zorder_stats", "analytics_winsorize",
     "subquery_correlated_scalar", "agg_having_in", "join_disjunctive_pred",
     "cdc_join_view_delta", "analytics_ks_drift", "analytics_chi_square",
+    "quality_quantile_normalize", "embedding_random_projection",
+    "agg_countmin_sketch",
 ]
 
 
