@@ -78,9 +78,9 @@ def _load_all() -> None:
 #: (similarity_ann_lsh), not the brute-force baseline.  Use
 #: scripts/prefix_planner.py to plan the next rotation.
 #:
-#: ROUND-4 PREP (state at end of round 3): 218 registered, 212
+#: ROUND-4 PREP (state at end of round 3): 227 registered, 221
 #: oracle-backed, 70 driver-green-ever; the planner's rotation pool
-#: (oracle-backed, never driver-scored) holds ~140 names.  Keep the
+#: (oracle-backed, never driver-scored) holds ~150 names.  Keep the
 #: 15 sentinels, swap the 35 rotation slots to pool names — the
 #: streaming slots have been scored once now, so they can leave the
 #: head; prioritize the r3-new operators queued below the 50-row
@@ -88,8 +88,10 @@ def _load_all() -> None:
 #: anomaly/kcenter/novelty/markov/link-prediction/weighted-minhash/
 #: fk-inference/asof-tolerance, plus the second batch: kcore/
 #: boilerplate-lines/entity-resolution/zorder/winsorize/
-#: correlated-scalar/having-in/disjunctive-join/join-view-IVM)
-#: and untouched scalar/window variants.
+#: correlated-scalar/having-in/disjunctive-join/join-view-IVM/
+#: ks-drift/chi-square/quantile-normalize/random-projection/
+#: count-min-batch/count-min-stream) and untouched scalar/window
+#: variants.
 DRIVER_PREFIX: tuple[str, ...] = (
     # --- sentinel core (driver-green in r2, one per family) ---
     "metadata_catalog_columns", "metadata_tables",
