@@ -2002,7 +2002,14 @@ def q_agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ab_metadata_pusher_spark.operators.sketches import (
         countmin_build, countmin_estimate)
     li = _t(spark, sf_dir, "lineitem").select("l_partkey")
-    cells = countmin_build(li, "l_partkey")
+    # The single-file fixture scan splits into ~3 input partitions, which
+    # would serialize the md5 stage onto 3 cores; spreading one long
+    # column first is a near-free shuffle (a real corpus arrives as many
+    # files and skips this).  Materialize the 256-row sketch once — the
+    # broadcast for the probe join and the true-count comparison would
+    # otherwise each rebuild it.
+    spread = li.repartition(spark.sparkContext.defaultParallelism)
+    cells = countmin_build(spread, "l_partkey").localCheckpoint(eager=True)
     probes = spark.range(1, 9).select(F.col("id").alias("l_partkey"))
     est = countmin_estimate(cells, probes, "l_partkey")
     tru = (li.filter(F.col("l_partkey").between(1, 8))

@@ -377,14 +377,10 @@ def q_stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition per batch."""
     from pyspark.sql import functions as F
 
-    from ab_metadata_pusher_spark.operators.sketches import (
-        CM_DEPTH, CM_WIDTH, cm_cell)
+    from ab_metadata_pusher_spark.operators.sketches import cm_pairs
 
     ev = E.events_stream(spark, sf_dir)
-    k = F.col("user_id").cast("string")
-    pairs = F.array(*[
-        F.struct(F.lit(r).alias("r"), cm_cell(k, r, CM_WIDTH).alias("c"))
-        for r in range(CM_DEPTH)])
+    pairs = cm_pairs(F.col("user_id").cast("string"))
     cells = (ev.select(F.explode(pairs).alias("p"))
              .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
              .agg(F.count(F.lit(1)).alias("cnt")))
