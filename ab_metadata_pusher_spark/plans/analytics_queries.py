@@ -1074,3 +1074,95 @@ def q_analytics_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
         ((F.countDistinct("et") - 1)
          * (F.countDistinct("ub") - 1)).alias("dof"))
+
+
+# --------------------------------------------------------------------------
+# Multivariate OLS from one-pass sufficient statistics
+# --------------------------------------------------------------------------
+
+#: Cramer's-rule solve of the 3x3 normal equations over the named sums —
+#: ONE expression text evaluated by both engines (Spark selectExpr and
+#: the DuckDB oracle), so the algebra cannot diverge.
+_OLS_DET = ("(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)"
+            " + s2*(s1*s12 - s11*s2))")
+_OLS_EXPRS = {
+    "b0": ("(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)"
+           " + s2*(s1y*s12 - s11*s2y))"),
+    "b1": ("(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)"
+           " + s2*(s1*s2y - s1y*s2))"),
+    "b2": ("(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)"
+           " + sy*(s1*s12 - s11*s2))"),
+}
+_OLS_SELECT = ", ".join(
+    [f"round({e} / {_OLS_DET}, 6) AS {k}" for k, e in _OLS_EXPRS.items()]
+    + [("round(1 - (syy - ({b0}*sy + {b1}*s1y + {b2}*s2y) / {d})"
+        " / (syy - sy*sy/n), 6) AS r2").format(
+           b0=_OLS_EXPRS['b0'], b1=_OLS_EXPRS['b1'],
+           b2=_OLS_EXPRS['b2'], d=_OLS_DET)])
+
+_OLS_SUMS = """
+  count(*) AS n,
+  sum(l_quantity) AS s1, sum(l_discount) AS s2,
+  sum(l_quantity * l_quantity) AS s11,
+  sum(l_quantity * l_discount) AS s12,
+  sum(l_discount * l_discount) AS s22,
+  sum(l_extendedprice) AS sy,
+  sum(l_quantity * l_extendedprice) AS s1y,
+  sum(l_discount * l_extendedprice) AS s2y,
+  sum(l_extendedprice * l_extendedprice) AS syy"""
+
+
+@register(
+    "analytics_ols_normal_equations",
+    oracle=f"""
+WITH s AS (SELECT {_OLS_SUMS},
+           CAST(NULL AS DOUBLE) AS _pad FROM lineitem)
+SELECT {_OLS_SELECT} FROM
+(SELECT CAST(n AS DOUBLE) AS n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy
+ FROM s)
+""",
+    covers=("G.analytics.ols",),
+)
+def q_analytics_ols_normal_equations(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Multivariate least squares (extendedprice ~ quantity + discount +
+    intercept) solved from ONE distributed pass: accumulate the 10
+    sufficient statistics (X'X and X'y entries, map-side combinable,
+    9 doubles of shuffle traffic total), then apply Cramer's rule to the
+    3x3 normal equations on the 1-row frame — coefficients AND R² with
+    zero further data passes.  This is how closed-form ML fits at
+    100 TB: the data never moves, only the Gramian does (the same
+    pattern as embedding_covariance's d² partials, here taken all the
+    way to the solved model).  agg_regression covers the univariate
+    regr_slope surface; this is the general normal-equations form.
+    Both engines evaluate the IDENTICAL solve expression over their own
+    aggregation of the same rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, d, y = (F.col("l_quantity"), F.col("l_discount"),
+               F.col("l_extendedprice"))
+    sums = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("s1"), F.sum(d).alias("s2"),
+        F.sum(q * q).alias("s11"), F.sum(q * d).alias("s12"),
+        F.sum(d * d).alias("s22"),
+        F.sum(y).alias("sy"), F.sum(q * y).alias("s1y"),
+        F.sum(d * y).alias("s2y"), F.sum(y * y).alias("syy"))
+    return sums.selectExpr(*_split_ols_select())
+
+
+def _split_ols_select() -> list[str]:
+    """Split the shared SELECT list into individual expressions for
+    selectExpr (top-level commas only)."""
+    parts, depth, cur = [], 0, []
+    for ch in _OLS_SELECT:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts

@@ -616,3 +616,48 @@ def q_metadata_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("inclusion"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "metadata_masked_view",
+    oracle="""
+SELECT c.c_custkey,
+       substr(md5(c.c_name), 1, 12) AS name_token,
+       CAST(floor(c.c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+       r.r_name AS region,
+       c.c_mktsegment
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+""",
+    covers=("G.metadata.masking",),
+)
+def q_metadata_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving analytics view over the customer dimension —
+    the governance surface a metadata catalog drives: pseudonymize the
+    direct identifier (keyed md5 token: joinable across tables, not
+    reversible), band the numeric quasi-identifier (1000-wide balance
+    buckets), and GENERALIZE the geographic one (nation -> region, the
+    k-anonymity ladder step), keeping analysis columns as-is.  The same
+    SELECT is what a view-based row/column security layer compiles to.
+
+    All masking is JVM expression work on a dimension table; the two
+    generalization joins broadcast (25- and 5-row sides).  At 100 TB the
+    masked VIEW costs nothing at rest — it re-derives on read, and
+    predicate pushdown still reaches the base scan through it."""
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n),
+                   c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select(
+                "c_custkey",
+                F.substring(F.md5(F.col("c_name").cast("binary")), 1, 12)
+                 .alias("name_token"),
+                (F.floor(F.col("c_acctbal") / 1000) * 1000)
+                 .cast("bigint").alias("acctbal_band"),
+                F.col("r_name").alias("region"),
+                "c_mktsegment"))
