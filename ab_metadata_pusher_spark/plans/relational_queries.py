@@ -2016,3 +2016,63 @@ def q_agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_cnt")))
     return (tru.join(est, "l_partkey")
             .select(F.col("l_partkey").alias("item"), "true_cnt", "cm_est"))
+
+
+def _cm_join_oracle() -> str:
+    from ab_metadata_pusher_spark.operators.sketches import (
+        CM_DEPTH, cm_cell_sql)
+    a_sel = " UNION ALL ".join(
+        f"SELECT {r} AS r, "
+        f"{cm_cell_sql('CAST(l_orderkey AS VARCHAR)', r)} AS c "
+        f"FROM lineitem" for r in range(CM_DEPTH))
+    b_sel = " UNION ALL ".join(
+        f"SELECT {r} AS r, "
+        f"{cm_cell_sql('CAST(o_orderkey AS VARCHAR)', r)} AS c "
+        f"FROM orders" for r in range(CM_DEPTH))
+    return f"""
+WITH ca AS MATERIALIZED (
+  SELECT r, c, count(*) AS cnt FROM ({a_sel}) GROUP BY r, c),
+cb AS MATERIALIZED (
+  SELECT r, c, count(*) AS cnt FROM ({b_sel}) GROUP BY r, c),
+ip AS (SELECT ca.r, sum(ca.cnt * cb.cnt) AS est
+       FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY ca.r),
+tru AS (SELECT count(*) AS true_size
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT CAST(min(est) AS BIGINT) AS est_join_size,
+       CAST(max(true_size) AS BIGINT) AS true_join_size
+FROM ip, tru
+"""
+
+
+@register("analytics_join_size_estimate", oracle=_cm_join_oracle(),
+          covers=("G.analytics.join_size",))
+def q_analytics_join_size_estimate(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Equi-join cardinality prediction WITHOUT running the join: the
+    inner product of the two sides' Count-Min rows (min over depth)
+    upper-bounds |A ⋈ B| — the sketch trick cost-based optimizers use
+    to choose join order/strategy before touching the data.  Reported
+    next to the true join size, which the estimate can never undercut
+    (per-row inner products only add hash-collision cross terms).
+
+    Each side folds to a 256-cell sketch (one narrow groupBy apiece);
+    the "join" that produces the estimate is 256x256 cells, constant
+    at any input scale — this is what makes sketch-based planning free
+    compared to sampling.  Cells come from the same md5-slice family as
+    agg_countmin_sketch, so the oracle rebuilds them exactly."""
+    from ab_metadata_pusher_spark.operators.sketches import countmin_build
+    par = spark.sparkContext.defaultParallelism
+    li = (_t(spark, sf_dir, "lineitem").select("l_orderkey")
+          .repartition(par))
+    o = (_t(spark, sf_dir, "orders").select("o_orderkey")
+         .repartition(par))
+    ca = countmin_build(li, "l_orderkey")
+    cb = countmin_build(o, "o_orderkey")
+    ip = (ca.join(cb.withColumnRenamed("cnt", "cnt_b"), ["r", "c"])
+          .groupBy("r")
+          .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("est")))
+    tru = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .agg(F.count(F.lit(1)).alias("true_size")))
+    return (ip.agg(F.min("est").alias("est_join_size"))
+            .crossJoin(F.broadcast(tru.select(
+                F.max("true_size").alias("true_join_size")))))
