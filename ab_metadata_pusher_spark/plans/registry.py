@@ -78,7 +78,7 @@ def _load_all() -> None:
 #: (similarity_ann_lsh), not the brute-force baseline.  Use
 #: scripts/prefix_planner.py to plan the next rotation.
 #:
-#: ROUND-4 PREP (state at end of round 3): 227 registered, 221
+#: ROUND-4 PREP (state at end of round 3): 230 registered, 224
 #: oracle-backed, 70 driver-green-ever; the planner's rotation pool
 #: (oracle-backed, never driver-scored) holds ~150 names.  Keep the
 #: 15 sentinels, swap the 35 rotation slots to pool names — the
@@ -90,7 +90,8 @@ def _load_all() -> None:
 #: boilerplate-lines/entity-resolution/zorder/winsorize/
 #: correlated-scalar/having-in/disjunctive-join/join-view-IVM/
 #: ks-drift/chi-square/quantile-normalize/random-projection/
-#: count-min-batch/count-min-stream) and untouched scalar/window
+#: count-min-batch/count-min-stream/masked-view/normal-equations-OLS/
+#: join-size-estimate) and untouched scalar/window
 #: variants.
 DRIVER_PREFIX: tuple[str, ...] = (
     # --- sentinel core (driver-green in r2, one per family) ---

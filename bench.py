@@ -121,6 +121,9 @@ REGISTRY_BENCH = [
     "embedding_random_projection",
     "agg_countmin_sketch",
     "stream_countmin_cells",
+    "metadata_masked_view",
+    "analytics_ols_normal_equations",
+    "analytics_join_size_estimate",
 ]
 
 

@@ -70,7 +70,9 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      "analytics_ks_drift",
                      # 1-row broadcast of the global reference
                      # distribution array
-                     "quality_quantile_normalize"}
+                     "quality_quantile_normalize",
+                     # 1-row x 1-row estimate-vs-truth cross join
+                     "analytics_join_size_estimate"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -120,7 +122,8 @@ DEFAULT = [
     "subquery_correlated_scalar", "agg_having_in", "join_disjunctive_pred",
     "cdc_join_view_delta", "analytics_ks_drift", "analytics_chi_square",
     "quality_quantile_normalize", "embedding_random_projection",
-    "agg_countmin_sketch",
+    "agg_countmin_sketch", "metadata_masked_view",
+    "analytics_ols_normal_equations", "analytics_join_size_estimate",
 ]
 
 
