@@ -1115,8 +1115,8 @@ _OLS_SUMS = """
 @register(
     "analytics_ols_normal_equations",
     oracle=f"""
-WITH s AS (SELECT {_OLS_SUMS},
-           CAST(NULL AS DOUBLE) AS _pad FROM lineitem)
+WITH s AS (SELECT {_OLS_SUMS}
+           FROM lineitem)
 SELECT {_OLS_SELECT} FROM
 (SELECT CAST(n AS DOUBLE) AS n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy
  FROM s)
