@@ -4039,3 +4039,60 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
         cols.append(F.round(dot / F.lit(float(_RP_D) ** 0.5), 6)
                     .alias(f"p{i}"))
     return e.select("vec_id", *cols)
+
+
+@register(
+    "quality_label_consistency",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS nlab,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+           AS rank
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+votes AS (SELECT query_id, nlab, count(*) AS c
+          FROM scored WHERE rank <= 5 GROUP BY query_id, nlab),
+maj AS (SELECT query_id, nlab AS nn_majority FROM (
+          SELECT query_id, nlab, row_number() OVER (
+            PARTITION BY query_id ORDER BY c DESC, nlab) AS rn
+          FROM votes) WHERE rn = 1)
+SELECT e.vec_id, e.label, m.nn_majority,
+       e.label <> m.nn_majority AS is_suspect
+FROM e JOIN maj m ON m.query_id = e.vec_id
+""",
+    covers=("G.quality.label_noise",),
+)
+def q_quality_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection over the embedding table (confident-learning
+    lite): each vector's label is checked against the MAJORITY label of
+    its 5 nearest neighbors by cosine — disagreement flags a suspect
+    label, the standard first pass before training on labeled corpus
+    data.  Majority ties break to the smallest label; neighbor ties to
+    the smallest id (both pinned so the oracle agrees).
+
+    The neighbor stage here is the exact brute-force form over the
+    bounded fixture (the registered ANN paths — similarity_ann_lsh /
+    similarity_ann_ivf — are the drop-in at corpus scale; only the
+    candidate generator changes, the vote and flag stages are
+    unchanged).  The vote is one (query, label) count + one argmax
+    fold, both map-side combinable."""
+    from ab_metadata_pusher_spark.operators.similarity import (
+        topk_cosine_bruteforce)
+    e = load_table(spark, sf_dir, "embeddings")
+    nn = topk_cosine_bruteforce(e, e, k=5)
+    labs = e.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("nlab"))
+    maj = (nn.join(F.broadcast(labs), "neighbor_id")
+           .groupBy("query_id", "nlab").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("query_id")
+           .agg(F.max(F.struct(F.col("c"),
+                               (-F.col("nlab")).alias("neg"))).alias("m"))
+           .select("query_id", (-F.col("m.neg")).alias("nn_majority")))
+    return (e.select("vec_id", "label")
+            .join(maj, F.col("vec_id") == F.col("query_id"))
+            .select("vec_id", "label", "nn_majority",
+                    (F.col("label") != F.col("nn_majority"))
+                    .alias("is_suspect")))
