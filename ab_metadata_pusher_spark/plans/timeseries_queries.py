@@ -641,3 +641,81 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases, clicks = _purchases_and_clicks(spark, sf_dir)
     return asof_join(purchases, clicks, on="user_id",
                      right_payload=["event_id"], tolerance_sec=900)
+
+
+@register(
+    "timeseries_downsample_lttb",
+    oracle="""
+WITH p AS (SELECT event_id, epoch(CAST(ts AS TIMESTAMP)) AS t,
+                  value AS v FROM events),
+ext AS (SELECT min(t) AS t0, max(t) AS t1 FROM p),
+b AS (SELECT event_id, t, v,
+             CAST(floor((t - t0) * 100 / (t1 - t0 + 1)) AS BIGINT)
+               AS bucket
+      FROM p, ext),
+m AS (SELECT bucket, avg(t) AS mx, avg(v) AS my FROM b GROUP BY bucket),
+mm AS (SELECT bucket, lag(mx) OVER w AS pmx, lag(my) OVER w AS pmy,
+              lead(mx) OVER w AS nmx, lead(my) OVER w AS nmy
+       FROM m WINDOW w AS (ORDER BY bucket)),
+a AS (SELECT b.bucket, b.event_id, b.v,
+             coalesce(abs((pmx - nmx) * (b.v - pmy)
+                          - (pmx - b.t) * (nmy - pmy)), 0.0) AS area
+      FROM b JOIN mm USING (bucket)),
+sel AS (SELECT bucket, event_id, v, area,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY area DESC, event_id) AS rn
+        FROM a)
+SELECT bucket, event_id, round(v, 2) AS value, round(area, 4) AS area
+FROM sel WHERE rn = 1
+""",
+    covers=("G.timeseries.downsample",),
+)
+def q_timeseries_downsample_lttb(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Peak-preserving downsampling to 100 points (LTTB's bucketed
+    largest-triangle criterion with fixed neighbor-bucket-mean anchors —
+    the parallelizable variant): per time bucket keep the point whose
+    triangle against the adjacent buckets' means has maximal area, so
+    the 100-point sketch preserves spikes a mean/first downsample
+    flattens.  What every monitoring/charting backend does before
+    plotting a billion points.
+
+    Fixed anchors make every bucket independent (the classic LTTB chains
+    sequentially through selected points — unparallelizable): one
+    bucket-stats aggregate (100 rows, broadcast back), one per-bucket
+    argmax, zero sequential state.  Edge buckets (no neighbor) fall back
+    to smallest-id deterministically."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select("event_id",
+                  F.col("ts").cast("timestamp_ltz").cast("double")
+                  .alias("t"),
+                  F.col("value").alias("v"))
+    ext = p.agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    b = (p.crossJoin(F.broadcast(ext))
+         .withColumn("bucket",
+                     F.floor((F.col("t") - F.col("t0")) * 100
+                             / (F.col("t1") - F.col("t0") + 1))
+                     .cast("bigint")))
+    m = b.groupBy("bucket").agg(F.avg("t").alias("mx"),
+                                F.avg("v").alias("my"))
+    wb = Window.orderBy("bucket")
+    mm = m.select("bucket",
+                  F.lag("mx").over(wb).alias("pmx"),
+                  F.lag("my").over(wb).alias("pmy"),
+                  F.lead("mx").over(wb).alias("nmx"),
+                  F.lead("my").over(wb).alias("nmy"))
+    a = (b.join(F.broadcast(mm), "bucket")
+         .withColumn("area", F.coalesce(
+             F.abs((F.col("pmx") - F.col("nmx"))
+                   * (F.col("v") - F.col("pmy"))
+                   - (F.col("pmx") - F.col("t"))
+                   * (F.col("nmy") - F.col("pmy"))), F.lit(0.0))))
+    ws = Window.partitionBy("bucket").orderBy(F.col("area").desc(),
+                                              "event_id")
+    return (a.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("bucket", "event_id",
+                    F.round("v", 2).alias("value"),
+                    F.round("area", 4).alias("area")))
