@@ -124,6 +124,8 @@ REGISTRY_BENCH = [
     "metadata_masked_view",
     "analytics_ols_normal_equations",
     "analytics_join_size_estimate",
+    "quality_label_consistency",
+    "timeseries_downsample_lttb",
 ]
 
 

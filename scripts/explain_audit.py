@@ -72,7 +72,12 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      # distribution array
                      "quality_quantile_normalize",
                      # 1-row x 1-row estimate-vs-truth cross join
-                     "analytics_join_size_estimate"}
+                     "analytics_join_size_estimate",
+                     # bounded brute-force kNN baseline (ANN is the
+                     # documented corpus-scale candidate generator)
+                     "quality_label_consistency",
+                     # 1-row time-extent broadcast onto the point stream
+                     "timeseries_downsample_lttb"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
@@ -124,6 +129,7 @@ DEFAULT = [
     "quality_quantile_normalize", "embedding_random_projection",
     "agg_countmin_sketch", "metadata_masked_view",
     "analytics_ols_normal_equations", "analytics_join_size_estimate",
+    "quality_label_consistency", "timeseries_downsample_lttb",
 ]
 
 
