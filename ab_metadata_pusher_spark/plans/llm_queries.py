@@ -4096,3 +4096,31 @@ def q_quality_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label", "nn_majority",
                     (F.col("label") != F.col("nn_majority"))
                     .alias("is_suspect")))
+
+
+@register(
+    "orc_corpus_ingest",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars > 100 GROUP BY lang
+""",
+    covers=("A.orc",),
+)
+def q_orc_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC corpus round trip (sources/orc_corpus.py) — the second
+    columnar format, on Spark's native reader: documents written as ORC,
+    read back with a pushable predicate and a 3-column projection, so
+    the scan exercises exactly what a columnar warehouse buys (stripe-
+    stat predicate pushdown + column pruning; the schema rides in the
+    file, so there is no corrupt-record path to quarantine — that
+    concept belongs to the text formats).  Completes the format matrix:
+    parquet fixtures, CSV/JSONL/XML/WARC tolerant reads, ORC columnar."""
+    from ab_metadata_pusher_spark.sources.orc_corpus import (
+        prepare_documents_orc, read_orc_corpus)
+    path = prepare_documents_orc(spark, sf_dir)
+    return (read_orc_corpus(spark, path)
+            .filter(F.col("n_chars") > 100)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))

@@ -367,3 +367,20 @@ def test_sharded_shuffle_order_is_deterministic_per_salt(spark, sf_dir,
     assert a1 == a2, "same salt must reproduce the same order"
     assert sorted(a1) == sorted(b), "salt must not change shard membership"
     assert a1 != b, "different salt must permute the order"
+
+
+def test_orc_roundtrip_pushes_filter_and_prunes_columns(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.sources.orc_corpus import (
+        prepare_documents_orc, read_orc_corpus)
+
+    path = prepare_documents_orc(spark, sf_dir)
+    df = (read_orc_corpus(spark, path)
+          .filter(F.col("n_chars") > 100)
+          .select("lang", "n_chars"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(n_chars,100)" in plan  # stripe-stat pushdown
+    assert "text" not in plan.split("ReadSchema")[-1]  # pruned projection
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert df.count() == base.filter("n_chars > 100").count()
