@@ -126,6 +126,7 @@ REGISTRY_BENCH = [
     "analytics_join_size_estimate",
     "quality_label_consistency",
     "timeseries_downsample_lttb",
+    "orc_corpus_ingest",
 ]
 
 

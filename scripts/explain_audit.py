@@ -130,6 +130,7 @@ DEFAULT = [
     "agg_countmin_sketch", "metadata_masked_view",
     "analytics_ols_normal_equations", "analytics_join_size_estimate",
     "quality_label_consistency", "timeseries_downsample_lttb",
+    "orc_corpus_ingest",
 ]
 
 
