@@ -4045,7 +4045,7 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     "quality_label_consistency",
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
-           FROM embeddings),
+           FROM embeddings WHERE vec_id < 500),
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS nlab,
          row_number() OVER (
@@ -4073,15 +4073,18 @@ def q_quality_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     data.  Majority ties break to the smallest label; neighbor ties to
     the smallest id (both pinned so the oracle agrees).
 
-    The neighbor stage here is the exact brute-force form over the
-    bounded fixture (the registered ANN paths — similarity_ann_lsh /
-    similarity_ann_ivf — are the drop-in at corpus scale; only the
-    candidate generator changes, the vote and flag stages are
-    unchanged).  The vote is one (query, label) count + one argmax
-    fold, both map-side combinable."""
+    The neighbor stage here is the exact brute-force form over a
+    BOUNDED slice (vec_id < 500, the whole table at sf0.01 — same
+    convention as the doc-pair queries' doc_id bound: all-pairs is
+    quadratic, measured 14.8x super-linear unbounded at sf0.1).  At
+    corpus scale the registered ANN paths — similarity_ann_lsh /
+    similarity_ann_ivf — are the drop-in candidate generator; the vote
+    and flag stages are unchanged.  The vote is one (query, label)
+    count + one argmax fold, both map-side combinable."""
     from ab_metadata_pusher_spark.operators.similarity import (
         topk_cosine_bruteforce)
-    e = load_table(spark, sf_dir, "embeddings")
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < 500))
     nn = topk_cosine_bruteforce(e, e, k=5)
     labs = e.select(F.col("vec_id").alias("neighbor_id"),
                     F.col("label").alias("nlab"))
