@@ -1166,3 +1166,90 @@ def _split_ols_select() -> list[str]:
             cur.append(ch)
     parts.append("".join(cur).strip())
     return parts
+
+
+# --------------------------------------------------------------------------
+# Spatial proximity join (grid-cell bucketing, no all-pairs)
+# --------------------------------------------------------------------------
+
+_GEO_CELL = 0.02   # degrees per grid cell
+_GEO_RADIUS = 0.015  # match radius (deg) — strictly inside one cell ring
+
+
+def _geo_oracle() -> str:
+    from ab_metadata_pusher_spark.functions.hashing import sql_md5_long
+    lat_h = sql_md5_long("'lat:' || CAST(c_custkey AS VARCHAR)")
+    lon_h = sql_md5_long("'lon:' || CAST(c_custkey AS VARCHAR)")
+    lat = f"(({lat_h} % 10000) / 10000.0 + 50)"
+    lon = f"(({lon_h} % 10000) / 10000.0 + 8)"
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT c_custkey AS pid, {lat} AS lat, {lon} AS lon FROM customer),
+cells AS (SELECT pid, lat, lon,
+                 CAST(floor(lat / {_GEO_CELL}) AS BIGINT) AS cy,
+                 CAST(floor(lon / {_GEO_CELL}) AS BIGINT) AS cx
+          FROM pts),
+expanded AS (
+  SELECT pid, lat, lon, cy + dy.d AS cy, cx + dx.d AS cx
+  FROM cells,
+       (VALUES (-1), (0), (1)) dy(d), (VALUES (-1), (0), (1)) dx(d)),
+pairs AS (
+  SELECT a.pid AS pid_a, b.pid AS pid_b,
+         sqrt((a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon)) AS deg_dist
+  FROM expanded a JOIN cells b ON a.cy = b.cy AND a.cx = b.cx
+  WHERE a.pid < b.pid)
+SELECT pid_a, pid_b, round(deg_dist, 6) AS deg_dist
+FROM pairs WHERE deg_dist < {_GEO_RADIUS}
+"""
+
+
+@register("join_geo_proximity", oracle=_geo_oracle(),
+          covers=("G.join.geo_proximity",))
+def q_join_geo_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join: all point pairs within a 0.015°
+    radius, found by GRID-CELL bucketing — one side explodes into its
+    3x3 neighbor cells, the other stays put, candidates come from a
+    plain equi-join on the cell key and only they pay the exact distance
+    check.  The spatial analog of the LSH-band near-dup joins: work is
+    proportional to local density², never n².  Each unordered pair
+    surfaces exactly once (the 3x3 ring of a covers every cell b can
+    occupy; a < b orders it), so no post-join dedup.
+
+    Coordinates are md5-derived from the customer key inside a 1°x1° box
+    (the fixtures carry no geo columns; the shared cross-engine hash
+    family makes both engines see identical points).  At 100 TB this is
+    the standard geohash/S2 join shape: pick the cell size >= the match
+    radius, salt only the few cells that are urban-dense."""
+    from ab_metadata_pusher_spark.functions.hashing import md5_long
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    key = F.col("c_custkey").cast("string")
+    lat = (F.pmod(md5_long(F.concat(F.lit("lat:"), key)), F.lit(10000))
+           / 10000.0 + 50)
+    lon = (F.pmod(md5_long(F.concat(F.lit("lon:"), key)), F.lit(10000))
+           / 10000.0 + 8)
+    pts = c.select(F.col("c_custkey").alias("pid"),
+                   lat.alias("lat"), lon.alias("lon"))
+    cells = pts.select(
+        "pid", "lat", "lon",
+        F.floor(F.col("lat") / _GEO_CELL).cast("bigint").alias("cy"),
+        F.floor(F.col("lon") / _GEO_CELL).cast("bigint").alias("cx"))
+    ring = F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                     for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    expanded = (cells.select("pid", "lat", "lon", "cy", "cx",
+                             F.explode(ring).alias("d"))
+                .select("pid", "lat", "lon",
+                        (F.col("cy") + F.col("d.dy")).alias("cy"),
+                        (F.col("cx") + F.col("d.dx")).alias("cx")))
+    a, b = expanded.alias("a"), cells.alias("b")
+    dlat = F.col("a.lat") - F.col("b.lat")
+    dlon = F.col("a.lon") - F.col("b.lon")
+    dist = F.sqrt(dlat * dlat + dlon * dlon)
+    return (a.join(b, (F.col("a.cy") == F.col("b.cy"))
+                   & (F.col("a.cx") == F.col("b.cx"))
+                   & (F.col("a.pid") < F.col("b.pid")))
+            .withColumn("deg_dist", dist)
+            .filter(F.col("deg_dist") < _GEO_RADIUS)
+            .select(F.col("a.pid").alias("pid_a"),
+                    F.col("b.pid").alias("pid_b"),
+                    F.round("deg_dist", 6).alias("deg_dist")))

@@ -127,6 +127,7 @@ REGISTRY_BENCH = [
     "quality_label_consistency",
     "timeseries_downsample_lttb",
     "orc_corpus_ingest",
+    "join_geo_proximity",
 ]
 
 

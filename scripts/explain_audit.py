@@ -131,6 +131,7 @@ DEFAULT = [
     "analytics_ols_normal_equations", "analytics_join_size_estimate",
     "quality_label_consistency", "timeseries_downsample_lttb",
     "orc_corpus_ingest",
+    "join_geo_proximity",
 ]
 
 
