@@ -1253,3 +1253,56 @@ def q_join_geo_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.pid").alias("pid_a"),
                     F.col("b.pid").alias("pid_b"),
                     F.round("deg_dist", 6).alias("deg_dist")))
+
+
+@register(
+    "analytics_skyline_2d",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderdate
+FROM orders a
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders b
+  WHERE (b.o_totalprice < a.o_totalprice
+         AND b.o_orderdate <= a.o_orderdate)
+     OR (b.o_totalprice <= a.o_totalprice
+         AND b.o_orderdate < a.o_orderdate))
+""",
+    covers=("G.analytics.skyline",),
+)
+def q_analytics_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (minimize price AND date): orders no other
+    order beats on both dimensions — the multi-criteria shortlist
+    behind "cheapest recent" product/result pages.  The oracle states
+    the quadratic NOT-EXISTS dominance definition; the engine computes
+    the same set in O(n log n) with the sort-sweep identity — a point
+    survives iff its date is strictly below every smaller-price point's
+    running date minimum (ties grouped so equal-price points can't
+    knock each other out).
+
+    The sweep is one global sort (Spark range-partitions it) plus a
+    running min — no self-join at all; at 100 TB pre-filter with a
+    per-partition LOCAL skyline first (dominance is transitive), which
+    cuts the sort input to the union of partition skylines.
+
+    Ties need care in the sweep: sorting DISTINCT (price, date) pairs by
+    (price, date) makes "running date-min of all preceding pairs" a
+    complete dominance witness — an equal-price earlier-date pair and a
+    cheaper equal-date pair both land before the victim and push the min
+    to <= its date, while exact-duplicate points (which dominate nothing)
+    collapse into one surviving pair and rejoin at the end."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate")
+    pairs = o.select("o_totalprice", "o_orderdate").distinct()
+    d = F.col("o_orderdate").cast("timestamp_ltz").cast("double")
+    w = (Window.orderBy("o_totalprice", "o_orderdate")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    sky = (pairs.withColumn("min_d_before", F.min(d).over(w))
+           .filter(F.col("min_d_before").isNull()
+                   | (d < F.col("min_d_before")))
+           .select("o_totalprice", "o_orderdate"))
+    return (o.join(sky, ["o_totalprice", "o_orderdate"], "semi")
+            .select("o_orderkey",
+                    F.round("o_totalprice", 2).alias("price"),
+                    "o_orderdate"))

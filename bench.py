@@ -128,6 +128,7 @@ REGISTRY_BENCH = [
     "timeseries_downsample_lttb",
     "orc_corpus_ingest",
     "join_geo_proximity",
+    "analytics_skyline_2d",
 ]
 
 

@@ -132,6 +132,7 @@ DEFAULT = [
     "quality_label_consistency", "timeseries_downsample_lttb",
     "orc_corpus_ingest",
     "join_geo_proximity",
+    "analytics_skyline_2d",
 ]
 
 

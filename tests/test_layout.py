@@ -62,3 +62,36 @@ def test_zorder_value_is_exact_bit_interleave(spark):
 
     for (x, y), z in out.items():
         assert z == morton(x, y)
+
+
+def test_skyline_handles_all_tie_shapes(spark, tmp_path):
+    """Equal-price earlier-date dominates; equal-date cheaper dominates;
+    exact duplicates survive together — the sweep must agree with the
+    brute-force dominance definition on every tie shape."""
+    import datetime as dt
+
+    from ab_metadata_pusher_spark.plans.registry import queries
+
+    rows = [
+        # (orderkey, price, date)
+        (1, 100.0, dt.date(2024, 1, 5)),   # skyline
+        (2, 100.0, dt.date(2024, 1, 9)),   # equal price, later date: out
+        (3, 90.0, dt.date(2024, 1, 9)),    # skyline (cheaper)
+        (4, 95.0, dt.date(2024, 1, 9)),    # dominated by 3 (equal date)
+        (5, 90.0, dt.date(2024, 1, 9)),    # exact duplicate of 3: kept
+        (6, 80.0, dt.date(2024, 2, 1)),    # skyline (cheapest)
+        (7, 85.0, dt.date(2024, 3, 1)),    # dominated by 6
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate date")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {r.o_orderkey for r in
+           queries()["analytics_skyline_2d"](spark, str(tmp_path))
+           .collect()}
+
+    def dominated(a):
+        return any(
+            (b[1] < a[1] and b[2] <= a[2]) or (b[1] <= a[1] and b[2] < a[2])
+            for b in rows)
+    want = {a[0] for a in rows if not dominated(a)}
+    assert got == want == {1, 3, 5, 6}
