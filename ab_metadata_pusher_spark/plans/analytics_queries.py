@@ -1306,3 +1306,47 @@ def q_analytics_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey",
                     F.round("o_totalprice", 2).alias("price"),
                     "o_orderdate"))
+
+
+@register(
+    "events_trigram_paths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path LIMIT 20
+""",
+    covers=("G.analytics.paths",),
+)
+def q_events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 three-step behavioral paths (the order-2 sequence view the
+    order-1 events_markov_transitions can't show — 'view>click>purchase'
+    vs just pairwise hops): per-user time-ordered lead windows build the
+    trigrams in one pass, then a global count keyed on the path string.
+    Ties in the top-20 cut break on the path text so the cut is
+    deterministic in both engines.
+
+    One shuffle on user_id for the windows (reused across both leads),
+    one map-side-combined count on a key space bounded by |event_types|³
+    — at 100 TB the path-count frame, not the event stream, is what the
+    final ORDER BY touches."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (seq.filter(F.col("e3").isNotNull())
+            .select(F.concat_ws(">", "event_type", "e2", "e3")
+                    .alias("path"))
+            .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "path").limit(20))

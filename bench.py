@@ -129,6 +129,7 @@ REGISTRY_BENCH = [
     "orc_corpus_ingest",
     "join_geo_proximity",
     "analytics_skyline_2d",
+    "events_trigram_paths",
 ]
 
 

@@ -133,6 +133,7 @@ DEFAULT = [
     "orc_corpus_ingest",
     "join_geo_proximity",
     "analytics_skyline_2d",
+    "events_trigram_paths",
 ]
 
 
