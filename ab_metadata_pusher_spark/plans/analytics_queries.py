@@ -1350,3 +1350,123 @@ def q_events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("path"))
             .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), "path").limit(20))
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+WITH u AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+         round(sum(value), 2) AS monetary
+  FROM events GROUP BY user_id),
+q AS (
+  SELECT user_id, freq, monetary,
+         ntile(5) OVER (ORDER BY last_ts, user_id) AS r,
+         ntile(5) OVER (ORDER BY freq, user_id) AS f,
+         ntile(5) OVER (ORDER BY monetary, user_id) AS m
+  FROM u)
+SELECT r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(freq), 4) AS avg_freq,
+       round(avg(monetary), 4) AS avg_monetary
+FROM q GROUP BY segment
+""",
+    covers=("G.analytics.rfm",),
+)
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles — the
+    standard behavioral-cohort cut): one per-user aggregate, three
+    ntile(5) ranks over it, segment = the concatenated quintile code,
+    reported with per-segment size and averages.  Quintile ties break on
+    user_id so the bucket boundaries are identical in both engines.
+
+    The user frame (not the event stream) carries all three windows —
+    #users rows through each ntile sort; at 100 TB replace exact ntile
+    with percentile_approx cutpoints and a range join, keeping the same
+    segment codes."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.max("ts").alias("last_ts"),
+              F.count(F.lit(1)).alias("freq"),
+              F.round(F.sum("value"), 2).alias("monetary")))
+    r = F.ntile(5).over(Window.orderBy("last_ts", "user_id"))
+    f = F.ntile(5).over(Window.orderBy("freq", "user_id"))
+    m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))
+    q = u.select("freq", "monetary", r.alias("r"), f.alias("f"),
+                 m.alias("m"))
+    return (q.select(F.concat(F.col("r").cast("string"),
+                              F.col("f").cast("string"),
+                              F.col("m").cast("string")).alias("segment"),
+                     "freq", "monetary")
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.avg("freq"), 4).alias("avg_freq"),
+                 F.round(F.avg("monetary"), 4).alias("avg_monetary")))
+
+
+@register(
+    "orders_basket_lift",
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+      FROM ob),
+sup AS (SELECT l_partkey, count(*) AS s FROM ob GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS s_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb HAVING count(*) >= 2)
+SELECT pa, pb, CAST(s_ab AS BIGINT) AS support,
+       round(s_ab / CAST(sa.s AS DOUBLE), 4) AS confidence,
+       round(s_ab * n.n_orders / (sa.s * CAST(sb.s AS DOUBLE)), 4)
+         AS lift
+FROM pairs
+JOIN sup sa ON sa.l_partkey = pairs.pa
+JOIN sup sb ON sb.l_partkey = pairs.pb
+CROSS JOIN n
+ORDER BY lift DESC, pa, pb LIMIT 20
+""",
+    covers=("G.analytics.basket",),
+)
+def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts: support
+    (co-occurrence count, min 2), confidence (P(b|a)) and lift
+    (observed / expected-under-independence), top 20 by lift — the
+    metric layer on top of the raw co-occurrence edges the graph
+    queries use.  Support-gating BEFORE the metric joins is the Apriori
+    downward-closure step: only pairs that clear min-support pay for
+    their margins.
+
+    The pair counts reuse the per-order sorted-array expansion (one
+    groupBy shuffle, no fact self-join — the oracle states the
+    self-join); the margin frames broadcast.  Ties in the top-20 cut
+    break on the pair key, deterministic in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per = (li.groupBy("l_orderkey")
+           .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pairs_col = F.flatten(F.transform("ps", lambda x, i: F.transform(
+        F.slice("ps", i + F.lit(2), F.size("ps")),
+        lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+    pairs = (per.select(F.explode(pairs_col).alias("p"))
+             .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+             .agg(F.count(F.lit(1)).alias("s_ab"))
+             .filter(F.col("s_ab") >= 2))
+    ob = li.distinct()
+    sup = ob.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    n = per.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    return (pairs
+            .join(F.broadcast(sup.select(F.col("l_partkey").alias("pa"),
+                                         F.col("s").alias("sa"))), "pa")
+            .join(F.broadcast(sup.select(F.col("l_partkey").alias("pb"),
+                                         F.col("s").alias("sb"))), "pb")
+            .crossJoin(F.broadcast(n))
+            .select("pa", "pb", F.col("s_ab").alias("support"),
+                    F.round(F.col("s_ab") / F.col("sa").cast("double"), 4)
+                     .alias("confidence"),
+                    F.round(F.col("s_ab") * F.col("n_orders")
+                            / (F.col("sa") * F.col("sb").cast("double")), 4)
+                     .alias("lift"))
+            .orderBy(F.col("lift").desc(), "pa", "pb").limit(20))

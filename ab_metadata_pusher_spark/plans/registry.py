@@ -78,7 +78,7 @@ def _load_all() -> None:
 #: (similarity_ann_lsh), not the brute-force baseline.  Use
 #: scripts/prefix_planner.py to plan the next rotation.
 #:
-#: ROUND-4 PREP (state at end of round 3): 236 registered, 230
+#: ROUND-4 PREP (state at end of round 3): 238 registered, 232
 #: oracle-backed, 70 driver-green-ever; the planner's rotation pool
 #: (oracle-backed, never driver-scored) holds ~150 names.  Keep the
 #: 15 sentinels, swap the 35 rotation slots to pool names — the

@@ -130,6 +130,8 @@ REGISTRY_BENCH = [
     "join_geo_proximity",
     "analytics_skyline_2d",
     "events_trigram_paths",
+    "events_rfm_segments",
+    "orders_basket_lift",
 ]
 
 

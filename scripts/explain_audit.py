@@ -134,6 +134,8 @@ DEFAULT = [
     "join_geo_proximity",
     "analytics_skyline_2d",
     "events_trigram_paths",
+    "events_rfm_segments",
+    "orders_basket_lift",
 ]
 
 
