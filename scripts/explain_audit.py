@@ -77,7 +77,9 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      # documented corpus-scale candidate generator)
                      "quality_label_consistency",
                      # 1-row time-extent broadcast onto the point stream
-                     "timeseries_downsample_lttb"}
+                     "timeseries_downsample_lttb",
+                     # 1-row order-total broadcast onto the gated pairs
+                     "orders_basket_lift"}
 
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
