@@ -556,7 +556,11 @@ def ppjoin_pairs(df: DataFrame, threshold: float, n: int = 3,
     """
     sh = doc_shingles(df, n, text_col, id_col)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    docs_arr = (sh.join(F.broadcast(dfreq), "shingle")
+    # No explicit broadcast hint: dfreq is VOCABULARY-sized, which at
+    # corpus scale exceeds executor memory.  Leaving the strategy to
+    # AQE/autoBroadcastJoinThreshold gets the broadcast for free while
+    # the vocab fits and degrades to a shuffle join (not an OOM) past it.
+    docs_arr = (sh.join(dfreq, "shingle")
                 .groupBy("sid")
                 .agg(F.sort_array(F.collect_list(
                     F.struct("df", "shingle"))).alias("sorted_sh")))

@@ -61,12 +61,14 @@ def gramian_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
 
 
 def covariance(df: DataFrame, vec_col: str, d: int,
-               decimals: int = 6) -> DataFrame:
+               decimals: int | None = 6) -> DataFrame:
     """Population covariance matrix as ``(i, j, cov)`` rows.
 
     cov(i,j) = E[x_i x_j] - E[x_i] E[x_j], assembled from the combined
     partials with two broadcast joins against the d-row moment slice and
-    the 1-row count — no driver collect.
+    the 1-row count — no driver collect.  ``decimals`` rounds for
+    cross-engine hash comparison; ``decimals=None`` skips rounding
+    entirely (full float64) for numeric consumers like ``pca_eigh``.
     """
     p = gramian_partials(df, vec_col, d)
     xy = p.filter((F.col("i") >= 0) & (F.col("j") >= 0))
@@ -85,10 +87,14 @@ def covariance(df: DataFrame, vec_col: str, d: int,
             .select("i", "j",
                     # + 0.0 collapses IEEE negative zero after rounding so
                     # both engines render exact-zero covariances identically
-                    (F.round(F.col("s") / F.col("n")
-                             - (F.col("sxi") / F.col("n"))
-                             * (F.col("sxj") / F.col("n")),
-                             decimals) + F.lit(0.0)).alias("cov")))
+                    ((F.col("s") / F.col("n")
+                      - (F.col("sxi") / F.col("n"))
+                      * (F.col("sxj") / F.col("n"))).alias("cov")
+                     if decimals is None else
+                     (F.round(F.col("s") / F.col("n")
+                              - (F.col("sxi") / F.col("n"))
+                              * (F.col("sxj") / F.col("n")),
+                              decimals) + F.lit(0.0)).alias("cov"))))
 
 
 def pca_eigh(df: DataFrame, vec_col: str, d: int,
@@ -102,7 +108,7 @@ def pca_eigh(df: DataFrame, vec_col: str, d: int,
     largest components, deterministically ordered.
     """
     spark = df.sparkSession
-    rows = covariance(df, vec_col, d, decimals=12).collect()
+    rows = covariance(df, vec_col, d, decimals=None).collect()
     C = np.zeros((d, d))
     for r in rows:
         C[r.i, r.j] = r.cov

@@ -211,5 +211,11 @@ def countmin_estimate(cells: DataFrame, probes: DataFrame, col: str,
     pairs = cm_pairs(F.col(col).cast("string"), depth, width)
     ph = probes.select(F.col(col), F.explode(pairs).alias("p")) \
                .select(col, F.col("p.r").alias("r"), F.col("p.c").alias("c"))
-    return (ph.join(F.broadcast(cells), ["r", "c"])
-            .groupBy(col).agg(F.min("cnt").alias("cm_est")))
+    # Left join: a probe key may hash into cells the stream never touched
+    # (count 0).  An inner join would drop those depth rows — inflating the
+    # min for partially-absent keys and erasing fully-absent probes from
+    # the output; coalesce(cnt, 0) keeps the contract "min over ALL depth
+    # cells", so never-seen keys estimate exactly 0.
+    return (ph.join(F.broadcast(cells), ["r", "c"], "left")
+            .groupBy(col).agg(
+                F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est")))

@@ -530,25 +530,31 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-empty partitions cost per-round scheduling).
     conf_key = "spark.sql.shuffle.partitions"
     prev_conf = spark.conf.get(conf_key)
+    # try/finally: a mid-loop failure (executor OOM, cancelled stage) must
+    # not leak the 8-partition setting or the persisted edges into the
+    # rest of the session — same discipline as connected_components.
     spark.conf.set(conf_key, "8")
-    for _ in range(_LPA_ITERS):
-        labels = (edges
-                  .join(labels.withColumnRenamed("v", "b"), "b")
-                  .groupBy(F.col("a").alias("v"), "lab")
-                  .agg(F.count(F.lit(1)).alias("c"))
-                  .groupBy("v")
-                  .agg(F.max(F.struct(F.col("c"),
-                                      (-F.col("lab")).alias("nl"))).alias("m"))
-                  .select("v", (-F.col("m.nl")).alias("lab")))
-        # Sever per-round lineage: without this, round r's broadcast
-        # build re-executes rounds 1..r-1 inside the broadcast thread
-        # (measured driver OOM at sf0.1).  Same discipline as the
-        # connected-components loop; the plan segment keeps the audit's
-        # cumulative shuffle counts honest.
-        capture_plan_segment(labels)
-        labels = labels.localCheckpoint(eager=True)
-    spark.conf.set(conf_key, prev_conf)
-    edges.unpersist()
+    try:
+        for _ in range(_LPA_ITERS):
+            labels = (edges
+                      .join(labels.withColumnRenamed("v", "b"), "b")
+                      .groupBy(F.col("a").alias("v"), "lab")
+                      .agg(F.count(F.lit(1)).alias("c"))
+                      .groupBy("v")
+                      .agg(F.max(F.struct(
+                          F.col("c"),
+                          (-F.col("lab")).alias("nl"))).alias("m"))
+                      .select("v", (-F.col("m.nl")).alias("lab")))
+            # Sever per-round lineage: without this, round r's broadcast
+            # build re-executes rounds 1..r-1 inside the broadcast thread
+            # (measured driver OOM at sf0.1).  Same discipline as the
+            # connected-components loop; the plan segment keeps the audit's
+            # cumulative shuffle counts honest.
+            capture_plan_segment(labels)
+            labels = labels.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, prev_conf)
+        edges.unpersist()
     return labels.select(F.col("v").alias("node"),
                          F.col("lab").alias("community"))
 
@@ -740,27 +746,31 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("a", "b"))
     conf_key = "spark.sql.shuffle.partitions"
     prev_conf = spark.conf.get(conf_key)
+    # try/finally: restore the session shuffle width even if a peel round
+    # dies mid-loop (same leak the LPA loop guards against).
     spark.conf.set(conf_key, "8")
-    edges = edges.localCheckpoint(eager=True)
-    prev_nodes = -1
-    for _ in range(_KCORE_ROUNDS):
-        incid = edges.select(F.col("a").alias("s")).unionByName(
-            edges.select(F.col("b").alias("s")))
-        keep = (incid.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-                .filter(F.col("d") >= _KCORE_K).select("s"))
-        keep = keep.localCheckpoint(eager=True)
-        n = keep.count()
-        if n == prev_nodes:
-            break  # fixpoint: every further round is an identity map
-        prev_nodes = n
-        edges = (edges
-                 .join(F.broadcast(keep.withColumnRenamed("s", "a")),
-                       "a", "semi")
-                 .join(F.broadcast(keep.withColumnRenamed("s", "b")),
-                       "b", "semi"))
-        capture_plan_segment(edges)
+    try:
         edges = edges.localCheckpoint(eager=True)
-    spark.conf.set(conf_key, prev_conf)
+        prev_nodes = -1
+        for _ in range(_KCORE_ROUNDS):
+            incid = edges.select(F.col("a").alias("s")).unionByName(
+                edges.select(F.col("b").alias("s")))
+            keep = (incid.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+                    .filter(F.col("d") >= _KCORE_K).select("s"))
+            keep = keep.localCheckpoint(eager=True)
+            n = keep.count()
+            if n == prev_nodes:
+                break  # fixpoint: every further round is an identity map
+            prev_nodes = n
+            edges = (edges
+                     .join(F.broadcast(keep.withColumnRenamed("s", "a")),
+                           "a", "semi")
+                     .join(F.broadcast(keep.withColumnRenamed("s", "b")),
+                           "b", "semi"))
+            capture_plan_segment(edges)
+            edges = edges.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, prev_conf)
     return (edges.select(F.col("a").alias("node")).unionByName(
                 edges.select(F.col("b").alias("node")))
             .groupBy("node").agg(F.count(F.lit(1)).alias("core_degree")))

@@ -316,7 +316,7 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_regexp_funcs",
     oracle="""
 SELECT event_id,
-       regexp_extract_all(props, '[0-9]+') AS digit_runs,
+       array_to_string(regexp_extract_all(props, '[0-9]+'), '|') AS digit_runs,
        len(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
        regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
        regexp_matches(props, '"k": [0-9]{2}') AS has_2digit_k
@@ -325,16 +325,17 @@ FROM events
     covers=("G.fn.regexp",),
 )
 def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex scalar family over the props JSON blob: extract-all (list
-    output), match-count, global replace (masking — the same primitive
-    the PII scrubber builds on), and boolean match.  Patterns stay in
-    the RE2 ∩ java.util.regex common subset so both engines agree;
-    all JVM-side codegen, no UDFs."""
+    """Regex scalar family over the props JSON blob: extract-all (joined
+    to '|'-delimited string — the driver's pandas canonicalizer cannot
+    hash list cells, CORRECTNESS_r03's one red row), match-count, global
+    replace (masking — the same primitive the PII scrubber builds on),
+    and boolean match.  Patterns stay in the RE2 ∩ java.util.regex
+    common subset so both engines agree; all JVM-side codegen, no UDFs."""
     ev = _t(spark, sf_dir, "events")
     runs = F.regexp_extract_all("props", F.lit("[0-9]+"), 0)
     return ev.select(
         "event_id",
-        runs.alias("digit_runs"),
+        F.array_join(runs, "|").alias("digit_runs"),
         F.size(runs).alias("n_digit_runs"),
         F.regexp_replace("props", "[0-9]+", "#").alias("masked"),
         F.col("props").rlike('"k": [0-9]{2}').alias("has_2digit_k"),

@@ -244,12 +244,13 @@ WITH toks AS (
   FROM documents
 ),
 wins AS (
-  -- fixed series (docs are <= 1024 tokens here) filtered to real
-  -- windows; generate_series can't take a lateral column parameter
+  -- per-row lateral: scalar generate_series(1, len(t)-9) unnested, so
+  -- the window count follows each doc's real length (no fixed cap that a
+  -- longer future fixture could silently overflow)
   SELECT doc_id, CAST(i AS BIGINT) AS start_tok,
          md5(array_to_string(t[i:i+9], ' ')) AS window_md5
-  FROM toks, generate_series(1, 1024) AS g(i)
-  WHERE i <= len(t) - 9
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9)) AS i
+        FROM toks)
 )
 SELECT w.doc_id, w.start_tok, w.window_md5, d.n_dup
 FROM wins w
@@ -3050,9 +3051,9 @@ uni AS (
 ),
 tot AS (SELECT sum(c1) AS n FROM uni),
 big AS (
-  SELECT doc_id, t.toks[i] AS w1, t.toks[i + 1] AS w2
-  FROM t, generate_series(1, 1024) AS g(i)
-  WHERE i <= len(t.toks) - 1
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
 ),
 big_c AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2
@@ -3114,8 +3115,8 @@ feats AS (
     SELECT doc_id, source, unnest(toks) AS f FROM t
     UNION ALL
     SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS f
-    FROM t, generate_series(1, 1024) AS g(i)
-    WHERE i <= len(toks) - 1)
+    FROM (SELECT doc_id, source, toks,
+                 unnest(generate_series(1, len(toks) - 1)) AS i FROM t))
 ),
 b AS (SELECT doc_id, source,
              {sql_md5_long('f')} % {_DSIR_B} AS bkt FROM feats),
@@ -3348,9 +3349,9 @@ _BIGRAM_SCORE_SQL = f"""
   ),
   tot AS (SELECT sum(c1) AS n FROM uni),
   big AS (
-    SELECT doc_id, t.toks[i] AS w1, t.toks[i + 1] AS w2
-    FROM t, generate_series(1, 1024) AS g(i)
-    WHERE i <= len(t.toks) - 1
+    SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
   ),
   big_c AS (
     SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2
@@ -3724,8 +3725,8 @@ WITH t AS (
 sh AS (
   SELECT DISTINCT doc_id,
          array_to_string(toks[i:i + 2], ' ') AS shingle
-  FROM t, generate_series(1, 1024) AS g(i)
-  WHERE i <= len(toks) - 2
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i FROM t)
 ),
 df AS (SELECT shingle, count(*) AS d FROM sh GROUP BY shingle)
 SELECT sh.doc_id,

@@ -183,6 +183,20 @@ def test_countmin_never_undercounts_and_merges(spark, sf_dir):
     for t, e in joined.values():
         assert e >= t  # CM estimates never undercount
 
+    # absent keys: a probe the stream never saw must still return a row,
+    # and its estimate must be reachable down to exactly 0 (a sparse
+    # sketch omits zero cells; the estimator must treat absence as 0,
+    # not drop the row — the r3 ADVICE inner-join bug)
+    ghost = spark.createDataFrame(
+        [(-999_999_999,)], "l_partkey long")
+    ghost_est = countmin_estimate(cells, ghost, "l_partkey").collect()
+    assert len(ghost_est) == 1
+    assert ghost_est[0].cm_est >= 0  # present iff some cell collides; row never vanishes
+    # with a tiny sketch stream, all cells of the ghost key are absent -> 0
+    tiny_cells = countmin_build(li.limit(1), "l_partkey")
+    tiny_est = countmin_estimate(tiny_cells, ghost, "l_partkey").collect()
+    assert len(tiny_est) == 1 and tiny_est[0].cm_est == 0
+
     # mergeable: cells(left half) + cells(right half) == cells(whole)
     half_a = countmin_build(li.filter(F.col("l_partkey") % 2 == 0),
                             "l_partkey")
