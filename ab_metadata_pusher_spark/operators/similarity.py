@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 __all__ = ["dot", "l2_norm", "cosine", "topk_cosine_bruteforce",
-           "hyperplanes", "ann_lsh_topk", "embedding_near_dup_pairs",
+           "hyperplanes", "ann_lsh_topk", "ann_lsh_knn_self",
+           "embedding_near_dup_pairs",
            "embedding_near_dup_pairs_lsh", "ivf_centroids", "ann_ivf_topk",
            "semantic_dedup_pairs"]
 
@@ -132,6 +133,56 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "neighbor_id",
                 F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
     )
+
+
+def ann_lsh_knn_self(corpus: DataFrame, k: int = 5,
+                     n_planes: int = 3, n_tables: int = 6,
+                     dim: int = 64) -> DataFrame:
+    """Approximate k-NN of EVERY corpus vector against the corpus itself
+    (all-vs-all), via multi-table hyperplane-bucket SELF-joins.
+
+    ``ann_lsh_topk`` broadcasts its query side — right when queries are
+    a small probe set, wrong when the query set IS the corpus (label-
+    noise screening, kNN graphs): broadcasting 100 TB of vectors is not
+    a plan.  Here each vector gets ``n_tables`` independent bucket keys
+    (``n_planes`` signed projections each); a pair is a candidate if it
+    shares a bucket in ANY table (recall 1-(1-(1-θ/π)^p)^L, tunable —
+    same blocking as embedding_near_dup_pairs_lsh), and only distinct
+    candidates pay the exact-cosine rank.  Everything is bucket
+    equi-joins shuffling on (table, bucket): per-bucket work is
+    (corpus/2^planes)² per table — sub-quadratic, fully distributed,
+    no broadcast, no crossJoin.  Output schema matches
+    ``topk_cosine_bruteforce`` so recall is directly measurable.
+    """
+    all_planes = hyperplanes(n_tables * n_planes, dim)
+    tables = [all_planes[t * n_planes:(t + 1) * n_planes]
+              for t in range(n_tables)]
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 _bucket(F.col("embedding"), tables[t]).alias("bkt"))
+        for t in range(n_tables)])
+    keyed = (corpus.select("vec_id", F.explode(buckets).alias("b"))
+             .select("vec_id", F.col("b.tbl").alias("tbl"),
+                     F.col("b.bkt").alias("bkt")))
+    cand = (keyed.alias("a")
+            .join(keyed.alias("b"), ["tbl", "bkt"])
+            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("query_id"),
+                    F.col("b.vec_id").alias("neighbor_id"))
+            .distinct())
+    q = corpus.select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_emb"))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("c_emb"))
+    scored = (cand.join(q, "query_id").join(c, "neighbor_id")
+              .withColumn("cosine_sim", cosine(F.col("q_emb"),
+                                               F.col("c_emb"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim"), "rank"))
 
 
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float) -> DataFrame:

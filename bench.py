@@ -124,7 +124,7 @@ REGISTRY_BENCH = [
     "metadata_masked_view",
     "analytics_ols_normal_equations",
     "analytics_join_size_estimate",
-    "quality_label_consistency",
+    "quality_label_consistency_ann",
     "timeseries_downsample_lttb",
     "orc_corpus_ingest",
     "join_geo_proximity",
@@ -237,7 +237,7 @@ def main() -> None:
             timings[name] = min(first, timings.get(name, first))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    summary = {
+    detail = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -249,10 +249,36 @@ def main() -> None:
         for q, note in _KNOWN_SLOWDOWNS.items():
             if q in regressions["flagged"]:
                 regressions["flagged"][q]["note"] = note
-        summary["regressions"] = regressions
+        detail["regressions"] = regressions
     if errors:
-        summary["errors"] = errors
-    print(json.dumps(summary))
+        detail["errors"] = errors
+
+    # The driver records only the LAST ~2000 bytes of stdout and parses the
+    # final JSON line (BENCH_r03 had `parsed: null` because the full
+    # 104-query summary outgrew that window).  So: full detail goes to a
+    # preceding line + BENCH_DETAIL.json; the FINAL line is a compact
+    # summary (total + worst queries + regression count) hard-capped well
+    # under the tail window.
+    print(json.dumps({"kind": "detail", **detail}))
+    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
+    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "detail": "BENCH_DETAIL.json",
+    }
+    if regressions is not None:
+        summary["n_regressions"] = len(regressions["flagged"])
+    for top in (20, 10, 5):
+        summary["queries"] = {q: worst[q] for q in list(worst)[:top]}
+        line = json.dumps(summary)
+        if len(line) < 1600:
+            break
+    print(line)
 
 
 #: Intentional, explained slowdowns vs the prior round — annotated in the
@@ -268,21 +294,39 @@ _KNOWN_SLOWDOWNS = {
 
 def _regressions_vs_previous_round(
         timings: dict[str, float]) -> dict[str, dict] | None:
-    """Per-query diff against the newest prior BENCH_r*.json with parsed
-    per-query numbers: flag >1.5x slowdowns (and queries that newly
-    error out, visible as timed-before-but-not-now).  Self-reporting so
-    a regression cannot hide inside a still-green total.  Returns None
-    when no comparable record exists (round 1 shape)."""
+    """Per-query diff against the most recent complete run: flag >1.5x
+    slowdowns (and queries that newly error out, visible as
+    timed-before-but-not-now).  Self-reporting so a regression cannot
+    hide inside a still-green total.  Baseline preference:
+    BENCH_DETAIL.json (full per-query map from the previous run — read
+    BEFORE this run overwrites it), else the newest BENCH_r*.json whose
+    parsed line carries per-query numbers (only the worst subset since
+    the r4 compact-summary change).  Returns None when no comparable
+    record exists (round 1 shape)."""
     prior = None
-    for path in sorted(REPO.glob("BENCH_r*.json"), reverse=True):
+    sf_now = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    detail_path = REPO / "BENCH_DETAIL.json"
+    if detail_path.exists():
         try:
-            rec = json.loads(path.read_text())
+            rec = json.loads(detail_path.read_text())
+            # Only a same-SF record is a valid baseline: comparing a
+            # driver sf0.1 run against a local sf0.001 smoke run would
+            # flag every query.
+            if rec.get("queries") and rec.get("sf") == sf_now:
+                prior = (detail_path.name, rec["queries"])
         except Exception:  # noqa: BLE001
-            continue
-        parsed = rec.get("parsed") or {}
-        if isinstance(parsed, dict) and parsed.get("queries"):
-            prior = (path.name, parsed["queries"])
-            break
+            pass
+    if prior is None:
+        for path in sorted(REPO.glob("BENCH_r*.json"), reverse=True):
+            try:
+                rec = json.loads(path.read_text())
+            except Exception:  # noqa: BLE001
+                continue
+            parsed = rec.get("parsed") or {}
+            if (isinstance(parsed, dict) and parsed.get("queries")
+                    and parsed.get("sf") == sf_now):
+                prior = (path.name, parsed["queries"])
+                break
     if prior is None:
         return None
     name, prev = prior

@@ -660,3 +660,17 @@ def test_mllib_minhash_recall_vs_native_exact_jaccard(spark, sf_dir):
     for p, sim in got.items():
         if p in exact:
             assert abs(exact[p] - sim) < 1e-3, (p, exact[p], sim)
+
+
+def test_label_consistency_ann_recall_gate(spark, sf_dir):
+    """The ANN-backed label-noise screen must stay close to the exact
+    form: neighbor recall@5 and suspect-flag agreement gates (measured
+    0.726 / 0.896 at sf0.01 with 6 tables x 3 planes — gates leave
+    slack for fixture drift, not for a broken candidate generator)."""
+    from ab_metadata_pusher_spark.plans.registry import queries
+    r = queries()["quality_label_consistency_recall"](
+        spark, sf_dir).collect()[0]
+    assert r.nn_total > 0 and r.n_compared > 0
+    assert r.nn_hits / r.nn_total >= 0.6, (r.nn_hits, r.nn_total)
+    assert r.n_flag_agree / r.n_compared >= 0.8, (
+        r.n_flag_agree, r.n_compared)
