@@ -30,6 +30,9 @@ from ab_metadata_pusher_spark.operators import multimodal as M
 from ab_metadata_pusher_spark.operators import similarity as S
 from ab_metadata_pusher_spark.operators import text as X
 from ab_metadata_pusher_spark.plans.registry import register
+from ab_metadata_pusher_spark.plans.generated_oracles import (
+    PINNED_ORACLES,
+)
 from ab_metadata_pusher_spark.sources.fixtures import load_table
 
 _BOUND = 300
@@ -3230,16 +3233,18 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.covariance(emb, "embedding", _EMB_D, decimals=6)
 
 
-@register("embedding_pca_variance", oracle=None,
+@register("embedding_pca_variance",
+          oracle=PINNED_ORACLES["embedding_pca_variance"],
           covers=("G.embedding.pca",))
 def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 PCA eigenvalues + explained-variance ratios over the
     embedding corpus: the one-pass distributed Gramian reduces to a
     bounded d x d matrix; numpy eigh finishes on the driver (O(d^3),
-    corpus never re-read).  No SQL oracle — DuckDB has no eigensolver —
-    so this registers rows-only; determinism is pinned by
-    tests/test_llm_operators.py against a direct numpy covariance of the
-    same fixture."""
+    corpus never re-read).  DuckDB has no eigensolver, so the oracle is
+    pinned constants (the eigenvalues are a deterministic function of
+    the exactly-checked covariance; scripts/gen_pinned_oracles.py
+    regenerates); tests/test_llm_operators.py cross-checks against a
+    direct numpy covariance of the same fixture."""
     emb = load_table(spark, sf_dir, "embeddings")
     return L.pca_eigh(emb, "embedding", _EMB_D, top=8)
 
@@ -3575,7 +3580,8 @@ def q_quality_mixture_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + F.lit(0.0)).alias("kl_term")))
 
 
-@register("multimodal_phash_pairs", oracle=None,
+@register("multimodal_phash_pairs",
+          oracle=PINNED_ORACLES["multimodal_phash_pairs"],
           covers=("G.multimodal.phash",))
 def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs by perceptual hash: 64-bit average-hash per
@@ -3586,9 +3592,11 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus one-byte-mutated copies, so near-identical "images" provably
     pair up without matching exactly.
 
-    No SQL oracle (the hash folds byte chunks in numpy); correctness is
-    pinned by tests: the blocked join must equal the all-pairs
-    brute-force on this corpus, and each mutated copy must land within
+    Oracle: pinned constants (the hash folds byte chunks row-wise in
+    numpy — no cross-row or cross-partition state, so the pair set is
+    exactly reproducible; scripts/gen_pinned_oracles.py regenerates).
+    Tests additionally pin the blocked join equal to the all-pairs
+    brute-force on this corpus, with each mutated copy landing within
     the Hamming budget of its original."""
     d = (load_table(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < _BOUND).select("doc_id", "text"))

@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ab_metadata_pusher_spark.plans.registry import register
+from ab_metadata_pusher_spark.plans.generated_oracles import (
+    PINNED_ORACLES,
+)
 from ab_metadata_pusher_spark.sources.fixtures import load_table
 
 
@@ -148,11 +151,15 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct", covers=("G.agg.approx",))
+@register("agg_approx_count_distinct",
+          oracle=PINNED_ORACLES["agg_approx_count_distinct"],
+          covers=("G.agg.approx",))
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct — the 100 TB path (no expand, sketches merge
-    map-side).  No oracle: HLL estimates are engine-specific; the driver
-    records a rows-only check."""
+    map-side).  Oracle: pinned constants (HLL++ is a deterministic
+    function of the value multiset — per-value hash, register max — so
+    the estimate is exactly reproducible; scripts/gen_pinned_oracles.py
+    regenerates)."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -1307,7 +1314,9 @@ def q_cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("version"))
 
 
-@register("agg_hll_sketch_union", covers=("G.agg.sketch_union",))
+@register("agg_hll_sketch_union",
+          oracle=PINNED_ORACLES["agg_hll_sketch_union"],
+          covers=("G.agg.sketch_union",))
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — THE 100 TB distinct-count architecture:
     build one Datasketches HLL sketch per (priority, status) cell
@@ -1317,11 +1326,11 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     month AND overall" from one pass over the data: the re-aggregation
     cost is sketch-sized (~KB), not data-sized.
 
-    No oracle (estimates are sketch-impl-specific); the driver records
-    rows-only, and tests/test_sketches.py bounds the estimate against
-    the exact count (<2% at HLL lgK=12).  Estimates are returned rounded
-    to longs — stable across runs since the sketch is deterministic for
-    a given input multiset."""
+    Oracle: pinned constants (the sketch is a deterministic function
+    of the input multiset — union is register-wise max, order- and
+    partition-independent; scripts/gen_pinned_oracles.py regenerates);
+    tests/test_sketches.py additionally bounds the estimate against the
+    exact count (<2% at HLL lgK=12)."""
     o = _t(spark, sf_dir, "orders")
     cells = (o.groupBy("o_orderpriority", "o_orderstatus")
              .agg(F.hll_sketch_agg("o_custkey").alias("sk")))
