@@ -2191,7 +2191,7 @@ WITH toks AS (
          unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
   FROM documents)
 SELECT term, count(*) AS df,
-       list_sort(list(doc_id)) AS postings
+       array_to_string(list_sort(list(doc_id)), '|') AS postings
 FROM toks GROUP BY term
 """,
     covers=("G.text.inverted_index",),
@@ -2199,7 +2199,8 @@ FROM toks GROUP BY term
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build: term -> sorted posting list of doc ids —
     the search-engine core as one explode + distinct + groupBy
-    collect.  Postings come back sorted (sort_array) so downstream
+    collect.  Postings come back sorted (sort_array,
+    '|'-joined for the driver's flat-schema contract) so downstream
     intersection/merge operators can stream them.
 
     At 100 TB posting lists for stopword-frequency terms are the skew
@@ -2212,7 +2213,10 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
     return (toks.groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"),
-                 F.sort_array(F.collect_list("doc_id")).alias("postings")))
+                 # '|'-joined (not array): the driver's canonicalizer
+                 # cannot hash list cells — tests/test_registry.py guard
+                 F.array_join(F.sort_array(F.collect_list("doc_id")), "|")
+                 .alias("postings")))
 
 
 #: 2^60 — md5_long's range; maps the hash to a uniform (0, 1] double.

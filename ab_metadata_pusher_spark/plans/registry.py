@@ -60,90 +60,106 @@ def _load_all() -> None:
 
 #: Curated head of the registry iteration order.  The driver's correctness
 #: gate evaluates a bounded PREFIX of ``queries()`` in iteration order, so
-#: the head must (a) span every operator family and (b) contain only
-#: oracle-backed queries (a no-oracle entry is a guaranteed non-green row).
+#: the head must (a) span every operator family, (b) contain only
+#: oracle-backed queries (a no-oracle entry is a guaranteed non-green row),
+#: and (c) contain only queries whose output schema is flat atomic types
+#: (the driver's pandas canonicalizer cannot hash array/map/struct cells —
+#: the r3 scalar_regexp_funcs failure; tests/test_registry.py enforces
+#: this for every prefix name).
 #: Everything not listed follows in registration order.
 #:
-#: ROTATION (round 3): driver evidence is cumulative across rounds, so
-#: the head keeps a 15-slot sentinel core (reference-parity metadata_*
-#: + one query per family, all green in CORRECTNESS_r02) and fills the
-#: remaining scored slots with oracle-backed queries that have NEVER
-#: had a driver row — the full streaming suite, the scalar/array/map
-#: function surface, udf/udtf variants, multimodal, and this round's
-#: new operators; entries past the driver's ~50-row window queue in
-#: deterministic order for the next rotation.  The r2 head
-#: (joins/windows/setops/timeseries/dedup variants) keeps its local
-#: oracle-parity coverage via tests/test_oracle_parity.py.  Per VERDICT
-#: r2 #4 the scored similarity slot is the ANN path
-#: (similarity_ann_lsh), not the brute-force baseline.  Use
-#: scripts/prefix_planner.py to plan the next rotation.
-#:
-#: ROUND-4 PREP (state at end of round 3): 238 registered, 232
-#: oracle-backed, 70 driver-green-ever; the planner's rotation pool
-#: (oracle-backed, never driver-scored) holds ~150 names.  Keep the
-#: 15 sentinels, swap the 35 rotation slots to pool names — the
-#: streaming slots have been scored once now, so they can leave the
-#: head; prioritize the r3-new operators queued below the 50-row
-#: window (bloom/bigram/DSIR/covariance/LPA/BPE-train/ppjoin/seasonal/
-#: anomaly/kcenter/novelty/markov/link-prediction/weighted-minhash/
-#: fk-inference/asof-tolerance, plus the second batch: kcore/
-#: boilerplate-lines/entity-resolution/zorder/winsorize/
-#: correlated-scalar/having-in/disjunctive-join/join-view-IVM/
-#: ks-drift/chi-square/quantile-normalize/random-projection/
-#: count-min-batch/count-min-stream/masked-view/normal-equations-OLS/
-#: join-size-estimate) and untouched scalar/window
-#: variants.
+#: ROTATION (round 4): evidence is cumulative, so the head keeps the same
+#: 15-slot sentinel core (reference-parity metadata_* + one green query
+#: per family) and fills the 35 scored rotation slots with oracle-backed
+#: queries that have NEVER had a driver row: the round-3 analytics/graph/
+#: dedup/text/sampling families the r3 verdict prioritized, the four
+#: newly pinned-oracle sketch/eigen queries (generated_oracles.py), the
+#: repaired scalar_regexp_funcs (r3's one red row), and the new
+#: ANN-backed label-noise pair.  Registration is FROZEN this round (r3
+#: verdict ask #3): the only registry delta is quality_label_consistency
+#: (brute-force) -> quality_label_consistency_ann + _recall.
+#: The r2/r3 rotation cohorts (streaming, scalar/array/map, udf/udtf,
+#: multimodal) keep local oracle-parity coverage via
+#: tests/test_oracle_parity.py.  Use scripts/prefix_planner.py to plan
+#: the next rotation; ~45 more never-scored names queue below the 50-row
+#: window in deterministic order.
 DRIVER_PREFIX: tuple[str, ...] = (
-    # --- sentinel core (driver-green in r2, one per family) ---
+    # --- sentinel core (driver-green in r2+r3, one per family) ---
     "metadata_catalog_columns", "metadata_tables",
     "metadata_nodes", "metadata_relations", "metadata_profile_columns",
     "agg_pricing_summary", "join_multiway_revenue", "window_topk_per_group",
     "setop_union_distinct", "rollup_time_buckets", "sessionize_events",
     "cdc_scd2_intervals", "stream_tumbling_counts", "dedup_minhash_lsh",
     "similarity_ann_lsh",
-    # --- rotation: structured streaming (availableNow vs batch oracle) ---
-    "stream_session_windows", "stream_dedup_watermark",
-    "stream_sliding_counts", "stream_stateful_user_stats",
-    "stream_static_join", "stream_stream_join", "stream_ingest_dedup",
-    "stream_funnel_steps", "stream_quality_filter", "stream_ohlc",
-    "stream_topk_window",
-    # --- rotation: scalar function surface ---
-    "scalar_date_funcs", "scalar_math_funcs", "scalar_conditional",
-    "scalar_json_funcs", "scalar_try_funcs", "scalar_regexp_funcs",
-    "scalar_variant_funcs",
-    # --- rotation: array / map / explode surface ---
-    "array_funcs_embeddings", "map_event_type_counts",
-    "map_higher_order_funcs", "posexplode_tokens",
-    # --- rotation: pandas UDF / UDTF surface ---
-    "udf_scalar_log1p", "udf_map_in_arrow", "udtf_span_split",
-    "posexplode_outer_runs",
-    # --- rotation: multimodal (incl. this round's real WAV decode) ---
-    "multimodal_binary_meta", "multimodal_decode_features",
-    "multimodal_resize", "multimodal_frame_sample", "multimodal_decode_audio",
-    # --- rotation: new/reworked this round ---
-    "similarity_ann_ivf", "agg_heavy_hitters_guaranteed",
-    "dedup_substring_spans", "jsonl_corpus_ingest",
+    # --- rotation: r3's one red row, repaired (flattened array column) ---
+    "scalar_regexp_funcs",
+    # --- rotation: newly pinned-oracle sketch/eigen queries ---
+    "agg_approx_count_distinct", "agg_hll_sketch_union",
+    "embedding_pca_variance", "multimodal_phash_pairs",
+    # --- rotation: ANN-backed label-noise screen + its recall gate ---
+    "quality_label_consistency_ann", "quality_label_consistency_recall",
+    # --- rotation: graph algorithms ---
+    "graph_label_propagation", "graph_kcore", "graph_link_prediction",
+    "graph_bfs_distance", "entity_resolution_customers",
+    # --- rotation: statistical analytics ---
+    "analytics_ks_drift", "analytics_chi_square",
+    "analytics_ols_normal_equations", "analytics_skyline_2d",
+    "analytics_winsorize", "analytics_outliers_mad",
+    "analytics_join_size_estimate",
+    # --- rotation: behavioral / market analytics ---
+    "events_markov_transitions", "events_rfm_segments",
+    "events_trigram_paths", "orders_basket_lift",
+    # --- rotation: dedup variants ---
+    "dedup_ppjoin", "dedup_weighted_minhash", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    # --- rotation: text analysis ---
+    "text_tfidf_top_terms", "text_bm25", "text_token_counts",
+    "text_bigram_lm", "text_bpe_train",
+    # --- rotation: sampling + embedding math ---
+    "sample_dsir", "embedding_covariance",
     # --- beyond the driver's 50-row window: deterministic order for the
     # --- next rotation (scored only if the driver widens its prefix) ---
-    "text_html_strip", "text_unicode_nfc", "sample_global_shuffle",
-    "quality_expectations", "multimodal_decode_video",
-    "corpus_build_pipeline", "text_bpe_pair_counts", "window_ema_bounded",
-    "warc_corpus_ingest", "xml_corpus_ingest", "csv_corpus_ingest",
-    "similarity_ivf_recall",
-    "window_gap_islands",
-    "quality_fk_violations",
-    "text_quality_classifier", "corpus_token_budget", "sample_epoch_mixture",
-    "dedup_url_canonical", "multimodal_audio_fingerprint",
-    "dedup_paragraph_rewrite", "quality_adaptive_threshold",
-    "dedup_incremental_minhash", "dedup_semantic", "text_bpe_apply",
-    "dedup_bloom_incremental", "text_bigram_lm", "sample_dsir",
-    "embedding_covariance", "graph_label_propagation", "text_bpe_train", "quality_ppl_buckets",
-    "dedup_suffix_prefix", "quality_mixture_kl", "dedup_ppjoin",
-    "timeseries_seasonal_decompose", "sample_kcenter",
-    "text_ngram_novelty", "timeseries_anomaly_zscore",
-    "join_asof_tolerance", "metadata_fk_inference",
-    "events_markov_transitions", "graph_link_prediction",
-    "dedup_weighted_minhash",
+    "similarity_ivf_recall", "similarity_ann_recall", "agg_countmin_sketch",
+    "stream_countmin_cells", "metadata_fk_inference", "join_geo_proximity",
+    "timeseries_seasonal_decompose", "timeseries_anomaly_zscore",
+    "timeseries_downsample_lttb", "timeseries_interpolate",
+    "join_asof_tolerance", "join_temporal_dim", "join_interval_overlap",
+    "sample_kcenter", "sample_stratified", "sample_temperature",
+    "sample_weighted", "sample_global_shuffle", "sample_epoch_mixture",
+    "sample_length_curriculum", "sample_domain_mixture",
+    "text_ngram_novelty", "text_boilerplate_lines", "text_char_entropy",
+    "text_lm_score", "text_vocab", "text_bigrams", "text_inverted_index",
+    "text_repetition", "text_pii_redact", "text_html_strip",
+    "text_unicode_nfc", "text_quality_classifier", "text_bpe_apply",
+    "text_bpe_pair_counts",
+    "dedup_suffix_prefix", "dedup_url_canonical", "dedup_semantic",
+    "dedup_incremental_minhash", "dedup_bloom_incremental",
+    "dedup_containment", "dedup_chunks", "dedup_keep_best",
+    "dedup_edit_distance", "dedup_minhash_verified", "dedup_incremental",
+    "dedup_paragraph_rewrite",
+    "quality_expectations", "quality_fk_violations",
+    "quality_adaptive_threshold", "quality_quantile_normalize",
+    "quality_mixture_kl", "quality_ppl_buckets",
+    "embedding_kmeans", "embedding_random_projection", "similarity_pq",
+    "metadata_schema_drift", "metadata_masked_view",
+    "window_gap_islands", "window_ema_bounded", "window_ignore_nulls",
+    "window_moving_median", "window_distribution_funcs",
+    "window_running_distinct", "window_range_1h",
+    "subquery_not_in", "subquery_correlated_exists",
+    "subquery_correlated_scalar",
+    "agg_filtered", "agg_weighted_avg", "agg_histogram_equi_depth",
+    "agg_histogram", "agg_string_concat", "agg_having_in",
+    "join_range_binned", "join_disjunctive_pred", "join_asof_cogrouped",
+    "setop_union_evolve", "setop_symmetric_diff", "pivot_multi_agg",
+    "cdc_latest_snapshot", "cdc_join_view_delta",
+    "sessionize_events_pandas", "sessionize_builtin_window",
+    "rollup_ohlc", "rollup_incremental_merge",
+    "funnel_steps", "cohort_retention",
+    "layout_zorder_stats",
+    "csv_corpus_ingest", "xml_corpus_ingest", "warc_corpus_ingest",
+    "orc_corpus_ingest", "corpus_snapshot_diff", "corpus_build_pipeline",
+    "corpus_token_budget", "multimodal_audio_fingerprint",
+    "multimodal_decode_video",
 )
 
 

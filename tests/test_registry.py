@@ -48,3 +48,29 @@ def test_results_invariant_under_shuffle_width(spark):
         spark.conf.set(conf_key, prev)
     for n, (a, b) in results.items():
         assert a == b, f"{n} result depends on shuffle width"
+
+
+def test_prefix_queries_output_flat_atomic_schemas(spark):
+    """Every DRIVER_PREFIX query must return only flat atomic columns:
+    the driver canonicalizes results through pandas sort_values, which
+    cannot hash array/map/struct cells (CORRECTNESS_r03's one red row,
+    scalar_regexp_funcs returning array<string>).  Flatten complex
+    outputs with array_join/to_json before registering."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from conftest import SF_DIR
+    from pyspark.sql import types as T
+
+    from ab_metadata_pusher_spark.plans.registry import DRIVER_PREFIX
+    reg = queries()
+    bad = {}
+    for name in DRIVER_PREFIX:
+        schema = reg[name](spark, SF_DIR).schema
+        complex_cols = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType,
+                          (T.ArrayType, T.MapType, T.StructType))]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"complex-typed output columns in prefix: {bad}"
