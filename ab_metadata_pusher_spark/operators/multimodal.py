@@ -116,20 +116,23 @@ def decode_features(multimodal: DataFrame, codec: str = "stub") -> DataFrame:
     ``codec="stub"`` computes deterministic byte statistics (the plumbing
     under test).  ``codec="pil"`` decodes real image metadata via Pillow
     when installed (NotImplementedError otherwise).  Audio has a real
-    stdlib path with its own schema — ``decode_audio_wave``.  Video
-    raises NotImplementedError — add an ``av`` dispatch here when the
-    runtime has it.
+    stdlib path with its own schema — ``decode_audio_wave``.  Video has
+    two passes with their own schemas: ``decode_video_avi`` (stdlib
+    container headers, always available) and ``decode_video_frames_av``
+    (real frame pixels, PyAV-gated).
     """
     if codec == "pil":
         return _decode_image_pil(multimodal)
     if codec != "stub":
-        # REAL-DECODER HOOK: audio is covered by decode_audio_wave
-        # (stdlib wave, different schema); `pip install av` in a real
-        # deployment and dispatch video on mime type here.
+        # Audio is covered by decode_audio_wave (stdlib wave, its own
+        # schema); video frames by decode_video_frames_av (PyAV-gated,
+        # its own schema) with decode_video_avi as the always-available
+        # stdlib container-header pass.
         raise NotImplementedError(
-            f"codec {codec!r}: only 'stub' (always), 'pil' (when pillow "
-            "is installed) and WAV audio via decode_audio_wave are "
-            "implemented in this container")
+            f"codec {codec!r}: only 'stub' (always) and 'pil' (when "
+            "pillow is installed) share this schema; WAV audio -> "
+            "decode_audio_wave, video -> decode_video_frames_av (PyAV) "
+            "/ decode_video_avi (stdlib headers)")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -379,12 +382,11 @@ def decode_video_avi(multimodal: DataFrame) -> DataFrame:
     """REAL video container decode, stdlib-only: walk the RIFF chunk
     tree, locate the ``avih`` main header, emit dimensions / frame rate
     / frame count / exact integer-microsecond duration.  Frame PIXEL
-    decode still requires a codec (``av``) and stays behind the
-    ``decode_features`` NotImplementedError hook — this covers the
-    container-metadata half of the video path for real, the same split
-    a production pipeline uses (cheap header pass to filter/route,
-    expensive codec pass only on survivors).  Malformed payloads yield
-    sentinel rows (-1), matching the image/audio decoders."""
+    decode needs a codec: ``decode_video_frames_av`` (PyAV-gated, fails
+    fast at plan time where av is absent) — the same split a production
+    pipeline uses (cheap header pass to filter/route, expensive codec
+    pass only on survivors).  Malformed payloads yield sentinel rows
+    (-1), matching the image/audio decoders."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -432,6 +434,76 @@ def decode_video_avi(multimodal: DataFrame) -> DataFrame:
 
     return (multimodal.select("doc_id", "payload")
             .mapInPandas(decode, VIDEO_SCHEMA))
+
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("frame_md5", T.StringType()),
+    T.StructField("mean_luma", T.DoubleType()),
+])
+
+
+def decode_video_frames_av(multimodal: DataFrame,
+                           every_nth: int = 10) -> DataFrame:
+    """Real frame-PIXEL decode via PyAV (optional dependency) — the codec
+    half of the video path (decode_video_avi covers the container-header
+    half stdlib-only).  Every ``every_nth`` frame is decoded to grayscale
+    and reduced to (dims, content hash, mean luma) — the cheap per-frame
+    features a dedup/quality pass consumes.  Mirrors the Pillow gate:
+    raises NotImplementedError at PLAN time when ``av`` is absent, so
+    callers fail fast on the driver instead of per-task on executors;
+    tests assert the implemented branch where av exists and the gate
+    where it does not.  Malformed payloads yield a single sentinel row
+    (frame_idx -1), matching the image/audio decoders."""
+    try:
+        import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "video frame decode requires PyAV (`pip install av`); this "
+            "runtime does not have it — decode_video_avi provides the "
+            "stdlib container-metadata pass") from exc
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+
+        import av as _av
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "width",
+                                   "height", "frame_md5", "mean_luma")}
+
+            def emit(doc_id, idx, w, h, md5, luma):
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(idx)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["frame_md5"].append(md5)
+                out["mean_luma"].append(luma)
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    with _av.open(io.BytesIO(bytes(payload))) as container:
+                        for i, frame in enumerate(
+                                container.decode(video=0)):
+                            if i % every_nth:
+                                continue
+                            gray = frame.to_ndarray(format="gray")
+                            emit(doc_id, i, frame.width, frame.height,
+                                 hashlib.md5(gray.tobytes()).hexdigest(),
+                                 float(gray.mean()))
+                except Exception:  # undecodable payload -> sentinel row
+                    emit(doc_id, -1, -1, -1, "", -1.0)
+            pdf_out = pd.DataFrame(out)
+            for c in ("frame_idx", "width", "height"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return (multimodal.select("doc_id", "payload")
+            .mapInPandas(decode, VIDEO_FRAME_SCHEMA))
 
 
 RESIZE_SCHEMA = T.StructType([

@@ -674,3 +674,33 @@ def test_label_consistency_ann_recall_gate(spark, sf_dir):
     assert r.nn_hits / r.nn_total >= 0.6, (r.nn_hits, r.nn_total)
     assert r.n_flag_agree / r.n_compared >= 0.8, (
         r.n_flag_agree, r.n_compared)
+
+
+def test_video_frame_codec_gate(spark, sf_dir):
+    """decode_video_frames_av mirrors the Pillow gate: raises a plan-time
+    NotImplementedError where PyAV is absent (this container), so the
+    failure lands on the driver, not per-task on executors."""
+    try:
+        import av  # noqa: F401
+        pytest.skip("PyAV installed: the real-decode branch applies")
+    except ImportError:
+        pass
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    with pytest.raises(NotImplementedError, match="av"):
+        M.decode_video_frames_av(M.with_avi_payload(docs))
+
+
+def test_video_frame_decode_real_codec(spark, sf_dir):
+    """Real frame-pixel decode: only runs where PyAV is installed (the
+    container under test lacks it — the plumbing still ships).  The
+    synthesized AVI payloads carry headers but no encoded stream, so
+    every row must come back as the documented sentinel."""
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        pytest.skip("PyAV not installed: gate asserted by the other test")
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    rows = M.decode_video_frames_av(M.with_avi_payload(docs)).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.frame_idx == -1 and r.frame_md5 == ""

@@ -103,17 +103,37 @@ def test_stream_equals_batch_tumbling(spark, sf_dir):
 
 def test_transform_with_state_matches_apply_in_pandas(spark, sf_dir):
     """The two arbitrary-state APIs must produce identical per-user stats.
-    transformWithStateInPandas needs google.protobuf at runtime; skip
-    where the container lacks it."""
+
+    transformWithStateInPandas needs google.protobuf at runtime (its
+    state-server protocol is protobuf-framed — not vendorable: the
+    runner needs the C/py runtime package, not just descriptors).  Where
+    the container lacks it this test asserts THAT failure mode instead
+    of silently skipping (same pattern as the Pillow/PyAV codec gates):
+    the TWS runner must die with the documented stream error, while the
+    applyInPandasWithState twin — whose parity this test checks wherever
+    protobuf exists — keeps covering the semantics below."""
     import pytest
+    from ab_metadata_pusher_spark.streaming import events as E
     try:
         from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
     except ImportError:
-        pytest.skip("google.protobuf unavailable: TWS runner cannot start")
-    from ab_metadata_pusher_spark.streaming import events as E
+        has_protobuf = False
     a = E.run_to_memory(
         E.stateful_user_stats(E.events_stream(spark, sf_dir)),
         output_mode="update")
+    if not has_protobuf:
+        from pyspark.errors import StreamingQueryException
+        with pytest.raises(StreamingQueryException,
+                           match="TransformWithStateInPySpark"):
+            E.run_to_memory(
+                E.stateful_user_stats_tws(E.events_stream(spark, sf_dir)),
+                output_mode="update")
+        # the shared fold itself stays covered: applyInPandasWithState
+        # parity against the batch oracle (driver-green
+        # stream_stateful_user_stats) + the no-runtime processor test
+        assert a.count() > 0
+        return
     b = E.run_to_memory(
         E.stateful_user_stats_tws(E.events_stream(spark, sf_dir)),
         output_mode="update")
