@@ -1,11 +1,21 @@
-"""Measure warm sf0.01 -> sf0.1 wall time for named registry queries —
-the 10x-rows scaling evidence recorded in SCALE.md.
+"""Measure warm sf0.01 -> sf0.1 wall time for named queries and fit the
+scaling exponent recorded in SCALE.md.
+
+The exponent e solves t(sf0.1) = t(sf0.01) * 10^e over the 10x-rows
+step: e = log10(t_0.1 / t_0.01).  e <= 1 is at-or-below linear ("would
+survive 100x"); e > ~1.2 names a super-linear stage to fix.  Warm
+second-run times, so JIT/IO noise lands on the discarded first run.
+
+Names resolve from the registry first, then from bench.py's
+_unbounded_llm builders (the full-corpus forms like similarity_ivf_full
+that the bounded correctness registry intentionally excludes).
 
 Usage: python scripts/scale_check.py q1 q2 ...
 """
 
 from __future__ import annotations
 
+import math
 import sys
 import time
 from pathlib import Path
@@ -25,20 +35,30 @@ def main() -> None:
                                   "spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     reg = queries()
-    names = sys.argv[1:]
-    for name in names:
+
+    import bench
+
+    def builder(name: str, sf: str):
+        if name in reg:
+            return lambda: reg[name](spark, sf)
+        full = bench._unbounded_llm(spark, sf)
+        if name in full:
+            return full[name]
+        raise KeyError(f"{name}: not in registry or bench._unbounded_llm")
+
+    for name in sys.argv[1:]:
         times = []
         for sf in SFS:
+            b = builder(name, sf)
             # warm once (JIT/IO), measure second run
-            reg[name](spark, sf).write.format("noop").mode(
-                "overwrite").save()
+            b().write.format("noop").mode("overwrite").save()
             t0 = time.time()
-            reg[name](spark, sf).write.format("noop").mode(
-                "overwrite").save()
+            b().write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
-        a, b = times
-        print(f"{name:30s} sf0.01={a:.2f}s sf0.1={b:.2f}s "
-              f"ratio={b / a:.1f}x")
+        a, bt = times
+        exp = math.log10(bt / a)
+        print(f"{name:32s} sf0.01={a:.2f}s sf0.1={bt:.2f}s "
+              f"ratio={bt / a:.1f}x exponent={exp:.2f}")
 
 
 if __name__ == "__main__":
