@@ -73,9 +73,11 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      "quality_quantile_normalize",
                      # 1-row x 1-row estimate-vs-truth cross join
                      "analytics_join_size_estimate",
-                     # bounded brute-force kNN baseline (ANN is the
-                     # documented corpus-scale candidate generator)
-                     "quality_label_consistency_ann",
+                     # (quality_label_consistency_ann earned its way OUT
+                     # of this set in r4: LSH candidates are equi-joins,
+                     # 0 nestedloop — the audit now enforces that)
+                     # 1-row x 1-row recall/agreement aggregate join
+                     "quality_label_consistency_recall",
                      # 1-row time-extent broadcast onto the point stream
                      "timeseries_downsample_lttb",
                      # 1-row order-total broadcast onto the gated pairs
@@ -131,7 +133,8 @@ DEFAULT = [
     "quality_quantile_normalize", "embedding_random_projection",
     "agg_countmin_sketch", "metadata_masked_view",
     "analytics_ols_normal_equations", "analytics_join_size_estimate",
-    "quality_label_consistency_ann", "timeseries_downsample_lttb",
+    "quality_label_consistency_ann", "quality_label_consistency_recall",
+    "timeseries_downsample_lttb",
     "orc_corpus_ingest",
     "join_geo_proximity",
     "analytics_skyline_2d",
