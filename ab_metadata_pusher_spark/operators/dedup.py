@@ -244,27 +244,38 @@ def containment_pairs(df: DataFrame, threshold: float, n: int = 3,
     max_df · Σdf — linear in corpus), scored by intersection over the
     SMALLER shingle set.  Output: sid_a, sid_b, containment (>= t).
     """
+    from pyspark.sql import Window
+
+    # Single-pass formulation: the df gate and per-doc set size are
+    # WINDOW counts attached to the shingle stream, not separate
+    # groupBy frames joined back — Catalyst does not share a
+    # multiply-referenced subplan, so the join form re-ran the (explode
+    # + md5) shingling once per reference (~4x).  Local sf0.1 timing is
+    # flat (the candidate self-join dominates there) but the rescans it
+    # deletes grow with corpus size while the counts — hence scores —
+    # stay identical.
     sh = doc_shingles(df, n)
-    dfreq = (sh.groupBy("shingle")
-             .agg(F.count(F.lit(1)).alias("df"))
-             .filter(F.col("df") <= max_df))
-    kept = sh.join(dfreq.select("shingle"), "shingle")
-    sizes = kept.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
+    gated = (sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= max_df))
+    kept = (gated.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("sid")))
+        .select("sid", "shingle", "n_sh"))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.sid") < F.col("b.sid")))
         .groupBy(F.col("a.sid").alias("sid_a"), F.col("b.sid").alias("sid_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter")))
-    sa = sizes.select(F.col("sid").alias("sid_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("sid").alias("sid_b"), F.col("n_sh").alias("nb"))
+        # n_sh is constant within each sid: min() just carries it
+        .agg(F.count(F.lit(1)).alias("n_inter"),
+             F.min(F.col("a.n_sh")).alias("na"),
+             F.min(F.col("b.n_sh")).alias("nb")))
     d = F.least("na", "nb")
     # 4-decimal score via half-up INTEGER division — engine-exact where
     # round(double, 4) can straddle a half boundary (see function_queries
     # map_higher_order_funcs for the same discipline).
     score = F.floor((F.col("n_inter") * 20000 + d) / (d * 2)) / 10000.0
-    return (inter.join(sa, "sid_a").join(sb, "sid_b")
-            .withColumn("containment", score)
+    return (inter.withColumn("containment", score)
             .filter(F.col("containment") >= threshold)
             .select("sid_a", "sid_b", "containment"))
 
