@@ -3163,8 +3163,9 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the exact draw.
 
     Spark shape: features build in-row (token array + zip_with bigrams)
-    and explode once; both bucket-count tables are 256-row map-side
-    combined aggregates; the weight table broadcasts back onto the
+    and explode once; the bucket-count table is one 256-row map-side
+    combined aggregate (global totals fold from IT, not from another
+    corpus pass); the weight table broadcasts back onto the
     feature stream, so the only full-data shuffles are the doc_id sum and
     the global top-k (TakeOrdered — no full sort materializes).  Exactly
     the published algorithm's shape: the expensive pass is embarrassingly
@@ -3184,7 +3185,10 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_t = (F.col("source") == "src0").cast("long")
     counts = (feats.groupBy("bkt")
               .agg(F.sum(is_t).alias("ct"), F.count(F.lit(1)).alias("cr")))
-    totals = feats.agg(F.sum(is_t).alias("nt"), F.count(F.lit(1)).alias("nr"))
+    # totals fold from the 256-row counts table — the naive feats.agg
+    # re-ran the whole explode+hash feature pass a third time for two
+    # integers that are just column sums of counts (identical values)
+    totals = counts.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     w = (counts.join(F.broadcast(totals))
          .select("bkt",
                  (F.log((F.col("ct") + 1.0) / (F.col("nt") + _DSIR_B))
@@ -3759,19 +3763,23 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc of high-df shingles is boilerplate even if no single near-dup
     partner exists).
 
-    Spark shape: one distinct-shingle shuffle, a vocab-sized df count
-    (map-side combined) broadcast back onto the shingle stream, and one
-    doc_id aggregation — exactly the decontamination plan with the eval
-    set replaced by the corpus itself, linear at any scale."""
+    Spark shape: the corpus df of each shingle is a WINDOW count over
+    the one distinct-shingle stream (shuffle on shingle), then one
+    doc_id aggregation — shingling runs exactly once (the earlier
+    groupBy-then-join form re-ran it for each reference and pinned a
+    vocab-sized broadcast that would OOM at corpus scale; the window
+    form has no broadcast at all), linear at any scale."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     sh = D.doc_shingles(d, 3)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
-    uniq = (F.col("d") == 1).cast("long")
-    return (sh.join(F.broadcast(dfreq), "shingle")
+    uniq = (F.count(F.lit(1)).over(Window.partitionBy("shingle")) == 1
+            ).cast("long")
+    return (sh.select("sid", uniq.alias("u"))
             .groupBy(F.col("sid").alias("doc_id"))
             .agg(F.count(F.lit(1)).alias("n_shingles"),
-                 F.sum(uniq).alias("n_unique"),
-                 F.round(F.sum(uniq) / F.count(F.lit(1)), 4)
+                 F.sum("u").alias("n_unique"),
+                 F.round(F.sum("u") / F.count(F.lit(1)), 4)
                   .alias("novelty")))
 
 
