@@ -935,20 +935,24 @@ SELECT doc_id, term, tfidf, rank FROM scored WHERE rank <= 3
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the classic corpus-statistics
     pipeline: term frequencies (one explode + groupBy), document
-    frequencies (one groupBy), idf broadcast back onto tf, per-doc top-k
-    window.  At 100 TB: tf and df are both map-side combinable; df is tiny
-    (vocabulary-sized) and broadcasts."""
+    frequencies as a term-partitioned window count over the tf frame,
+    per-doc top-k window.  At 100 TB: tf is map-side combinable and df
+    rides tf's own term shuffle — no second explode pass, no
+    vocabulary-sized broadcast."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df"))
+    # df as a WINDOW count over tf (one row per (doc, term), so rows per
+    # term = distinct docs per term): no separate vocab aggregate re-
+    # running the explode, no vocab-sized broadcast to OOM at scale —
+    # the term-partitioned window rides the shuffle tf already needs
+    df = F.count(F.lit(1)).over(Window.partitionBy("term"))
     # N as a lazy one-row broadcast, not an eager .count() action
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tfidf_expr = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
-    scored = (tf.join(F.broadcast(df), "term")
+    scored = (tf.withColumn("df", df)
               .crossJoin(F.broadcast(n))
               .withColumn("tfidf", F.round(tfidf_expr, 6)))
     w = Window.partitionBy("doc_id").orderBy(tfidf_expr.desc(), F.col("term"))
@@ -1666,13 +1670,18 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring join is broadcast, so the only full-data shuffle is the
     final per-doc aggregation keyed by doc_id (high-cardinality, even)."""
     docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
     toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # unigram count as a WINDOW over the token stream: the groupBy-vocab
+    # + join-back form re-ran the explode for each reference and pinned
+    # a vocabulary-sized broadcast; the window is one term-keyed shuffle
+    # of the stream with identical counts
+    c = F.count(F.lit(1)).over(Window.partitionBy("term"))
     # total token count from the doc scan directly (sum of per-doc sizes)
-    # rather than re-aggregating the vocab subtree — one fewer explode and
-    # one fewer term-keyed shuffle in the physical plan.
+    # rather than re-aggregating the token subtree — one fewer explode
     total = docs.agg(F.sum(F.size(X.tokens("text"))).alias("n"))
-    scored = toks.join(F.broadcast(vocab), "term").join(F.broadcast(total))
+    scored = toks.withColumn("c", c).join(F.broadcast(total))
     return (scored.groupBy("doc_id")
             .agg(F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4)
                   .alias("lm_score"),
@@ -2173,7 +2182,10 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       + _BM25_B * F.col("dl") / F.col("avgdl")))
     per_term = idf * F.col("tf") * (_BM25_K1 + 1) / norm
     scored = (tf.join(F.broadcast(df), "term")
-              .join(F.broadcast(dl), "doc_id")
+              # dl is DOC-count-sized: no explicit broadcast hint (AQE
+              # broadcasts while it fits, shuffles past that — the same
+              # gate as ppjoin's vocab table)
+              .join(dl, "doc_id")
               .crossJoin(F.broadcast(stats))
               .groupBy("doc_id")
               .agg(F.sum(per_term).alias("score")))
