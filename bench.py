@@ -372,6 +372,11 @@ def _warmup(spark, reg) -> None:
     # above and measured ~3s of one-time JIT when first hit at full SF
     reg["agg_percentiles"](spark, "/root/testdata/sf0.001") \
         .write.format("noop").mode("overwrite").save()
+    # sliding-window-over-tokens shape (transform + md5 per window):
+    # measured 8.9s cold vs 2.6s warm at sf0.1 — the JIT spike that
+    # false-flagged dedup_substring_spans as a 1.9x regression in one run
+    reg["dedup_substring_spans"](spark, "/root/testdata/sf0.001") \
+        .write.format("noop").mode("overwrite").save()
 
 
 if __name__ == "__main__":

@@ -704,3 +704,39 @@ def test_video_frame_decode_real_codec(spark, sf_dir):
     assert len(rows) == 5
     for r in rows:
         assert r.frame_idx == -1 and r.frame_md5 == ""
+
+
+def test_ppjoin_lossless_on_adversarial_corpus(spark):
+    """PPJoin's prefix filter claims LOSSLESSNESS: output must equal the
+    ungated all-pairs exact Jaccard on ANY corpus.  The fixture oracle
+    proves one distribution; this corpus is crafted at the filter's
+    edges — identical docs, a doc contained in a longer one, shared
+    boilerplate shingles sorting to every prefix position, docs whose
+    prefix length formula |x| - ceil(t|x|) + 1 lands exactly on an
+    integer boundary (t*|x| integral), and singleton-shingle docs."""
+    from ab_metadata_pusher_spark.operators.dedup import (
+        jaccard_pairs, ppjoin_pairs)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(8):  # 8 near-copies: high-overlap cluster
+        words = base.split()
+        words[i % len(words)] = f"w{i}"
+        rows.append((i, " ".join(words)))
+    rows += [
+        (100, base),                       # exact duplicate of the theme
+        (101, base),                       # identical pair
+        (102, " ".join(base.split()[:6])),  # contained prefix slice
+        (103, "completely different text with no shared trigram at all x"),
+        (104, "a b c d e"),                # 3 shingles: t*|x| boundary at 0.8
+        (105, "a b c d e"),                # its identical twin
+        (106, "a b c d f"),                # 2-of-3 shingles shared
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        exact = {(r.sid_a, r.sid_b): r.jaccard
+                 for r in jaccard_pairs(docs, t).collect()}
+        pp = {(r.sid_a, r.sid_b): r.jaccard
+              for r in ppjoin_pairs(docs, t).collect()}
+        assert pp == exact, (t, set(exact) ^ set(pp))
+        assert exact  # the corpus must actually produce pairs
