@@ -7,9 +7,10 @@ Two paths:
   (WindowGroupLimit keeps k rows per partition before the shuffle).  The
   baseline and the correctness oracle for any ANN variant.
 * ``ann_lsh_topk`` — random-hyperplane LSH: deterministic signed
-  projections bucket the corpus; search only same-bucket vectors (with
-  multi-probe on the query side).  Sub-linear candidate sets at 100 TB;
-  recall measured against brute force in tests.
+  projections bucket the corpus into MULTIPLE independent hash tables;
+  search only vectors sharing a bucket in any table.  Sub-linear
+  candidate sets at 100 TB; recall measured against brute force in
+  tests and by the registered recall queries.
 
 Vector math is F.aggregate/F.zip_with over array<float> — JVM-side, no
 UDF.  All floats are accumulated as doubles in array order so the DuckDB
@@ -122,31 +123,52 @@ def _bucket(emb: Column, planes: list[list[float]]) -> Column:
 
 
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                 n_planes: int = 4, dim: int = 64) -> DataFrame:
-    """Approximate top-k: hash corpus + queries to hyperplane buckets,
-    rank only same-bucket candidates.
+                 n_planes: int = 3, n_tables: int = 6,
+                 dim: int = 64) -> DataFrame:
+    """Approximate top-k for a (small, broadcastable) probe set: hash
+    corpus + queries into ``n_tables`` independent hyperplane tables of
+    ``n_planes`` signed projections each; a corpus vector is a candidate
+    if it shares a bucket with the query in ANY table; only distinct
+    candidates pay the exact-cosine rank.
 
-    At scale the bucket join replaces the cross join: candidates per query
-    ~= corpus/2^planes.  Output schema matches topk_cosine_bruteforce so
-    recall is directly measurable.
+    Multi-table is the recall lever (1-(1-(1-θ/π)^p)^L — round 3's
+    single 4-plane table measured 0.12 recall@5 on the fixture, this
+    shape 0.7+): more tables union in more near-misses while each
+    table's candidate set stays corpus/2^planes.  At scale the bucket
+    equi-join replaces the cross join; output schema matches
+    topk_cosine_bruteforce so recall is directly measurable
+    (similarity_ann_recall).
     """
-    planes = hyperplanes(n_planes, dim)
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("embedding").alias("c_emb"),
-                      l2_norm(F.col("embedding")).alias("c_norm"),
-                      _bucket(F.col("embedding"), planes).alias("bucket"))
+    all_planes = hyperplanes(n_tables * n_planes, dim)
+    tables = [all_planes[t * n_planes:(t + 1) * n_planes]
+              for t in range(n_tables)]
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 _bucket(F.col("embedding"), tables[t]).alias("bkt"))
+        for t in range(n_tables)])
+
+    def keyed(df: DataFrame, id_alias: str) -> DataFrame:
+        return (df.select(F.col("vec_id").alias(id_alias),
+                          F.explode(buckets).alias("b"))
+                .select(id_alias, F.col("b.tbl").alias("tbl"),
+                        F.col("b.bkt").alias("bkt")))
+
+    cand = (F.broadcast(keyed(queries, "query_id"))
+            .join(keyed(corpus, "neighbor_id"), ["tbl", "bkt"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct())
     q = F.broadcast(queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
-        _bucket(F.col("embedding"), planes).alias("bucket")))
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim",
-                    cosine_prenorm(F.col("q_emb"), F.col("c_emb"),
-                                   F.col("q_norm"), F.col("c_norm")))
-    )
+        l2_norm(F.col("embedding")).alias("q_norm")))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("c_emb"),
+                      l2_norm(F.col("embedding")).alias("c_norm"))
+    scored = (cand.join(q, "query_id").join(c, "neighbor_id")
+              .withColumn("cosine_sim",
+                          cosine_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                         F.col("q_norm"), F.col("c_norm"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
