@@ -30,8 +30,11 @@ SF_DIR = "/root/testdata/sf0.1"
 #: scalar-subquery shape is a broadcast one-row cross join by design.
 EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      "timeseries_interpolate",
-                     "similarity_topk_cosine", "dedup_embedding_cosine",
-                     "join_range_bands", "dedup_simhash_pairs",
+                     "similarity_topk_cosine",
+                     # (dedup_embedding_cosine and dedup_simhash_pairs
+                     # left this set: LSH / pigeonhole blocking makes
+                     # them pure equi-joins — enforced from r4 on)
+                     "join_range_bands",
                      "similarity_ann_ivf", "text_tfidf_top_terms",
                      "subquery_above_avg", "join_cross_regions",
                      # 1-row corpus-total broadcast onto the token stream
