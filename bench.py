@@ -237,14 +237,34 @@ def main() -> None:
             timings[name] = min(first, timings.get(name, first))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    regressions = _regressions_vs_previous_round(timings)
+    detail_line, final_line = build_summary_lines(
+        timings, errors, regressions, float(sf))
+    print(detail_line)
+    (REPO / "BENCH_DETAIL.json").write_text(
+        json.dumps(json.loads(detail_line[detail_line.index("{"):]),
+                   indent=1))
+    print(final_line)
+
+
+def build_summary_lines(timings: dict[str, float], errors: dict[str, str],
+                        regressions: dict | None,
+                        sf: float) -> tuple[str, str]:
+    """Render the two output lines: full detail first, then the compact
+    FINAL line.  The driver records only the LAST ~2000 bytes of stdout
+    and parses the final JSON line (BENCH_r03 had `parsed: null` because
+    the full 104-query summary outgrew that window), so the final line is
+    hard-capped under 1600 bytes no matter how many queries the bench
+    grows — the worst-N map shrinks, then drops, before the cap can
+    break.  Unit-tested in tests/test_registry.py against a 500-query
+    synthetic run."""
     detail = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf,
     }
-    regressions = _regressions_vs_previous_round(timings)
     if regressions is not None:
         for q, note in _KNOWN_SLOWDOWNS.items():
             if q in regressions["flagged"]:
@@ -253,32 +273,25 @@ def main() -> None:
     if errors:
         detail["errors"] = errors
 
-    # The driver records only the LAST ~2000 bytes of stdout and parses the
-    # final JSON line (BENCH_r03 had `parsed: null` because the full
-    # 104-query summary outgrew that window).  So: full detail goes to a
-    # preceding line + BENCH_DETAIL.json; the FINAL line is a compact
-    # summary (total + worst queries + regression count) hard-capped well
-    # under the tail window.
-    print(json.dumps({"kind": "detail", **detail}))
-    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
     worst = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     summary = {
         "metric": "headline_queries_total_sec",
         "value": detail["value"],
         "unit": "sec",
-        "sf": float(sf),
+        "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "detail": "BENCH_DETAIL.json",
     }
     if regressions is not None:
         summary["n_regressions"] = len(regressions["flagged"])
-    for top in (20, 10, 5):
+    line = ""
+    for top in (20, 10, 5, 0):
         summary["queries"] = {q: worst[q] for q in list(worst)[:top]}
         line = json.dumps(summary)
         if len(line) < 1600:
             break
-    print(line)
+    return json.dumps({"kind": "detail", **detail}), line
 
 
 #: Intentional, explained slowdowns vs the prior round — annotated in the

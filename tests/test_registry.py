@@ -74,3 +74,35 @@ def test_prefix_queries_output_flat_atomic_schemas(spark):
         if complex_cols:
             bad[name] = complex_cols
     assert not bad, f"complex-typed output columns in prefix: {bad}"
+
+
+def test_bench_final_line_stays_parseable_and_capped():
+    """The driver records only the last ~2000 bytes of stdout and parses
+    the FINAL JSON line — round 3's bench artifact was lost because the
+    summary outgrew that window.  The emitter must keep the final line
+    under 1600 bytes and parseable no matter how large the query set or
+    the regression block grows."""
+    import json
+
+    from bench import build_summary_lines
+
+    timings = {f"some_quite_long_query_name_{i:03d}": i / 7.0
+               for i in range(500)}
+    errors = {f"errq_{i}": "Boom: " + "x" * 290 for i in range(30)}
+    regressions = {"baseline": "BENCH_DETAIL.json",
+                   "flagged": {n: {"prev_sec": 1.0, "now_sec": 9.9,
+                                   "ratio": 9.9}
+                               for n in list(timings)[:100]}}
+    detail_line, final_line = build_summary_lines(
+        timings, errors, regressions, 0.1)
+    final = json.loads(final_line)
+    assert len(final_line) < 1600
+    assert final["n_queries"] == 500 and final["n_errors"] == 30
+    assert final["metric"] == "headline_queries_total_sec"
+    assert final["n_regressions"] == 100
+    detail = json.loads(detail_line[detail_line.index("{"):])
+    assert len(detail["queries"]) == 500
+    # the final line survives a 2000-byte tail capture ending at EOF
+    tail = (detail_line + "\n" + final_line + "\n")[-2000:]
+    last = tail[tail.rindex("\n", 0, len(tail) - 1) + 1:]
+    assert json.loads(last) == final
