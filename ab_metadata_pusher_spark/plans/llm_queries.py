@@ -3438,12 +3438,16 @@ def _bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     big_c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     p = (F.lit(lam) * F.col("c2") / F.col("u1c")
          + F.lit(1 - lam) * F.col("u2c") / F.col("n"))
+    # No broadcast hints on the count tables: big_c is bigram-vocab-
+    # sized and uni is vocab-sized — AQE broadcasts them while they fit
+    # and degrades to shuffle joins past that (the docstring's promised
+    # behavior, which an explicit hint would turn into an OOM instead)
     return (big
-            .join(F.broadcast(big_c), ["w1", "w2"])
-            .join(F.broadcast(uni.select(F.col("w").alias("w1"),
-                                         F.col("c1").alias("u1c"))), "w1")
-            .join(F.broadcast(uni.select(F.col("w").alias("w2"),
-                                         F.col("c1").alias("u2c"))), "w2")
+            .join(big_c, ["w1", "w2"])
+            .join(uni.select(F.col("w").alias("w1"),
+                             F.col("c1").alias("u1c")), "w1")
+            .join(uni.select(F.col("w").alias("w2"),
+                             F.col("c1").alias("u2c")), "w2")
             .join(F.broadcast(tot))
             .groupBy("doc_id").agg(F.avg(-F.log(p)).alias("s"),
                                    F.count(F.lit(1)).alias("n_bigrams")))
