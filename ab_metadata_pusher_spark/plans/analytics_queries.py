@@ -636,28 +636,37 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same partners but never co-bought" recommender signal.
 
     Spark shape mirrors graph_triangles, not the oracle's wedge
-    self-join: common-neighbor pairs expand MAP-SIDE from each node's
-    sorted adjacency array (transform x slice after one groupBy
-    shuffle), so the fact-sized edge table never self-joins; the
-    distance-2 pair stream aggregates by (a, b), anti-joins the edge
-    set, and joins the |V|-row degree table broadcast.  Hub fan-out is
-    deg², the same quantity the result itself counts — cap hubs by
-    degree (drop deg > K adjacency rows) at open-graph scale, exactly
-    as the triangle docstring prescribes."""
+    self-join: the symmetric adjacency (node -> sorted neighbor array)
+    is built with ONE corpus-sized shuffle and CACHED; edges for the
+    anti-join and the degree table are derived from that |V|-row cache
+    (explode / size), never recomputed from the fact table — the
+    uncached form re-ran the per-order pair expansion 7x across the
+    plan's branches.  Common-neighbor pairs expand MAP-SIDE from each
+    adjacency array (transform x slice), and the expansion input is
+    repartitioned to a FIXED width first: AQE coalesces the tiny
+    |V|-row shuffle to one partition, which serialized the whole deg²
+    Generate into a single task (measured 11.8s -> 4.6s warm at
+    sf0.01).  Hub fan-out is deg², the same quantity the result itself
+    counts — cap hubs by degree (drop deg > K adjacency rows) at
+    open-graph scale, exactly as the triangle docstring prescribes."""
     e0 = _cooccur_edges(spark, sf_dir)
     sym = e0.unionByName(e0.select(F.col("b").alias("a"),
                                    F.col("a").alias("b")))
-    adj = (sym.groupBy("b")
-           .agg(F.sort_array(F.collect_set("a")).alias("ns")))
+    adj = (sym.groupBy(F.col("b").alias("v"))
+           .agg(F.sort_array(F.collect_set("a")).alias("ns"))
+           .cache())
+    edges = (adj.select(F.col("v").alias("a"), F.explode("ns").alias("b"))
+             .filter(F.col("a") < F.col("b")))
+    deg = adj.select("v", F.size("ns").alias("d"))
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pairs = F.flatten(F.transform("ns", lambda x, i: F.transform(
         F.slice("ns", i + F.lit(2), F.size("ns")),
         lambda y: F.struct(x.alias("a"), y.alias("b")))))
-    wedge = (adj.select(F.explode(pairs).alias("p"))
+    wedge = (adj.repartition(width)
+             .select(F.explode(pairs).alias("p"))
              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
              .agg(F.count(F.lit(1)).alias("n_common")))
-    cand = wedge.join(e0, ["a", "b"], "left_anti")
-    deg = sym.groupBy(F.col("a").alias("v")).agg(
-        F.count(F.lit(1)).alias("d"))
+    cand = wedge.join(edges, ["a", "b"], "left_anti")
     return (cand
             .join(F.broadcast(deg.select(F.col("v").alias("a"),
                                          F.col("d").alias("da"))), "a")
