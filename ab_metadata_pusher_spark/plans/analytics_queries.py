@@ -1298,10 +1298,13 @@ def q_analytics_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     running date minimum (ties grouped so equal-price points can't
     knock each other out).
 
-    The sweep is one global sort (Spark range-partitions it) plus a
-    running min — no self-join at all; at 100 TB pre-filter with a
-    per-partition LOCAL skyline first (dominance is transitive), which
-    cuts the sort input to the union of partition skylines.
+    The sweep is two-level: a per-partition LOCAL skyline first
+    (dominance is transitive, so any point dominated within a partition
+    is dominated globally — the local pass is a parallel
+    superset-filter), then the global sort-sweep over only the union of
+    partition skylines.  The global single-partition window — the one
+    stage that can't parallelize — therefore sees the survivor set, not
+    the corpus, which is what lets the same plan run at 100 TB.
 
     Ties need care in the sweep: sorting DISTINCT (price, date) pairs by
     (price, date) makes "running date-min of all preceding pairs" a
@@ -1315,12 +1318,18 @@ def q_analytics_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderdate")
     pairs = o.select("o_totalprice", "o_orderdate").distinct()
     d = F.col("o_orderdate").cast("timestamp_ltz").cast("double")
-    w = (Window.orderBy("o_totalprice", "o_orderdate")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    sky = (pairs.withColumn("min_d_before", F.min(d).over(w))
-           .filter(F.col("min_d_before").isNull()
-                   | (d < F.col("min_d_before")))
-           .select("o_totalprice", "o_orderdate"))
+
+    def sweep(df: DataFrame, w: Window) -> DataFrame:
+        return (df.withColumn("min_d_before", F.min(d).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)))
+                .filter(F.col("min_d_before").isNull()
+                        | (d < F.col("min_d_before")))
+                .select("o_totalprice", "o_orderdate"))
+
+    local = sweep(pairs.withColumn("pid", F.spark_partition_id()),
+                  Window.partitionBy("pid")
+                  .orderBy("o_totalprice", "o_orderdate"))
+    sky = sweep(local, Window.orderBy("o_totalprice", "o_orderdate"))
     return (o.join(sky, ["o_totalprice", "o_orderdate"], "semi")
             .select("o_orderkey",
                     F.round("o_totalprice", 2).alias("price"),
