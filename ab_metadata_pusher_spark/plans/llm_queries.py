@@ -2213,10 +2213,15 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
               .crossJoin(F.broadcast(stats))
               .groupBy("doc_id")
               .agg(F.sum(per_term).alias("score")))
+    # top-k as TakeOrdered (per-partition heap + driver merge), NOT a
+    # global row_number window: the scored set is every doc containing
+    # a query term, which for common terms is corpus-sized — a
+    # single-partition sort there is the skyline/weighted-sample trap.
+    # The rank window runs after limit(10), over 10 rows.
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (scored.select("doc_id", F.round("score", 6).alias("bm25"),
-                          F.row_number().over(w).alias("rank"))
-            .filter(F.col("rank") <= 10))
+    return top.select("doc_id", F.round("score", 6).alias("bm25"),
+                      F.row_number().over(w).alias("rank"))
 
 
 @register(
@@ -2282,18 +2287,20 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     state.  Both sides compute the identical key expression.
 
     At 100 TB this is THE distributed weighted-sample: the key is a pure
-    per-row projection (no coordination), and top-k by key is a
-    per-partition heap + single merge — no global sort, no shuffle of
-    the data itself."""
+    per-row projection (no coordination), and top-k by key runs as
+    TakeOrdered — a per-partition heap + single merge (orderBy.limit),
+    no global sort, no shuffle of the data itself; the rank window
+    covers only the 50 survivors."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     u = (md5_long(F.col("doc_id").cast("string")) + 1) / F.lit(_U_DENOM)
     key = -F.log(u) / F.col("n_chars")
-    w = Window.orderBy(key, F.col("doc_id"))
-    return (d.select("doc_id", "n_chars",
-                     F.row_number().over(w).alias("rank"))
-            .filter(F.col("rank") <= 50))
+    top = (d.select("doc_id", "n_chars", key.alias("es_key"))
+           .orderBy("es_key", "doc_id").limit(50))
+    w = Window.orderBy("es_key", F.col("doc_id"))
+    return top.select("doc_id", "n_chars",
+                      F.row_number().over(w).alias("rank"))
 
 
 _CONTAINMENT_T = 0.8
