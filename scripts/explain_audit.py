@@ -86,6 +86,42 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      # 1-row order-total broadcast onto the gated pairs
                      "orders_basket_lift"}
 
+#: queries where a SINGLE-PARTITION sort/window is the intended plan —
+#: legitimate only when the frame under it is provably bounded (vocab,
+#: bucket spine, partition-skyline union, distinct grouped values), per
+#: the docstring of each.  Everything else that funnels a Sort/Window
+#: through Exchange SinglePartition is the round-4 bug class (weighted
+#: sample / BM25 ran corpus-sized single-task sorts) and fails the audit.
+GLOBAL_SORTWIN_OK = {
+    # vocab-bounded token-id assignment (min-count filtered terms)
+    "text_vocab",
+    # ECDF window over DISTINCT order prices of two priority classes
+    "analytics_ks_drift",
+    # global sweep input is the union of per-partition skylines
+    "analytics_skyline_2d",
+    # user-count-sized RFM frame; ntile quintiles are inherently global
+    # (approx_percentile cutpoints are the documented 100 TB form)
+    "events_rfm_segments",
+    # bucket-spine windows: 256/1024-row bounded frames
+    "quality_ppl_buckets", "rollup_incremental_merge",
+    # exact equi-depth ntile: the documented exact form (the 100 TB
+    # path is approx_percentile cutpoints + map-side bucket assign)
+    "agg_histogram_equi_depth",
+    # |clusters|-bounded medoid rank / |segments|-bounded merge windows
+    "dedup_clusters", "dedup_semantic",
+    # |sources|-bounded domain frame normalization
+    "sample_temperature",
+    # ≤1001-row bucket-histogram running total (the docstring's whole
+    # point: the corpus-sized rank runs WITHIN buckets, in parallel)
+    "corpus_token_budget",
+    # ≤k-candidate final ranking after the mergeable-MG reduction
+    "agg_heavy_hitters_guaranteed",
+    # contingency-cell frame (|event_types| x |user_buckets|)
+    "analytics_chi_square",
+    # 100-row bucket-mean spine (fixed-anchor LTTB)
+    "timeseries_downsample_lttb",
+}
+
 DEFAULT = [
     "metadata_nodes", "join_multiway_revenue", "join_asof_clicks",
     "join_full_outer_nations", "agg_pricing_summary", "agg_statistics",
@@ -147,6 +183,48 @@ DEFAULT = [
 ]
 
 
+def count_global_sortwin(plan: str) -> int:
+    """Count Sort/Window operators fed by an Exchange SinglePartition —
+    the single-task global sort that caps scale-out.  Parses the
+    formatted explain: the tree section gives each node's parent (by
+    indentation), the detail section says which Exchange ids are
+    SinglePartition.  1-row aggregates (HashAggregate over
+    SinglePartition) are NOT counted — collapsing to one row is the
+    point there."""
+    import re
+
+    passthrough = ("AQEShuffleRead", "ShuffleQueryStage", "InputAdapter",
+                   "WholeStageCodegen", "ReusedExchange", "Exchange")
+    tree_nodes = []  # (depth, op, id)
+    for ln in plan.splitlines():
+        m = re.match(r"^([\s+:*\-]*)([A-Za-z][A-Za-z ]*\w)\s+\((\d+)\)\s*$",
+                     ln)
+        if m:
+            tree_nodes.append((len(m.group(1)), m.group(2), int(m.group(3))))
+    single_ids = set()
+    for m in re.finditer(r"\((\d+)\) Exchange[\s\S]{0,200}?Arguments: "
+                         r"SinglePartition", plan):
+        single_ids.add(int(m.group(1)))
+    n = 0
+    for i, (depth, op, nid) in enumerate(tree_nodes):
+        if nid not in single_ids:
+            continue
+        # walk up through shallower lines (ancestors), skipping
+        # pass-through wrappers, and classify the first real ancestor
+        cur = depth
+        for j in range(i - 1, -1, -1):
+            d, anc_op, _ = tree_nodes[j]
+            if d >= cur:
+                continue
+            if anc_op.startswith(passthrough):
+                cur = d
+                continue
+            if anc_op.startswith(("Sort", "Window")):
+                n += 1
+            break
+    return n
+
+
 def main() -> int:
     spark = get_spark(app_name="explain-audit",
                       extra_conf={"spark.ui.enabled": "false",
@@ -173,14 +251,19 @@ def main() -> int:
                    + p.count("CartesianProduct") for p in plans)
         pushed = sum(1 for p in plans for ln in p.splitlines()
                      if "PushedFilters: [" in ln and "PushedFilters: []" not in ln)
+        n_gsw = sum(count_global_sortwin(p) for p in plans)
         flag = ""
         if n_nl and name not in EXPECTED_NON_EQUI:
             flag = "  <-- UNEXPECTED NESTED-LOOP/CARTESIAN"
             bad += 1
+        if n_gsw and name not in GLOBAL_SORTWIN_OK:
+            flag += "  <-- UNEXPECTED GLOBAL SORT/WINDOW"
+            bad += 1
         seg = f" iter_segments={len(segments)}" if segments else ""
+        gsw = f" global_sortwin={n_gsw}" if n_gsw else ""
         print(f"{name:28s} shuffles={n_exchange} broadcast={n_bcast} "
               f"sortmerge={n_smj} nestedloop={n_nl} pushed_scans={pushed}"
-              f"{seg}{flag}")
+              f"{gsw}{seg}{flag}")
     print("AUDIT", "FAIL" if bad else "PASS")
     return 1 if bad else 0
 
