@@ -43,7 +43,7 @@ EXPECTED_NON_EQUI = {"timeseries_gap_fill",  # dense grid = users x hour spine
                      # n_triangles); corpus-stats broadcast in BM25
                      "graph_triangles", "text_bm25",
                      # 1-row corpus-total broadcast onto the ≤k candidates
-                     "agg_heavy_hitters_guaranteed",
+                     "agg_heavy_hitters_guaranteed", "agg_heavy_hitters",
                      # brute-force comparison side is the intended baseline
                      "similarity_ann_recall", "similarity_ivf_recall",
                      # 1-row scalar broadcasts: corpus token total /
@@ -115,7 +115,12 @@ GLOBAL_SORTWIN_OK = {
     # point: the corpus-sized rank runs WITHIN buckets, in parallel)
     "corpus_token_budget",
     # ≤k-candidate final ranking after the mergeable-MG reduction
-    "agg_heavy_hitters_guaranteed",
+    "agg_heavy_hitters_guaranteed", "agg_heavy_hitters",
+    # catalog-sized id-assigning sort (operators/graph.py:199): a
+    # metadata graph's node set is catalog-bounded by definition; the
+    # count is inflated by cache-build reprints under every
+    # InMemoryTableScan across the CC loop's checkpoint segments
+    "metadata_graph_components",
     # contingency-cell frame (|event_types| x |user_buckets|)
     "analytics_chi_square",
     # 100-row bucket-mean spine (fixed-anchor LTTB)
@@ -180,6 +185,42 @@ DEFAULT = [
     "events_trigram_paths",
     "events_rfm_segments",
     "orders_basket_lift",
+    # round-4 audit-coverage sweep: every remaining batch query in the
+    # registry (stream_* excluded — their explain is a memory-sink scan
+    # and building them executes the stream)
+    "agg_approx_count_distinct", "agg_approx_percentiles",
+    "agg_count_distinct", "agg_cube", "agg_grouping_sets",
+    "agg_heavy_hitters", "agg_histogram_equi_depth",
+    "agg_hll_sketch_union", "agg_max_by", "agg_mode", "agg_percentiles",
+    "agg_rollup", "agg_weighted_avg", "array_funcs_embeddings",
+    "corpus_snapshot_diff", "dedup_containment", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_minhash_verified", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "distinct_pairs",
+    "embedding_pca_variance", "explode_word_counts", "join_anti",
+    "join_asof_cogrouped", "join_cross_regions", "join_interval_overlap",
+    "join_left_outer_orders", "join_range_bands", "join_salted_revenue",
+    "join_semi", "join_temporal_dim", "map_event_type_counts",
+    "metadata_catalog_columns", "metadata_graph_closure",
+    "metadata_graph_components", "metadata_profile_columns",
+    "metadata_relations", "metadata_schema_drift", "metadata_tables",
+    "metadata_tables_filtered", "multimodal_binary_meta",
+    "multimodal_decode_features", "multimodal_frame_sample",
+    "multimodal_phash_pairs", "multimodal_resize", "pivot_event_types",
+    "pivot_multi_agg", "posexplode_outer_runs", "posexplode_tokens",
+    "quality_fk_violations", "sample_hash_split",
+    "scalar_conditional", "scalar_date_funcs", "scalar_json_funcs",
+    "scalar_math_funcs", "scalar_regexp_funcs", "scalar_string_funcs",
+    "scalar_try_funcs", "scalar_variant_funcs",
+    "sessionize_builtin_window", "sessionize_events_pandas",
+    "setop_except", "setop_except_all", "setop_intersect",
+    "setop_symmetric_diff", "setop_union_distinct", "similarity_ann_lsh",
+    "similarity_ann_recall", "similarity_pq",
+    "subquery_correlated_exists", "text_langid", "text_pii_redact",
+    "text_quality_scores", "text_token_counts", "topk_global",
+    "udf_grouped_geomean", "udf_map_in_arrow", "udf_scalar_log1p",
+    "udtf_span_split", "window_distribution_funcs", "window_ignore_nulls",
+    "window_lag_delta", "window_moving_avg", "window_running_distinct",
+    "window_running_total",
 ]
 
 
