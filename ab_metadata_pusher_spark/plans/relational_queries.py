@@ -1560,12 +1560,19 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No oracle (GK sketch cutpoints are engine-specific); rows-only from
     the driver, while tests/test_sketches.py bounds every estimate
-    against the exact percentile at the configured accuracy."""
+    against the exact percentile at the configured accuracy.  Output is
+    FLAT (one double column per quantile, not the array form) so the
+    row stays canonicalizer-safe if it ever rotates into the scored
+    prefix."""
     o = _t(spark, sf_dir, "orders")
-    return (o.groupBy("o_orderpriority")
-            .agg(F.percentile_approx(
-                     "o_totalprice", [0.5, 0.95, 0.99], 1000)
-                 .alias("approx_p50_p95_p99")))
+    qs = (o.groupBy("o_orderpriority")
+          .agg(F.percentile_approx(
+                   "o_totalprice", [0.5, 0.95, 0.99], 1000)
+               .alias("qs")))
+    return qs.select("o_orderpriority",
+                     F.col("qs")[0].alias("approx_p50"),
+                     F.col("qs")[1].alias("approx_p95"),
+                     F.col("qs")[2].alias("approx_p99"))
 
 
 @register("agg_heavy_hitters", covers=("G.agg.heavy_hitters",))

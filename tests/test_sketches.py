@@ -39,7 +39,8 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     done via the exact values at rank +/- 1% around each quantile)."""
     from pyspark.sql import functions as F
 
-    approx = {r["o_orderpriority"]: r["approx_p50_p95_p99"]
+    approx = {r["o_orderpriority"]:
+              (r["approx_p50"], r["approx_p95"], r["approx_p99"])
               for r in queries()["agg_approx_percentiles"](spark, sf_dir)
               .collect()}
     o = load_table(spark, sf_dir, "orders")
