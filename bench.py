@@ -358,7 +358,12 @@ def _regressions_vs_previous_round(
     for q, prev_sec in prev.items():
         if q not in timings:
             flagged[q] = {"prev_sec": prev_sec, "now": "missing-or-error"}
-        elif prev_sec > 0.05 and timings[q] > 1.5 * prev_sec:
+        # ratio AND absolute floor: sub-second queries flap 1.5x+ on
+        # scheduler noise alone (run-to-run 0.3s -> 0.6s observed with
+        # identical code); a real regression on a query that matters
+        # moves the needle by >= 0.75s even after the retry pass
+        elif (prev_sec > 0.05 and timings[q] > 1.5 * prev_sec
+              and timings[q] - prev_sec >= 0.75):
             flagged[q] = {"prev_sec": prev_sec, "now_sec": timings[q],
                           "ratio": round(timings[q] / prev_sec, 2)}
     return {"baseline": name, "flagged": flagged}
