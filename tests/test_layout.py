@@ -95,3 +95,36 @@ def test_skyline_handles_all_tie_shapes(spark, tmp_path):
             for b in rows)
     want = {a[0] for a in rows if not dominated(a)}
     assert got == want == {1, 3, 5, 6}
+
+
+def test_skyline_matches_bruteforce_on_random_tie_dense_grids(spark, tmp_path):
+    """Randomized dominance oracle for the TWO-LEVEL sweep (local
+    per-partition skyline + global sweep, round 4): points drawn from a
+    6x6 value grid so equal-price and equal-date ties are everywhere,
+    across several partition layouts — the local pre-filter must change
+    nothing about the result set."""
+    import datetime as dt
+    import random
+
+    from ab_metadata_pusher_spark.plans.registry import queries
+
+    rng = random.Random(42)
+    prices = [80.0, 85.0, 90.0, 95.0, 100.0, 105.0]
+    dates = [dt.date(2024, 1, d) for d in (3, 7, 11, 15, 19, 23)]
+    for case, n_part in ((0, 1), (1, 3), (2, 8)):
+        rows = [(k, rng.choice(prices), rng.choice(dates))
+                for k in range(80)]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double, o_orderdate date")
+        (df.repartition(n_part).write.mode("overwrite")
+         .parquet(f"{tmp_path}/orders.parquet"))
+        got = {r.o_orderkey for r in
+               queries()["analytics_skyline_2d"](spark, str(tmp_path))
+               .collect()}
+
+        def dominated(a, rows=rows):
+            return any((b[1] < a[1] and b[2] <= a[2])
+                       or (b[1] <= a[1] and b[2] < a[2]) for b in rows)
+
+        want = {a[0] for a in rows if not dominated(a)}
+        assert got == want, (case, n_part, got ^ want)
