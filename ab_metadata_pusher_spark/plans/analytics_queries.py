@@ -527,13 +527,16 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("a").alias("lab")).distinct()
     # Label/count frames are |V|-sized — pin the loop's shuffle width to
     # that cardinality, not CPU count (same measurement as the CC loop:
-    # near-empty partitions cost per-round scheduling).
+    # near-empty partitions cost per-round scheduling).  Re-measured in
+    # r4 across widths {8,16,32} in fresh sessions: 16 is the floor at
+    # both sf0.01 (2.24s vs 2.42s) and sf0.1 (7.65s vs 8.97s warm) —
+    # 8 under-parallelizes the first |E|-sized (v,lab) reduce.
     conf_key = "spark.sql.shuffle.partitions"
     prev_conf = spark.conf.get(conf_key)
     # try/finally: a mid-loop failure (executor OOM, cancelled stage) must
-    # not leak the 8-partition setting or the persisted edges into the
-    # rest of the session — same discipline as connected_components.
-    spark.conf.set(conf_key, "8")
+    # not leak the pinned width or the persisted edges into the rest of
+    # the session — same discipline as connected_components.
+    spark.conf.set(conf_key, "16")
     try:
         for _ in range(_LPA_ITERS):
             labels = (edges
