@@ -759,8 +759,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf_key = "spark.sql.shuffle.partitions"
     prev_conf = spark.conf.get(conf_key)
     # try/finally: restore the session shuffle width even if a peel round
-    # dies mid-loop (same leak the LPA loop guards against).
-    spark.conf.set(conf_key, "8")
+    # dies mid-loop (same leak the LPA loop guards against).  Width 16
+    # matches the LPA loop's r4 A/B (8 under-parallelizes the edge-sized
+    # reduces; kcore warm at sf0.1: 3.13s@8 -> 2.91s@16).
+    spark.conf.set(conf_key, "16")
     try:
         edges = edges.localCheckpoint(eager=True)
         prev_nodes = -1
