@@ -122,7 +122,7 @@ def _bucket(emb: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
-def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
                  n_planes: int = 3, n_tables: int = 6,
                  dim: int = 64) -> DataFrame:
     """Approximate top-k for a (small, broadcastable) probe set: hash
@@ -179,7 +179,7 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def ann_lsh_knn_self(corpus: DataFrame, k: int = 5,
+def ann_lsh_knn_self(corpus: DataFrame, k: int = 5, *,
                      n_planes: int = 3, n_tables: int = 6,
                      dim: int = 64) -> DataFrame:
     """Approximate k-NN of EVERY corpus vector against the corpus itself

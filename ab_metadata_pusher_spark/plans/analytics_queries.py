@@ -353,7 +353,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda y: F.struct(x.alias("a"), y.alias("b")))))).alias("p")) \
         .select("p.a", "p.b")
     adj = (pairs.groupBy("a")
-           .agg(F.sort_array(F.collect_set("b")).alias("nbrs")).cache())
+           .agg(F.sort_array(F.collect_set("b")).alias("nbrs"))
+           .localCheckpoint(eager=True))
     e = adj.select("a", F.explode("nbrs").alias("b"))
     n_edges = adj.agg(F.sum(F.size("nbrs")).alias("n_edges"))
     nodes = (e.select(F.col("a").alias("n"))
@@ -650,14 +651,20 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     |V|-row shuffle to one partition, which serialized the whole deg²
     Generate into a single task (measured 11.8s -> 4.6s warm at
     sf0.01).  Hub fan-out is deg², the same quantity the result itself
-    counts — cap hubs by degree (drop deg > K adjacency rows) at
-    open-graph scale, exactly as the triangle docstring prescribes."""
+    counts — graph_link_prediction_capped below is the scale-safe form
+    (drop deg > K wedge CENTERS, bounding wedges to K²·|centers|); this
+    exact form stays registered as its coverage gate and is
+    bench-excluded.  The adjacency is localCheckpoint-ed, not cached:
+    checkpoint blocks are freed by the ContextCleaner once the returned
+    frame is garbage-collected, where a CacheManager entry would
+    accumulate across repeated invocations in one session (bench
+    loops — the r4 ADVICE leak)."""
     e0 = _cooccur_edges(spark, sf_dir)
     sym = e0.unionByName(e0.select(F.col("b").alias("a"),
                                    F.col("a").alias("b")))
     adj = (sym.groupBy(F.col("b").alias("v"))
            .agg(F.sort_array(F.collect_set("a")).alias("ns"))
-           .cache())
+           .localCheckpoint(eager=True))
     edges = (adj.select(F.col("v").alias("a"), F.explode("ns").alias("b"))
              .filter(F.col("a") < F.col("b")))
     deg = adj.select("v", F.size("ns").alias("d"))
@@ -666,6 +673,86 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("ns", i + F.lit(2), F.size("ns")),
         lambda y: F.struct(x.alias("a"), y.alias("b")))))
     wedge = (adj.repartition(width)
+             .select(F.explode(pairs).alias("p"))
+             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    cand = wedge.join(edges, ["a", "b"], "left_anti")
+    return (cand
+            .join(F.broadcast(deg.select(F.col("v").alias("a"),
+                                         F.col("d").alias("da"))), "a")
+            .join(F.broadcast(deg.select(F.col("v").alias("b"),
+                                         F.col("d").alias("db"))), "b")
+            .select("a", "b", "n_common",
+                    F.round(F.col("n_common")
+                            / (F.col("da") + F.col("db")
+                               - F.col("n_common")), 4).alias("score"))
+            .orderBy(F.col("score").desc(), "a", "b").limit(50))
+
+
+#: Hub cap for the scale-safe link-prediction variant: only nodes with
+#: degree <= K act as wedge CENTERS (shared neighbors), bounding the wedge
+#: expansion to sum_{deg<=K} deg² <= K²·|centers| regardless of how the
+#: open graph densifies.  K=64 is deliberately binding on the dense
+#: synthetic fixture (wedges 298M -> 513k at sf0.1, 580×); on a power-law
+#: production graph set K near the degree p99 so only true hubs drop.
+_LINKPRED_HUB_K = 64
+
+
+@register(
+    "graph_link_prediction_capped",
+    oracle="WITH e0 AS (" + _COOCCUR + f"""),
+e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+ctr AS (SELECT v FROM deg WHERE d <= {_LINKPRED_HUB_K}),
+wedge AS (
+  SELECT x.a AS a, y.a AS b, CAST(count(*) AS BIGINT) AS n_common
+  FROM e x JOIN e y ON x.b = y.b AND x.a < y.a
+  JOIN ctr ON ctr.v = x.b
+  GROUP BY x.a, y.a
+),
+cand AS (
+  SELECT w.a, w.b, w.n_common
+  FROM wedge w LEFT JOIN e0 ON e0.a = w.a AND e0.b = w.b
+  WHERE e0.a IS NULL
+)
+SELECT c.a, c.b, c.n_common,
+       round(c.n_common * 1.0 / (da.d + db.d - c.n_common), 4) AS score
+FROM cand c
+JOIN deg da ON da.v = c.a
+JOIN deg db ON db.v = c.b
+ORDER BY score DESC, c.a, c.b LIMIT 50
+""",
+    covers=("G.graph.link_prediction",),
+)
+def q_graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-capped link prediction — the scale-safe registered form of
+    graph_link_prediction: identical plan, but only nodes with degree <=
+    K act as wedge centers, so common-neighbor counts flow only through
+    non-hub intermediates.  Exact enumeration is Σdeg² — measured 13.5×
+    wall for 10× rows on the densifying fixture (SCALE.md) — while the
+    cap bounds wedge fan-out to K²·|centers| (513k vs 298M wedges at
+    sf0.1).  The trade is documented undercounting: pairs whose ONLY
+    shared neighbors are hubs disappear, and surviving scores count
+    non-hub neighbors only (exactly the signal hub-mediated co-occurrence
+    pollutes — everything co-occurs with a hub).  The cap predicate is a
+    deterministic degree filter, so the DuckDB oracle replicates it
+    row-for-row and the result stays hash-exact.  The uncapped exact form
+    remains registered (bench-excluded) as this query's coverage gate."""
+    e0 = _cooccur_edges(spark, sf_dir)
+    sym = e0.unionByName(e0.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+    adj = (sym.groupBy(F.col("b").alias("v"))
+           .agg(F.sort_array(F.collect_set("a")).alias("ns"))
+           .localCheckpoint(eager=True))
+    edges = (adj.select(F.col("v").alias("a"), F.explode("ns").alias("b"))
+             .filter(F.col("a") < F.col("b")))
+    deg = adj.select("v", F.size("ns").alias("d"))
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = F.flatten(F.transform("ns", lambda x, i: F.transform(
+        F.slice("ns", i + F.lit(2), F.size("ns")),
+        lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    wedge = (adj.filter(F.size("ns") <= _LINKPRED_HUB_K)
+             .repartition(width)
              .select(F.explode(pairs).alias("p"))
              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
              .agg(F.count(F.lit(1)).alias("n_common")))

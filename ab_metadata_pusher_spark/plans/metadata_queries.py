@@ -174,7 +174,7 @@ def q_tables_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NODES_SQL = "WITH " + catalog_values_cte() + "," + _PROJ_CTE + """
+_NODES_BODY = """
 SELECT 'Table' AS label, table_key AS key, table_name AS name,
        table_description AS description,
        CAST(NULL AS VARCHAR) AS col_type, CAST(NULL AS INTEGER) AS sort_order,
@@ -199,6 +199,8 @@ SELECT 'Description' AS label,
        CAST(NULL AS BOOLEAN) AS is_view
 FROM proj WHERE col_description <> ''
 """
+
+_NODES_SQL = "WITH " + catalog_values_cte() + "," + _PROJ_CTE + _NODES_BODY
 
 
 @register("metadata_nodes", oracle=_NODES_SQL, covers=("C2", "B1-B9"))
@@ -482,9 +484,14 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(load_table(spark, sf_dir, "customer"))
 
 
-@register(
-    "metadata_schema_drift",
-    oracle="WITH " + catalog_values_cte() + """,
+#: RETIRED from the registry in round 5 — the 1:1 swap that admits
+#: sink_envelope_chunking while keeping registration frozen at 239
+#: (r4 VERDICT ask #8): this query was a never-scored near-duplicate of
+#: the driver-green metadata_snapshot_diff (same full-outer-join
+#: added/removed/type_changed drift semantics over the same catalog).
+#: The plan and this oracle stay verified locally by
+#: tests/test_retired_queries.py.
+SCHEMA_DRIFT_ORACLE = ("WITH " + catalog_values_cte() + """,
 old AS (SELECT table_name, col_name, col_type FROM catalog_columns),
 new AS (
   SELECT table_name, col_name,
@@ -505,9 +512,9 @@ FROM old o
 FULL OUTER JOIN new n
   ON o.table_name = n.table_name AND o.col_name = n.col_name
 WHERE o.col_name IS NULL OR n.col_name IS NULL OR o.col_type <> n.col_type
-""",
-    covers=("G.metadata.schema_drift",),
-)
+""")
+
+
 def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level schema drift between two catalog snapshots: type
     changes, added and removed columns from ONE full-outer join on
@@ -661,3 +668,131 @@ def q_metadata_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("acctbal_band"),
                 F.col("r_name").alias("region"),
                 "c_mktsegment"))
+
+
+# --------------------------------------------------------------------------
+# Envelope chunking law (sinks/envelope.py) as a driver-scoreable query
+# --------------------------------------------------------------------------
+
+#: Deliberately small packing bound so the metadata-sized record stream
+#: splits into several envelopes at every SF (at the production default,
+#: SQS_HARD_LIMIT - 4 KiB, the whole catalog graph fits in one chunk and
+#: the greedy law would go unexercised).  The LAW under test — greedy
+#: packing into max_bytes minus the serialized-empty-envelope overhead,
+#: nodes before relations — is byte-for-byte the production path.
+_CHUNK_MAX_BYTES = 4096
+_CHUNK_TAG = "chunking-audit"
+
+#: The empty-envelope skeleton the oracle charges as fixed overhead —
+#: stated INDEPENDENTLY as a SQL literal (not generated by calling
+#: envelope_json) so the oracle re-derives the law rather than echoing
+#: the engine: json.dumps sorted-key compact form of
+#: {"chunk":0,"nodes":[],"of":10**9,"tag":tag} with both record arrays
+#: empty.  If sinks/envelope.py ever changes its serialization or
+#: overhead accounting, the driver hash goes red here.
+_CHUNK_BASE_JSON = ('{"chunk":0,"nodes":[],"of":1000000000,'
+                    '"relations":[],"tag":"' + _CHUNK_TAG + '"}')
+
+_CHUNKING_SQL = ("WITH RECURSIVE " + catalog_values_cte() + "," + _PROJ_CTE
+                 + ",\nnodes AS (" + _NODES_BODY + "),\nrels AS ("
+                 + _REL_BODY + ")" + f""",
+recs AS (
+  SELECT row_number() OVER (ORDER BY grp, ord1, ord2) AS rn,
+         CAST(octet_length(encode(j)) + 1 AS BIGINT) AS sz
+  FROM (
+    SELECT 0 AS grp, label AS ord1, key AS ord2,
+           to_json(struct_pack(
+             col_type := col_type, description := description,
+             is_view := is_view, key := key, label := label,
+             name := name, sort_order := sort_order))::VARCHAR AS j
+    FROM nodes
+    UNION ALL
+    SELECT 1, start_key, end_key,
+           to_json(struct_pack(
+             end_key := end_key, end_label := end_label,
+             reverse_type := reverse_type, start_key := start_key,
+             start_label := start_label, type := type))::VARCHAR
+    FROM rels) u
+),
+budget AS (
+  SELECT {_CHUNK_MAX_BYTES} - octet_length(encode('{_CHUNK_BASE_JSON}')) AS b
+),
+pack AS (
+  SELECT rn, sz, sz AS cur, 1 AS chunk FROM recs WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.sz,
+         CASE WHEN p.cur + r.sz > (SELECT b FROM budget)
+              THEN r.sz ELSE p.cur + r.sz END,
+         CASE WHEN p.cur + r.sz > (SELECT b FROM budget)
+              THEN p.chunk + 1 ELSE p.chunk END
+  FROM pack p JOIN recs r ON r.rn = p.rn + 1
+)
+SELECT CAST(max(chunk) AS BIGINT) AS n_envelopes,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST((SELECT max(s) FROM (
+              SELECT sum(sz) AS s FROM pack GROUP BY chunk) g)
+            AS BIGINT) AS max_payload_bytes,
+       CAST(max(sz) AS BIGINT) AS max_record_bytes,
+       (SELECT max(s) FROM (
+          SELECT sum(sz) AS s FROM pack GROUP BY chunk) g)
+         <= (SELECT b FROM budget) AS within_budget
+FROM pack
+""")
+
+
+@register("sink_envelope_chunking", oracle=_CHUNKING_SQL,
+          covers=("E2", "E3", "D2"))
+def q_sink_envelope_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 256 KiB envelope packing law as a hash-checkable driver row:
+    run the REAL sink path (graph nodes/relations -> sorted record
+    stream -> sinks/envelope.py greedy packing) and report the packing
+    outcome — envelope count, record count, largest packed payload,
+    largest single record, and the budget invariant — as one flat row.
+    The DuckDB oracle RE-DERIVES the law from scratch: it rebuilds the
+    same records, measures each record's serialized size with its own
+    to_json (byte-identical to the sink's sorted-key compact
+    json.dumps), and replays the greedy fold as a recursive CTE against
+    an independently stated overhead literal.  Any drift in record
+    serialization, size accounting (+1 comma), overhead, or the
+    pack-then-flush order shows up as a hash mismatch.
+
+    This intentionally exercises ``publish_collected``'s regime — the
+    reference's own (its publisher collects the whole catalog graph
+    driver-side, publisher/aws_sqs_csv_puiblisher.py:99-143) — so the
+    bounded ``collect()`` here is the documented contract, not a scale
+    leak; at corpus scale ``publish_distributed`` packs per-partition
+    with executor-side ``pack_envelopes`` and chunk ids are only unique
+    within (tag, partition), which is exactly why THAT path is not
+    hash-checkable and this one is.  Record order is pinned (nodes by
+    (label, key), relations by (start_key, end_key), nodes before
+    relations) so the greedy fold is deterministic on both engines."""
+    import json as _json
+
+    from ab_metadata_pusher_spark.sinks.envelope import (
+        _record_size, pack_envelopes,
+    )
+
+    tm = table_metadata(catalog_columns(spark, sf_dir))
+    nodes = to_nodes(tm).orderBy("label", "key")
+    rels = to_relations(tm).orderBy("start_key", "end_key")
+    node_recs = [r.asDict() for r in nodes.collect()]
+    rel_recs = [r.asDict() for r in rels.collect()]
+    bodies = list(pack_envelopes(node_recs, rel_recs, _CHUNK_TAG,
+                                 _CHUNK_MAX_BYTES))
+    payloads: list[int] = []
+    n_records = 0
+    max_rec = 0
+    for body in bodies:
+        env = _json.loads(body)
+        recs = env["nodes"] + env["relations"]
+        sizes = [_record_size(r) for r in recs]
+        n_records += len(recs)
+        payloads.append(sum(sizes))
+        max_rec = max(max_rec, max(sizes))
+    base = len(_CHUNK_BASE_JSON.encode("utf-8"))
+    row = [(len(bodies), n_records, max(payloads), max_rec,
+            max(payloads) <= _CHUNK_MAX_BYTES - base)]
+    return spark.createDataFrame(
+        row, schema="n_envelopes bigint, n_records bigint, "
+                    "max_payload_bytes bigint, max_record_bytes bigint, "
+                    "within_budget boolean")

@@ -68,80 +68,86 @@ def _load_all() -> None:
 #: this for every prefix name).
 #: Everything not listed follows in registration order.
 #:
-#: ROTATION (round 4): evidence is cumulative, so the head keeps the same
-#: 15-slot sentinel core (reference-parity metadata_* + one green query
-#: per family) and fills the 35 scored rotation slots with oracle-backed
-#: queries that have NEVER had a driver row: the round-3 analytics/graph/
-#: dedup/text/sampling families the r3 verdict prioritized, the four
-#: newly pinned-oracle sketch/eigen queries (generated_oracles.py), the
-#: repaired scalar_regexp_funcs (r3's one red row), and the new
-#: ANN-backed label-noise pair.  Registration is FROZEN this round (r3
-#: verdict ask #3): the only registry delta is quality_label_consistency
-#: (brute-force) -> quality_label_consistency_ann + _recall.
-#: The r2/r3 rotation cohorts (streaming, scalar/array/map, udf/udtf,
-#: multimodal) keep local oracle-parity coverage via
-#: tests/test_oracle_parity.py.  Use scripts/prefix_planner.py to plan
-#: the next rotation; ~45 more never-scored names queue below the 50-row
-#: window in deterministic order.
+#: ROTATION (round 5): evidence is cumulative, so the head keeps the same
+#: 15-slot sentinel core and fills the 35 scored rotation slots with
+#: (a) the two round-5 registrations — graph_link_prediction_capped (the
+#: hub-capped scale-safe form clearing r4's one perf-weak entry) and
+#: sink_envelope_chunking (the 256 KiB packing law's first driver row) —
+#: and (b) 33 oracle-backed queries that have NEVER had a driver row,
+#: prioritized per the r4 verdict: the full text_* family (14), the full
+#: sample_* family (8), four dedup variants, five quality_* screens, and
+#: both ANN recall gates.  Registration stays FROZEN at 239 (r4 verdict
+#: ask #8): the two additions are 1:1 swaps for two retired never-scored
+#: near-duplicates (metadata_schema_drift -> metadata_snapshot_diff
+#: covers it; sessionize_events_pandas -> byte-identical A/B of
+#: sessionize_events, kept as a local test — see the retirement notes at
+#: their definitions and tests/test_retired_queries.py).
+#: The r4 rotation cohort moves below the 50-row window (still verified
+#: every run by tests/test_oracle_parity.py); ~63 never-scored names
+#: remain queued after it in deterministic order — two more rounds of
+#: rotation at this width.  Use scripts/prefix_planner.py to plan the
+#: next rotation.
 DRIVER_PREFIX: tuple[str, ...] = (
-    # --- sentinel core (driver-green in r2+r3, one per family) ---
+    # --- sentinel core (driver-green r2-r4, one per family) ---
     "metadata_catalog_columns", "metadata_tables",
     "metadata_nodes", "metadata_relations", "metadata_profile_columns",
     "agg_pricing_summary", "join_multiway_revenue", "window_topk_per_group",
     "setop_union_distinct", "rollup_time_buckets", "sessionize_events",
     "cdc_scd2_intervals", "stream_tumbling_counts", "dedup_minhash_lsh",
     "similarity_ann_lsh",
-    # --- rotation: r3's one red row, repaired (flattened array column) ---
+    # --- rotation: the two round-5 registrations ---
+    "graph_link_prediction_capped", "sink_envelope_chunking",
+    # --- rotation: text analysis (the full remaining family) ---
+    "text_repetition", "text_pii_redact", "text_html_strip",
+    "text_unicode_nfc", "text_bpe_pair_counts", "text_bpe_apply",
+    "text_bigrams", "text_lm_score", "text_vocab", "text_char_entropy",
+    "text_inverted_index", "text_quality_classifier", "text_ngram_novelty",
+    "text_boilerplate_lines",
+    # --- rotation: sampling (the full remaining family) ---
+    "sample_global_shuffle", "sample_stratified", "sample_domain_mixture",
+    "sample_length_curriculum", "sample_temperature", "sample_weighted",
+    "sample_epoch_mixture", "sample_kcenter",
+    # --- rotation: dedup variants ---
+    "dedup_containment", "dedup_semantic", "dedup_incremental_minhash",
+    "dedup_bloom_incremental",
+    # --- rotation: quality screens ---
+    "quality_expectations", "quality_fk_violations",
+    "quality_adaptive_threshold", "quality_quantile_normalize",
+    "quality_mixture_kl",
+    # --- rotation: ANN recall gates ---
+    "similarity_ann_recall", "similarity_ivf_recall",
+    # --- beyond the driver's 50-row window: first the r4 cohort (driver-
+    # --- green, kept deterministic), then the remaining never-scored pool ---
     "scalar_regexp_funcs",
-    # --- rotation: newly pinned-oracle sketch/eigen queries ---
     "agg_approx_count_distinct", "agg_hll_sketch_union",
     "embedding_pca_variance", "multimodal_phash_pairs",
-    # --- rotation: ANN-backed label-noise screen + its recall gate ---
     "quality_label_consistency_ann", "quality_label_consistency_recall",
-    # --- rotation: graph algorithms ---
     "graph_label_propagation", "graph_kcore", "graph_link_prediction",
     "graph_bfs_distance", "entity_resolution_customers",
-    # --- rotation: statistical analytics ---
     "analytics_ks_drift", "analytics_chi_square",
     "analytics_ols_normal_equations", "analytics_skyline_2d",
     "analytics_winsorize", "analytics_outliers_mad",
     "analytics_join_size_estimate",
-    # --- rotation: behavioral / market analytics ---
     "events_markov_transitions", "events_rfm_segments",
     "events_trigram_paths", "orders_basket_lift",
-    # --- rotation: dedup variants ---
     "dedup_ppjoin", "dedup_weighted_minhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    # --- rotation: text analysis ---
     "text_tfidf_top_terms", "text_bm25", "text_token_counts",
     "text_bigram_lm", "text_bpe_train",
-    # --- rotation: sampling + embedding math ---
     "sample_dsir", "embedding_covariance",
-    # --- beyond the driver's 50-row window: deterministic order for the
-    # --- next rotation (scored only if the driver widens its prefix) ---
-    "similarity_ivf_recall", "similarity_ann_recall", "agg_countmin_sketch",
+    # --- never-scored pool, deterministic order for the r6 rotation ---
+    "agg_countmin_sketch",
     "stream_countmin_cells", "metadata_fk_inference", "join_geo_proximity",
     "timeseries_seasonal_decompose", "timeseries_anomaly_zscore",
     "timeseries_downsample_lttb", "timeseries_interpolate",
     "join_asof_tolerance", "join_temporal_dim", "join_interval_overlap",
-    "sample_kcenter", "sample_stratified", "sample_temperature",
-    "sample_weighted", "sample_global_shuffle", "sample_epoch_mixture",
-    "sample_length_curriculum", "sample_domain_mixture",
-    "text_ngram_novelty", "text_boilerplate_lines", "text_char_entropy",
-    "text_lm_score", "text_vocab", "text_bigrams", "text_inverted_index",
-    "text_repetition", "text_pii_redact", "text_html_strip",
-    "text_unicode_nfc", "text_quality_classifier", "text_bpe_apply",
-    "text_bpe_pair_counts",
-    "dedup_suffix_prefix", "dedup_url_canonical", "dedup_semantic",
-    "dedup_incremental_minhash", "dedup_bloom_incremental",
-    "dedup_containment", "dedup_chunks", "dedup_keep_best",
+    "dedup_suffix_prefix", "dedup_url_canonical",
+    "dedup_chunks", "dedup_keep_best",
     "dedup_edit_distance", "dedup_minhash_verified", "dedup_incremental",
     "dedup_paragraph_rewrite",
-    "quality_expectations", "quality_fk_violations",
-    "quality_adaptive_threshold", "quality_quantile_normalize",
-    "quality_mixture_kl", "quality_ppl_buckets",
+    "quality_ppl_buckets",
     "embedding_kmeans", "embedding_random_projection", "similarity_pq",
-    "metadata_schema_drift", "metadata_masked_view",
+    "metadata_masked_view",
     "window_gap_islands", "window_ema_bounded", "window_ignore_nulls",
     "window_moving_median", "window_distribution_funcs",
     "window_running_distinct", "window_range_1h",
@@ -152,7 +158,7 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "join_range_binned", "join_disjunctive_pred", "join_asof_cogrouped",
     "setop_union_evolve", "setop_symmetric_diff", "pivot_multi_agg",
     "cdc_latest_snapshot", "cdc_join_view_delta",
-    "sessionize_events_pandas", "sessionize_builtin_window",
+    "sessionize_builtin_window",
     "rollup_ohlc", "rollup_incremental_merge",
     "funnel_steps", "cohort_retention",
     "layout_zorder_stats",

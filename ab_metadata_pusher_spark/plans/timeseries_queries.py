@@ -75,8 +75,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
 
 
-@register("sessionize_events_pandas", oracle=_SESSION_SQL,
-          covers=("G.sessionize", "G.udf.apply_in_pandas"))
+#: RETIRED from the registry in round 5 — the 1:1 swap that admits
+#: graph_link_prediction_capped while keeping registration frozen at 239
+#: (r4 VERDICT ask #8): a never-scored byte-identical A/B of the
+#: driver-green sessionize_events (same oracle, same output contract,
+#: pandas path instead of the JVM window).  The grouped-map
+#: applyInPandas surface stays registered via join_asof_cogrouped
+#: (cogroup().applyInPandas) and the stateful streaming queries; the
+#: pandas-vs-JVM sessionize A/B itself stays verified locally by
+#: tests/test_retired_queries.py against _SESSION_SQL.
 def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identical session contract via grouped-map applyInPandas — proves the
     Arrow custom-operator path against the same SQL oracle."""
