@@ -318,26 +318,33 @@ _KNOWN_SLOWDOWNS = {
 
 def _regressions_vs_previous_round(
         timings: dict[str, float]) -> dict[str, dict] | None:
-    """Per-query diff against the most recent complete run: flag >1.5x
-    slowdowns (and queries that newly error out, visible as
+    """Per-query diff against the PREVIOUS ROUND's committed bench: flag
+    >1.5x slowdowns (and queries that newly error out, visible as
     timed-before-but-not-now).  Self-reporting so a regression cannot
     hide inside a still-green total.  Baseline preference:
-    BENCH_DETAIL.json (full per-query map from the previous run — read
-    BEFORE this run overwrites it), else the newest BENCH_r*.json whose
-    parsed line carries per-query numbers (only the worst subset since
-    the r4 compact-summary change).  Returns None when no comparable
-    record exists (round 1 shape)."""
+    BENCH_BASELINE.json — a round-start snapshot of the previous round's
+    driver-recorded per-query map, updated ONLY at round start — else
+    the newest BENCH_r*.json whose parsed line carries per-query numbers
+    (only the worst subset since the r4 compact-summary change).
+    BENCH_DETAIL.json is deliberately NOT a baseline candidate: it is
+    refreshed by every bench run, so using it rebaselines the gate
+    against the same round's own plans and masks cumulative cross-round
+    slowdowns (the r4 failure mode ADVICE flagged).  Returns None when
+    no comparable record exists (round 1 shape)."""
     prior = None
     sf_now = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-    detail_path = REPO / "BENCH_DETAIL.json"
-    if detail_path.exists():
+    baseline_path = REPO / "BENCH_BASELINE.json"
+    if baseline_path.exists():
         try:
-            rec = json.loads(detail_path.read_text())
+            rec = json.loads(baseline_path.read_text())
             # Only a same-SF record is a valid baseline: comparing a
             # driver sf0.1 run against a local sf0.001 smoke run would
             # flag every query.
             if rec.get("queries") and rec.get("sf") == sf_now:
-                prior = (detail_path.name, rec["queries"])
+                name = baseline_path.name
+                if rec.get("_round") is not None:
+                    name += f" (r{rec['_round']}@{rec.get('_commit', '?')})"
+                prior = (name, rec["queries"])
         except Exception:  # noqa: BLE001
             pass
     if prior is None:
