@@ -3708,12 +3708,18 @@ def _kcenter_oracle(k: int) -> str:
     """Unrolled SQL mirror: each round's pick is data-dependent (the
     point farthest from the chosen set), so round r selects via scalar
     subqueries over rounds 1..r-1 — same technique as the BPE-train
-    oracle."""
-    parts = ["""WITH e AS (
+    oracle.
+
+    Every CTE is MATERIALIZED (the k-core oracle's lesson): round r
+    references e once per prior center and d{j} twice, so the default
+    inlining re-expands the whole prefix chain multiplicatively per
+    round — measured 290s for k=8 over 500 vectors; materialized, the
+    same query is sub-second."""
+    parts = ["""WITH e AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-d0 AS (SELECT min(vec_id) AS c FROM e)"""]
+d0 AS MATERIALIZED (SELECT min(vec_id) AS c FROM e)"""]
     # dist(a, b) = sum of squared diffs (monotone in L2 — no sqrt needed)
     def dist(va, vb):
         return (f"list_sum(list_transform(list_zip({va}, {vb}), "
@@ -3721,12 +3727,12 @@ d0 AS (SELECT min(vec_id) AS c FROM e)"""]
     for r in range(1, k):
         prev = ", ".join(f"(SELECT c FROM d{j})" for j in range(r))
         parts.append(f""",
-m{r} AS (
+m{r} AS MATERIALIZED (
   SELECT e.vec_id,
          least({", ".join(dist("e.v", f"(SELECT v FROM e WHERE vec_id = (SELECT c FROM d{j}))") for j in range(r))}) AS md
   FROM e WHERE e.vec_id NOT IN ({prev})
 ),
-d{r} AS (SELECT vec_id AS c FROM m{r} ORDER BY md DESC, vec_id LIMIT 1)""")
+d{r} AS MATERIALIZED (SELECT vec_id AS c FROM m{r} ORDER BY md DESC, vec_id LIMIT 1)""")
     sels = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS rank, c AS vec_id FROM d{r}"
         for r in range(k))
