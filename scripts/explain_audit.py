@@ -202,7 +202,7 @@ DEFAULT = [
     "join_semi", "join_temporal_dim", "map_event_type_counts",
     "metadata_catalog_columns", "metadata_graph_closure",
     "metadata_graph_components", "metadata_profile_columns",
-    "metadata_relations", "metadata_schema_drift", "metadata_tables",
+    "metadata_relations", "metadata_tables",
     "metadata_tables_filtered", "multimodal_binary_meta",
     "multimodal_decode_features", "multimodal_frame_sample",
     "multimodal_phash_pairs", "multimodal_resize", "pivot_event_types",
@@ -211,7 +211,10 @@ DEFAULT = [
     "scalar_conditional", "scalar_date_funcs", "scalar_json_funcs",
     "scalar_math_funcs", "scalar_regexp_funcs", "scalar_string_funcs",
     "scalar_try_funcs", "scalar_variant_funcs",
-    "sessionize_builtin_window", "sessionize_events_pandas",
+    "sessionize_builtin_window",
+    # round-5 registrations (1:1 swaps for the retired near-duplicates
+    # metadata_schema_drift / sessionize_events_pandas)
+    "graph_link_prediction_capped", "sink_envelope_chunking",
     "setop_except", "setop_except_all", "setop_intersect",
     "setop_symmetric_diff", "setop_union_distinct", "similarity_ann_lsh",
     "similarity_ann_recall", "similarity_pq",

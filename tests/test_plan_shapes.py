@@ -57,12 +57,17 @@ def test_link_prediction_expansion_is_parallel_and_cached(spark, sf_dir):
     """The deg² wedge expansion must read a fixed-width round-robin
     repartition (AQE coalesces the tiny |V|-row adjacency shuffle to
     ONE partition otherwise, serializing the Generate into a single
-    task), and the adjacency must come from cache so the edge set and
-    degree tables don't recompute the per-order pair expansion."""
-    plan = _plan(_q(spark, sf_dir, "graph_link_prediction"))
-    assert "RoundRobinPartitioning" in plan
-    # every consumer (wedge expansion, anti-join edges, both degree
-    # sides) must read the cache — explain() reprints the cache's
-    # BUILD plan under each reference, so count the reads, not the
-    # textual parquet scans
-    assert plan.count("InMemoryTableScan") >= 3
+    task), and the adjacency must come from a materialized snapshot so
+    the edge set and degree tables don't recompute the per-order pair
+    expansion.  Since round 5 the snapshot is an eager localCheckpoint
+    (freed via ContextCleaner on GC) instead of a CacheManager entry
+    that leaked across invocations: every consumer reads 'Scan
+    ExistingRDD' and the plan contains NO parquet re-scan of lineitem."""
+    for name in ("graph_link_prediction", "graph_link_prediction_capped"):
+        plan = _plan(_q(spark, sf_dir, name))
+        assert "RoundRobinPartitioning" in plan, name
+        # every consumer (wedge expansion, anti-join edges, both degree
+        # sides) reads the checkpointed adjacency RDD
+        assert plan.count("Scan ExistingRDD") >= 3, name
+        assert "lineitem" not in plan, (
+            f"{name} recomputes the adjacency from the fact table")
