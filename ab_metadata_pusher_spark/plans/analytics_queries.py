@@ -352,9 +352,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("ps", i + F.lit(2), F.size("ps")),
             lambda y: F.struct(x.alias("a"), y.alias("b")))))).alias("p")) \
         .select("p.a", "p.b")
-    adj = (pairs.groupBy("a")
-           .agg(F.sort_array(F.collect_set("b")).alias("nbrs"))
-           .localCheckpoint(eager=True))
+    adj_build = (pairs.groupBy("a")
+                 .agg(F.sort_array(F.collect_set("b")).alias("nbrs")))
+    capture_plan_segment(adj_build)
+    adj = adj_build.localCheckpoint(eager=True)
     e = adj.select("a", F.explode("nbrs").alias("b"))
     n_edges = adj.agg(F.sum(F.size("nbrs")).alias("n_edges"))
     nodes = (e.select(F.col("a").alias("n"))
@@ -662,9 +663,10 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = _cooccur_edges(spark, sf_dir)
     sym = e0.unionByName(e0.select(F.col("b").alias("a"),
                                    F.col("a").alias("b")))
-    adj = (sym.groupBy(F.col("b").alias("v"))
-           .agg(F.sort_array(F.collect_set("a")).alias("ns"))
-           .localCheckpoint(eager=True))
+    adj_build = (sym.groupBy(F.col("b").alias("v"))
+                 .agg(F.sort_array(F.collect_set("a")).alias("ns")))
+    capture_plan_segment(adj_build)
+    adj = adj_build.localCheckpoint(eager=True)
     edges = (adj.select(F.col("v").alias("a"), F.explode("ns").alias("b"))
              .filter(F.col("a") < F.col("b")))
     deg = adj.select("v", F.size("ns").alias("d"))
@@ -741,9 +743,10 @@ def q_graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFram
     e0 = _cooccur_edges(spark, sf_dir)
     sym = e0.unionByName(e0.select(F.col("b").alias("a"),
                                    F.col("a").alias("b")))
-    adj = (sym.groupBy(F.col("b").alias("v"))
-           .agg(F.sort_array(F.collect_set("a")).alias("ns"))
-           .localCheckpoint(eager=True))
+    adj_build = (sym.groupBy(F.col("b").alias("v"))
+                 .agg(F.sort_array(F.collect_set("a")).alias("ns")))
+    capture_plan_segment(adj_build)
+    adj = adj_build.localCheckpoint(eager=True)
     edges = (adj.select(F.col("v").alias("a"), F.explode("ns").alias("b"))
              .filter(F.col("a") < F.col("b")))
     deg = adj.select("v", F.size("ns").alias("d"))
