@@ -86,7 +86,10 @@ def _load_all() -> None:
 #: every run by tests/test_oracle_parity.py); ~63 never-scored names
 #: remain queued after it in deterministic order — two more rounds of
 #: rotation at this width.  Use scripts/prefix_planner.py to plan the
-#: next rotation.
+#: next rotation.  Pre-validated in r5 for r6: every one of the 63
+#: queued names already passes driver_sim --strict-types at sf0.01 AND
+#: has a flat atomic output schema, so future rotations are purely
+#: mechanical (no repair pass needed before promotion).
 DRIVER_PREFIX: tuple[str, ...] = (
     # --- sentinel core (driver-green r2-r4, one per family) ---
     "metadata_catalog_columns", "metadata_tables",
