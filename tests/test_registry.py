@@ -30,7 +30,11 @@ def test_results_invariant_under_shuffle_width(spark):
 
     names = ["dedup_minhash_lsh", "sample_global_shuffle",
              "agg_heavy_hitters_guaranteed", "sessionize_events",
-             "dedup_substring_spans", "corpus_build_pipeline"]
+             "dedup_substring_spans", "corpus_build_pipeline",
+             # round-5 registrations: the hub cap is a deterministic
+             # degree filter and the envelope packing a driver-side fold
+             # over a sorted record stream — both must ignore layout
+             "graph_link_prediction_capped", "sink_envelope_chunking"]
     reg = queries()
     conf_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(conf_key)
