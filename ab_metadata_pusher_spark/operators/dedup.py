@@ -179,12 +179,19 @@ def exact_dedup_keep_min(df: DataFrame, text_col: str = "text",
 def doc_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Distinct (id, shingle) pairs — the input relation for both Jaccard
-    and MinHash."""
-    return (
-        df.select(F.col(id_col).alias("sid"),
-                  F.explode(shingle_array(tokens(text_col), n)).alias("shingle"))
-        .distinct()
-    )
+    and MinHash.
+
+    Distinctness is PER DOCUMENT (ids are unique), so it is enforced
+    in-row with ``array_distinct`` before the explode — zero shuffle.
+    The previous ``.distinct()`` after the explode exchanged the entire
+    corpus-sized shingle stream to dedupe pairs that can only collide
+    within one row; dropping it removes one full-stream exchange from
+    every consumer (Jaccard, MinHash, containment, novelty,
+    decontamination)."""
+    return df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.array_distinct(shingle_array(tokens(text_col), n)))
+         .alias("shingle"))
 
 
 def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,

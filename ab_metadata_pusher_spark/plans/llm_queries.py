@@ -1452,12 +1452,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select((F.col("doc_id") + 5_000_000).alias("eval_id"),
                        F.expr("substring(text, instr(text, ' ') + 1)")
                         .alias("text")))
-    corp_sh = (d.select("doc_id", F.explode(
-        X.shingle_array(X.tokens("text"), _DECON_N)).alias("shingle"))
-        .distinct())
-    eval_sh = (evalset.select("eval_id", F.explode(
-        X.shingle_array(X.tokens("text"), _DECON_N)).alias("shingle"))
-        .distinct())
+    # distinctness is per document (ids unique), so enforce it in-row
+    # with array_distinct — no corpus-sized dedup shuffle (the same
+    # repair as operators/dedup.py doc_shingles)
+    corp_sh = d.select("doc_id", F.explode(F.array_distinct(
+        X.shingle_array(X.tokens("text"), _DECON_N))).alias("shingle"))
+    eval_sh = evalset.select("eval_id", F.explode(F.array_distinct(
+        X.shingle_array(X.tokens("text"), _DECON_N))).alias("shingle"))
     return (corp_sh.join(F.broadcast(eval_sh), "shingle")
             .groupBy("doc_id", "eval_id")
             .agg(F.count(F.lit(1)).alias("n_shared")))
