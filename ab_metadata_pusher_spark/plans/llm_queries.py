@@ -2251,8 +2251,11 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     one extra modulo on this same plan; the df column already computed
     here is exactly the stat needed to pick block counts."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = (docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
-            .distinct())
+    # per-document term distinctness in-row (ids unique): no corpus-wide
+    # dedup exchange — same repair as operators/dedup.py doc_shingles
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(X.tokens("text"))).alias("term"))
     return (toks.groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"),
                  # '|'-joined (not array): the driver's canonicalizer
