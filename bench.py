@@ -413,6 +413,11 @@ def _warmup(spark, reg) -> None:
     # false-flagged dedup_substring_spans as a 1.9x regression in one run
     reg["dedup_substring_spans"](spark, "/root/testdata/sf0.001") \
         .write.format("noop").mode("overwrite").save()
+    # iterative min-label propagation shape (star edges + checkpointed
+    # loop): measured 9.0s cold vs 2.0-3.0s warm at sf0.1 — the spike
+    # that false-flagged dedup_clusters_full as a 4.3x regression
+    reg["dedup_clusters"](spark, "/root/testdata/sf0.001") \
+        .write.format("noop").mode("overwrite").save()
 
 
 if __name__ == "__main__":
