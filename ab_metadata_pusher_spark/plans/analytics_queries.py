@@ -1566,10 +1566,20 @@ def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair counts reuse the per-order sorted-array expansion (one
     groupBy shuffle, no fact self-join — the oracle states the
     self-join); the margin frames broadcast.  Ties in the top-20 cut
-    break on the pair key, deterministic in both engines."""
+    break on the pair key, deterministic in both engines.
+
+    EVERYTHING derives from the per-order distinct-part arrays: the
+    pair expansion, the per-part supports (explode — identical to
+    counting distinct (order, part) rows), and the order count.  The
+    r4 form scanned + shuffled lineitem separately for each (three fact
+    scans); `per` is checkpointed once and the fact table is read
+    exactly once — the same one-corpus-pass discipline as the graph
+    adjacencies."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    per = (li.groupBy("l_orderkey")
-           .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    per_build = (li.groupBy("l_orderkey")
+                 .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    capture_plan_segment(per_build)
+    per = per_build.localCheckpoint(eager=True)
     pairs_col = F.flatten(F.transform("ps", lambda x, i: F.transform(
         F.slice("ps", i + F.lit(2), F.size("ps")),
         lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
@@ -1577,8 +1587,8 @@ def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
              .agg(F.count(F.lit(1)).alias("s_ab"))
              .filter(F.col("s_ab") >= 2))
-    ob = li.distinct()
-    sup = ob.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    sup = (per.select(F.explode("ps").alias("l_partkey"))
+           .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s")))
     n = per.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
     return (pairs
             .join(F.broadcast(sup.select(F.col("l_partkey").alias("pa"),

@@ -3499,9 +3499,19 @@ def q_quality_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket label is a codegen CASE, and the final aggregate is 3 rows.
     Thresholds are interpolated between distinct score values (n not
     divisible by 3), so the boundary comparison is float-stable across
-    engines."""
+    engines.
+
+    The score frame is referenced twice (threshold aggregate + the
+    bucketing re-join) and Catalyst does not share subplans, so without
+    materialization the whole bigram pipeline ran twice (audited 12
+    shuffles -> 7).  It is doc-count-sized — orders of magnitude under
+    the token streams that produce it — so an eager localCheckpoint is
+    the cheap fix (freed via ContextCleaner, same as the graph
+    adjacencies)."""
     d = load_table(spark, sf_dir, "documents")
-    scores = _bigram_scores(spark, sf_dir)
+    scores_build = _bigram_scores(spark, sf_dir)
+    capture_plan_segment(scores_build)
+    scores = scores_build.localCheckpoint(eager=True)
     th = scores.agg(
         F.percentile("s", F.lit(1.0 / 3)).alias("t1"),
         F.percentile("s", F.lit(2.0 / 3)).alias("t2"))
