@@ -194,6 +194,34 @@ def doc_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
          .alias("shingle"))
 
 
+def _kept_shingles(df: DataFrame, n: int,
+                   max_df: int | None) -> DataFrame:
+    """(sid, shingle, n_sh) — the df-gated shingle stream with each
+    doc's kept-set size attached, MATERIALIZED once (eager
+    localCheckpoint, blocks freed via ContextCleaner on GC).
+
+    The df gate and the per-doc size are window counts over the single
+    exploded stream (no groupBy frames joined back), and the checkpoint
+    is what lets the Jaccard/containment self-joins reference the
+    stream twice without Catalyst rebuilding the whole explode + window
+    pipeline per alias (no subplan sharing, and AQE's broadcast
+    conversion defeats ReusedExchange on the fixture sizes)."""
+    from pyspark.sql import Window
+
+    from ab_metadata_pusher_spark.observability import capture_plan_segment
+
+    sh = doc_shingles(df, n)
+    if max_df is not None:
+        sh = (sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+            .filter(F.col("df") <= max_df))
+    kept = (sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("sid")))
+        .select("sid", "shingle", "n_sh"))
+    capture_plan_segment(kept)
+    return kept.localCheckpoint(eager=True)
+
+
 def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
                   max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (sid_a < sid_b, sim >= t).
@@ -208,27 +236,31 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
     constant max_df, vs quadratic in the df of the worst boilerplate
     shingle ungated.  Leave None only for bounded inputs; for open-corpus
     scale prefer lsh_verified_pairs (candidates-then-verify).
-    """
-    sh = doc_shingles(df, n)
-    if max_df is not None:
-        dfreq = (sh.groupBy("shingle")
-                 .agg(F.count(F.lit(1)).alias("df"))
-                 .filter(F.col("df") <= max_df))
-        sh = sh.join(dfreq.select("shingle"), "shingle")
-    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
 
+    Single-pass, single-build formulation (r5): the df gate and the
+    per-doc set size are WINDOW counts on the one shingle stream (the
+    r4 containment repair), and that stream is then materialized ONCE
+    with an eager localCheckpoint — Catalyst does not share subplans
+    and plans no ReusedExchange across the self-join's sides, so the
+    lazy form rebuilt the entire shingle pipeline per alias (audited:
+    the corpus scanned once per reference).  Both join sides and the
+    size columns now read one materialized stream; at corpus scale one
+    materialization replaces two full recomputes.
+    """
+    sh = _kept_shingles(df, n, max_df)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.sid") < F.col("b.sid")))
         .groupBy(F.col("a.sid").alias("sid_a"), F.col("b.sid").alias("sid_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        # n_sh is constant within each sid: min() just carries it
+        .agg(F.count(F.lit(1)).alias("n_inter"),
+             F.min(F.col("a.n_sh")).alias("na"),
+             F.min(F.col("b.n_sh")).alias("nb"))
     )
-    sa = sizes.select(F.col("sid").alias("sid_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("sid").alias("sid_b"), F.col("n_shingles").alias("nb"))
     return (
-        inter.join(sa, "sid_a").join(sb, "sid_b")
+        inter
         .withColumn("jaccard",
                     F.round(F.col("n_inter")
                             / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
@@ -251,23 +283,12 @@ def containment_pairs(df: DataFrame, threshold: float, n: int = 3,
     max_df · Σdf — linear in corpus), scored by intersection over the
     SMALLER shingle set.  Output: sid_a, sid_b, containment (>= t).
     """
-    from pyspark.sql import Window
-
-    # Single-pass formulation: the df gate and per-doc set size are
-    # WINDOW counts attached to the shingle stream, not separate
-    # groupBy frames joined back — Catalyst does not share a
-    # multiply-referenced subplan, so the join form re-ran the (explode
-    # + md5) shingling once per reference (~4x).  Local sf0.1 timing is
-    # flat (the candidate self-join dominates there) but the rescans it
-    # deletes grow with corpus size while the counts — hence scores —
-    # stay identical.
-    sh = doc_shingles(df, n)
-    gated = (sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .filter(F.col("df") <= max_df))
-    kept = (gated.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("sid")))
-        .select("sid", "shingle", "n_sh"))
+    # Single-pass + single-build: window-count df gate and per-doc size
+    # on one shingle stream, materialized once (_kept_shingles) so the
+    # candidate self-join's two aliases don't each rebuild the explode
+    # + window pipeline (Catalyst shares no subplans).  The counts —
+    # hence scores — are identical to the lazy form.
+    kept = _kept_shingles(df, n, max_df)
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -524,19 +545,22 @@ def lsh_verified_pairs(df: DataFrame, threshold: float,
     Output: sid_a, sid_b, jaccard (>= threshold).
     """
     cand = lsh_candidate_pairs(df, k, bands, n)
-    sh = doc_shingles(df, n)
-    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
-
+    # One materialized (sid, shingle, n_sh) stream serves both verify
+    # sides AND the size columns (carried through the joins, min() just
+    # propagates the per-sid constant) — the lazy form re-ran the
+    # shingling per reference: 4 corpus rebuilds for the verify stage.
+    kept = _kept_shingles(df, n, None)
     expanded = cand.join(
-        sh.select(F.col("sid").alias("sid_a"), "shingle"), "sid_a")
+        kept.select(F.col("sid").alias("sid_a"), "shingle",
+                    F.col("n_sh").alias("na")), "sid_a")
     inter = (expanded.join(
-        sh.select(F.col("sid").alias("sid_b"), "shingle"),
+        kept.select(F.col("sid").alias("sid_b"), "shingle",
+                    F.col("n_sh").alias("nb")),
         ["sid_b", "shingle"])
         .groupBy("sid_a", "sid_b")
-        .agg(F.count(F.lit(1)).alias("n_inter")))
-    sa = sizes.select(F.col("sid").alias("sid_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("sid").alias("sid_b"), F.col("n_sh").alias("nb"))
-    return (inter.join(sa, "sid_a").join(sb, "sid_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"),
+             F.min("na").alias("na"), F.min("nb").alias("nb")))
+    return (inter
             .withColumn("jaccard",
                         F.round(F.col("n_inter")
                                 / (F.col("na") + F.col("nb")
@@ -572,16 +596,24 @@ def ppjoin_pairs(df: DataFrame, threshold: float, n: int = 3,
     prefix shingles of df_prefix^2, which threshold t keeps near-linear
     on real corpora.
     """
+    from ab_metadata_pusher_spark.observability import capture_plan_segment
+
     sh = doc_shingles(df, n, text_col, id_col)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # No explicit broadcast hint: dfreq is VOCABULARY-sized, which at
     # corpus scale exceeds executor memory.  Leaving the strategy to
     # AQE/autoBroadcastJoinThreshold gets the broadcast for free while
     # the vocab fits and degrades to a shuffle join (not an OOM) past it.
-    docs_arr = (sh.join(dfreq, "shingle")
-                .groupBy("sid")
-                .agg(F.sort_array(F.collect_list(
-                    F.struct("df", "shingle"))).alias("sorted_sh")))
+    # The (sid -> df-sorted shingle array) table feeds THREE consumers
+    # (prefix explode + both verify sides); materialize it once — the
+    # lazy form rebuilt shingling + df-join + groupBy per reference
+    # (audited: 24 corpus scans -> 2).
+    docs_arr_build = (sh.join(dfreq, "shingle")
+                      .groupBy("sid")
+                      .agg(F.sort_array(F.collect_list(
+                          F.struct("df", "shingle"))).alias("sorted_sh")))
+    capture_plan_segment(docs_arr_build)
+    docs_arr = docs_arr_build.localCheckpoint(eager=True)
     n_sh = F.size("sorted_sh")
     prefix_len = n_sh - F.ceil(F.lit(threshold) * n_sh).cast("int") + 1
     prefix = (docs_arr.select(

@@ -4291,6 +4291,13 @@ def q_quality_label_consistency_recall(spark: SparkSession,
     sampled slice while the screen runs on the corpus."""
     e = (load_table(spark, sf_dir, "embeddings")
          .filter(F.col("vec_id") < 500))
+    # Each kNN table feeds two consumers (recall join + flag
+    # derivation), so Catalyst builds each pipeline twice — measured
+    # CHEAPER than checkpointing here: the duplicate subtrees are
+    # slice-bounded by the gate's design and run concurrently inside
+    # one job, while eager materialization serializes them (A/B: 7.2s
+    # checkpointed vs 5.5s lazy warm at sf0.01).  The corpus-scale
+    # screen is quality_label_consistency_ann; this gate stays bounded.
     ex = S.topk_cosine_bruteforce(e, e, k=5)
     ann = S.ann_lsh_knn_self(e, k=5)
     rec = (ex.select("query_id", "neighbor_id")
