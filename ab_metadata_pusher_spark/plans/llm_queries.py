@@ -2894,7 +2894,12 @@ def q_dedup_incremental_minhash(spark: SparkSession,
     a corpus self-join.  New batch here = the corpus builder's mutated +
     exact copies (ids >= 1e6); the index = the originals."""
     corpus = _doc_corpus(spark, sf_dir)
-    banded = D.lsh_bands(corpus, k=16, bands=4)
+    # The band frame IS the standing index: materialize it once (it
+    # feeds both the probe and index sides of the self-join; the lazy
+    # form re-ran the whole minhash pipeline per side).
+    banded_build = D.lsh_bands(corpus, k=16, bands=4)
+    capture_plan_segment(banded_build)
+    banded = banded_build.localCheckpoint(eager=True)
     newb = banded.filter(F.col("sid") >= 1_000_000).alias("n")
     oldb = banded.filter(F.col("sid") < 1_000_000).alias("o")
     m = (newb.join(oldb,
@@ -3065,7 +3070,13 @@ def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest = F.md5(F.col("text").cast("binary"))
     existing = (d.filter(F.col("doc_id") < 300)
                 .select(digest.alias("content_md5")).distinct())
-    bloom = B.bloom_build(existing, "content_md5", _BLOOM_M, _BLOOM_K)
+    # The bloom frame is ONE row but its build folds the whole digest
+    # set; both probe branches (fresh + verified) reference it, so the
+    # lazy form ran the corpus fold twice — checkpoint the single row.
+    bloom_build_df = B.bloom_build(existing, "content_md5",
+                                   _BLOOM_M, _BLOOM_K)
+    capture_plan_segment(bloom_build_df)
+    bloom = bloom_build_df.localCheckpoint(eager=True)
     batch = (d.filter(F.col("doc_id") >= 200)
              .select("doc_id", digest.alias("content_md5"))
              .unionByName(
