@@ -418,6 +418,10 @@ def _warmup(spark, reg) -> None:
     # that false-flagged dedup_clusters_full as a 4.3x regression
     reg["dedup_clusters"](spark, "/root/testdata/sf0.001") \
         .write.format("noop").mode("overwrite").save()
+    # interval-overlap range-join shape: 10.4s cold vs 1.3s warm at
+    # sf0.1 — the same one-time-JIT flap, observed as a 1.67x false flag
+    reg["join_interval_overlap"](spark, "/root/testdata/sf0.001") \
+        .write.format("noop").mode("overwrite").save()
 
 
 if __name__ == "__main__":
