@@ -449,6 +449,8 @@ def hamming_pairs(hashes: DataFrame, hash_col: str, max_hamming: int,
     ``shiftrightunsigned`` keeps block extraction correct even for
     full-64-bit fingerprints whose sign bit is set.
     """
+    from ab_metadata_pusher_spark.observability import capture_plan_segment
+
     nb = max_hamming + 1
     bounds = [round(j * bits / nb) for j in range(nb + 1)]
     blocks = F.array(*[
@@ -458,11 +460,18 @@ def hamming_pairs(hashes: DataFrame, hash_col: str, max_hamming: int,
              .bitwiseAND(F.lit((1 << (bounds[j + 1] - bounds[j])) - 1))
              .alias("val"))
         for j in range(nb)])
-    keyed = (hashes.select(F.col(id_col).alias("sid"),
-                           F.col(hash_col).alias("h"),
-                           F.explode(blocks).alias("b"))
-             .select("sid", "h", F.col("b.blk").alias("blk"),
-                     F.col("b.val").alias("val")))
+    # Both self-join sides reference the keyed stream; materialize it
+    # once so the fingerprint pipeline upstream (SimHash fold, pHash
+    # decode, audio hash — whatever produced ``hashes``) doesn't run
+    # per alias (Catalyst shares no subplans).  The stream is corpus ×
+    # (max_hamming+1) narrow rows — the blocking index itself.
+    keyed_build = (hashes.select(F.col(id_col).alias("sid"),
+                                 F.col(hash_col).alias("h"),
+                                 F.explode(blocks).alias("b"))
+                   .select("sid", "h", F.col("b.blk").alias("blk"),
+                           F.col("b.val").alias("val")))
+    capture_plan_segment(keyed_build)
+    keyed = keyed_build.localCheckpoint(eager=True)
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))

@@ -3937,10 +3937,15 @@ def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.min(F.struct(e.alias("e"), F.col("w").alias("t")))
                     .alias(f"s{j}"))
     sig = tf.groupBy("sid").agg(*aggs)
-    comp = (sig.select("sid", F.explode(F.array(*[
+    # One materialized component table serves both self-join sides (the
+    # lazy form re-ran tf + k min-aggregates per alias — same repair as
+    # hamming_pairs' keyed stream).
+    comp_build = (sig.select("sid", F.explode(F.array(*[
         F.struct(F.lit(j).alias("j"), F.col(f"s{j}.t").alias("t"))
         for j in range(_WMH_K)])).alias("c"))
         .select("sid", F.col("c.j").alias("j"), F.col("c.t").alias("t")))
+    capture_plan_segment(comp_build)
+    comp = comp_build.localCheckpoint(eager=True)
     a_, b_ = comp.alias("a"), comp.alias("b")
     return (a_.join(b_, (F.col("a.j") == F.col("b.j"))
                     & (F.col("a.t") == F.col("b.t"))
