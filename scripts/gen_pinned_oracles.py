@@ -32,8 +32,10 @@ their values are not reproducible across executor layouts.)
 
 Each oracle embeds one VALUES branch per scale factor, selected by the
 base table's row count, so the same string verifies at the test SF
-(0.001) and the driver SF (0.01).  An unknown SF selects the empty
-branch and fails the comparison loudly — rerun this script to re-pin:
+(0.001), the driver SF (0.01) and the bench SF (0.1) — the r5 full-
+registry 10x parity sweep needs the 0.1 branch.  An unknown SF selects
+the empty branch and fails the comparison loudly — rerun this script
+to re-pin:
 
     python scripts/gen_pinned_oracles.py
 
@@ -51,7 +53,8 @@ import pyarrow.parquet as pq
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
 
 #: SF detection always counts ``orders`` (1500 / 15000 / 150000 rows at
 #: sf0.001/0.01/0.1) — documents/embeddings keep the SAME row count across
