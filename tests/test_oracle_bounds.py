@@ -78,3 +78,26 @@ def test_embedding_dim_is_structural_64(con):
     assert lo == hi == EMB_DIM, (
         f"embedding width {lo}..{hi} != {EMB_DIM}; the unrolled dim loops "
         f"in the embedding oracles assume exactly {EMB_DIM} elements")
+
+
+def test_pinned_oracles_cover_every_generated_sf():
+    """Each pinned-constant oracle must carry a VALUES branch for every
+    generated scale factor (keyed on the orders row count — see
+    scripts/gen_pinned_oracles.py SF_BASE).  A missing branch selects
+    the empty fallback and fails the driver/bench comparison loudly at
+    that SF; this asserts the r5 invariant that all three SFs are
+    pinned, so a testdata regeneration that changes a row count fails
+    here with an actionable message instead of as an opaque
+    rowcount-0 oracle mismatch."""
+    import pyarrow.parquet as pq
+
+    from ab_metadata_pusher_spark.plans.generated_oracles import (
+        PINNED_ORACLES,
+    )
+
+    for sf_dir in SF_DIRS:
+        key = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+        for name, sql in PINNED_ORACLES.items():
+            assert f"(SELECT count(*) FROM orders) = {key}" in sql, (
+                f"pinned oracle {name} has no branch for SF key {key} "
+                f"({sf_dir}); rerun scripts/gen_pinned_oracles.py")
