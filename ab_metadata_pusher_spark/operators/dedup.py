@@ -37,7 +37,83 @@ __all__ = [
     "simhash", "simhash_pairs",
     "star_edges", "connected_components", "cluster_labels",
     "hamming_pairs", "ppjoin_pairs",
+    "MATERIALIZE_CONF",
 ]
+
+#: Session conf selecting how shared self-join streams are materialized
+#: (see :func:`_materialize_shared`): ``persist`` (default, lazy) |
+#: ``eager`` | ``off``.  A ``materialize=`` keyword on the public pair
+#: operators overrides the conf per call.
+MATERIALIZE_CONF = "spark.ab_metadata_pusher.dedup.materialize"
+
+
+def _materialize_mode(mode: str | None, conf_get) -> str:
+    """Resolve the materialization strategy: parameter > conf > default.
+
+    Pure function of a ``conf_get(key, default)`` callable so the
+    decision table is unit-testable without a session.  Default is
+    ``persist`` — the LAZY strategy: building a plan runs no Spark job
+    (an eager/lazy localCheckpoint both execute upstream AQE stages at
+    construction), and persisted blocks stay recomputable from lineage
+    after executor loss.  An explicit ``eager`` is demoted back to
+    ``persist`` when dynamic allocation or executor decommissioning is
+    enabled: localCheckpoint blocks are non-replicated executor-local
+    state, and losing one mid-job is a job FAILURE there, not a slow
+    path.
+    """
+    if mode is None:
+        mode = conf_get(MATERIALIZE_CONF, None)
+    mode = "persist" if mode is None else str(mode).lower()
+    if mode not in ("eager", "persist", "off"):
+        raise ValueError(
+            f"materialize mode must be eager|persist|off, got {mode!r}")
+    if mode == "eager":
+        for k in ("spark.dynamicAllocation.enabled",
+                  "spark.decommission.enabled"):
+            if str(conf_get(k, "false")).lower() == "true":
+                return "persist"
+    return mode
+
+
+def _materialize_shared(df: DataFrame, mode: str | None = None) -> DataFrame:
+    """Materialize a stream referenced by BOTH sides of a self-join.
+
+    Catalyst shares no subplans across aliases, so without
+    materialization the upstream pipeline (shingling, df gates,
+    fingerprint decode) is rebuilt once per reference.  Strategy comes
+    from the ``mode`` parameter, falling back to
+    ``spark.ab_metadata_pusher.dedup.materialize``:
+
+    * ``persist`` (default) — ``persist(MEMORY_AND_DISK)``: LAZY (no
+      Spark job at DataFrame-construction time — library callers can
+      build plans they never execute for free), shared across both join
+      aliases via the cache manager, and recompute-safe after executor
+      loss (lineage kept), so it is also the right mode under dynamic
+      allocation / decommissioning.  Blocks are LRU-evictable; callers
+      invoking an operator MANY times in one session should prefer
+      ``eager`` (checkpoint blocks are freed by ContextCleaner on plan
+      GC, cache-manager entries are not) or ``unpersist()`` the result's
+      upstream themselves.
+    * ``eager`` — ``localCheckpoint(eager=True)``: materializes NOW and
+      truncates lineage.  The registered bench plans use this (stable
+      audited plan shape, no cache-entry accumulation across bench
+      loops).  Auto-demoted to ``persist`` on elastic clusters — see
+      :func:`_materialize_mode`.
+    * ``off`` — return the plan unchanged: pure lazy lineage, downstream
+      predicates push below, upstream recomputes once per reference.
+
+    Under ``eager`` the checkpoint truncates lineage, so downstream
+    filters do NOT push below the materialization point — pre-filter
+    the input or use ``off``/``persist`` when that matters.
+    """
+    mode = _materialize_mode(mode, df.sparkSession.conf.get)
+    if mode == "off":
+        return df
+    if mode == "persist":
+        from pyspark import StorageLevel
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    capture_plan_segment(df)
+    return df.localCheckpoint(eager=True)
 
 
 def cluster_labels(keys: DataFrame, key_cols: list[str],
@@ -194,21 +270,20 @@ def doc_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
          .alias("shingle"))
 
 
-def _kept_shingles(df: DataFrame, n: int,
-                   max_df: int | None) -> DataFrame:
+def _kept_shingles(df: DataFrame, n: int, max_df: int | None,
+                   materialize: str | None = None) -> DataFrame:
     """(sid, shingle, n_sh) — the df-gated shingle stream with each
-    doc's kept-set size attached, MATERIALIZED once (eager
-    localCheckpoint, blocks freed via ContextCleaner on GC).
+    doc's kept-set size attached, MATERIALIZED once via
+    :func:`_materialize_shared` (default: lazy localCheckpoint — no job
+    at construction; blocks freed via ContextCleaner on GC).
 
     The df gate and the per-doc size are window counts over the single
-    exploded stream (no groupBy frames joined back), and the checkpoint
-    is what lets the Jaccard/containment self-joins reference the
-    stream twice without Catalyst rebuilding the whole explode + window
-    pipeline per alias (no subplan sharing, and AQE's broadcast
-    conversion defeats ReusedExchange on the fixture sizes)."""
+    exploded stream (no groupBy frames joined back), and the
+    materialization is what lets the Jaccard/containment self-joins
+    reference the stream twice without Catalyst rebuilding the whole
+    explode + window pipeline per alias (no subplan sharing, and AQE's
+    broadcast conversion defeats ReusedExchange on the fixture sizes)."""
     from pyspark.sql import Window
-
-    from ab_metadata_pusher_spark.observability import capture_plan_segment
 
     sh = doc_shingles(df, n)
     if max_df is not None:
@@ -218,12 +293,12 @@ def _kept_shingles(df: DataFrame, n: int,
     kept = (sh.withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("sid")))
         .select("sid", "shingle", "n_sh"))
-    capture_plan_segment(kept)
-    return kept.localCheckpoint(eager=True)
+    return _materialize_shared(kept, materialize)
 
 
 def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = None,
+                  materialize: str | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (sid_a < sid_b, sim >= t).
 
     shingles equi-join -> per-pair intersection count -> sizes join ->
@@ -237,17 +312,26 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
     shingle ungated.  Leave None only for bounded inputs; for open-corpus
     scale prefer lsh_verified_pairs (candidates-then-verify).
 
+    Precondition: ``id_col`` values are UNIQUE (one row per document).
+    Shingle distinctness is enforced IN-ROW (``array_distinct``), so a
+    frame with duplicate rows per id (e.g. a union'd corpus) silently
+    inflates n_inter/n_sh and the scores — run
+    :func:`exact_dedup_keep_min` (or ``dropDuplicates``) first.
+
     Single-pass, single-build formulation (r5): the df gate and the
     per-doc set size are WINDOW counts on the one shingle stream (the
     r4 containment repair), and that stream is then materialized ONCE
-    with an eager localCheckpoint — Catalyst does not share subplans
-    and plans no ReusedExchange across the self-join's sides, so the
-    lazy form rebuilt the entire shingle pipeline per alias (audited:
-    the corpus scanned once per reference).  Both join sides and the
-    size columns now read one materialized stream; at corpus scale one
-    materialization replaces two full recomputes.
+    via :func:`_materialize_shared` (default lazy localCheckpoint: no
+    job at construction, blocks on first action; ``MATERIALIZE_CONF``
+    selects eager / decommission-safe persist / off) — Catalyst does
+    not share subplans and plans no ReusedExchange across the
+    self-join's sides, so the unmaterialized form rebuilt the entire
+    shingle pipeline per alias (audited: the corpus scanned once per
+    reference).  Both join sides and the size columns read one
+    materialized stream; at corpus scale one materialization replaces
+    two full recomputes.
     """
-    sh = _kept_shingles(df, n, max_df)
+    sh = _kept_shingles(df, n, max_df, materialize)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -270,7 +354,8 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
 
 
 def containment_pairs(df: DataFrame, threshold: float, n: int = 3,
-                      max_df: int = 100) -> DataFrame:
+                      max_df: int = 100,
+                      materialize: str | None = None) -> DataFrame:
     """Shingle-containment near-dup pairs: C = |A∩B| / min(|A|, |B|).
 
     Catches SUBSET duplication — a short document embedded inside a long
@@ -282,13 +367,18 @@ def containment_pairs(df: DataFrame, threshold: float, n: int = 3,
     :func:`jaccard_pairs` (stop-shingles dropped first, join output ≤
     max_df · Σdf — linear in corpus), scored by intersection over the
     SMALLER shingle set.  Output: sid_a, sid_b, containment (>= t).
+
+    Precondition: unique ``doc_id`` per row (shingle distinctness is
+    in-row; duplicate ids inflate the counts — see
+    :func:`jaccard_pairs`).  Materialization contract: shared shingle
+    stream via :func:`_materialize_shared`, default lazy.
     """
     # Single-pass + single-build: window-count df gate and per-doc size
     # on one shingle stream, materialized once (_kept_shingles) so the
     # candidate self-join's two aliases don't each rebuild the explode
     # + window pipeline (Catalyst shares no subplans).  The counts —
     # hence scores — are identical to the lazy form.
-    kept = _kept_shingles(df, n, max_df)
+    kept = _kept_shingles(df, n, max_df, materialize)
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -419,7 +509,8 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 6,
-                  bits: int = 32) -> DataFrame:
+                  bits: int = 32,
+                  materialize: str | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance (sid_a < sid_b).
 
     Blocked, not all-pairs (Manku et al., WWW'07): the fingerprint splits
@@ -436,11 +527,13 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 6,
     max_hamming so buckets stay small.
     """
     return hamming_pairs(simhash(df, bits), "simhash",
-                         max_hamming=max_hamming, bits=bits)
+                         max_hamming=max_hamming, bits=bits,
+                         materialize=materialize)
 
 
 def hamming_pairs(hashes: DataFrame, hash_col: str, max_hamming: int,
-                  bits: int, id_col: str = "sid") -> DataFrame:
+                  bits: int, id_col: str = "sid",
+                  materialize: str | None = None) -> DataFrame:
     """Generic lossless pigeonhole Hamming join over ANY integer
     fingerprint column (SimHash, image pHash, audio fingerprints):
     (id_a, id_b, hamming) for all pairs within ``max_hamming``.
@@ -448,9 +541,12 @@ def hamming_pairs(hashes: DataFrame, hash_col: str, max_hamming: int,
     Same Manku-style blocking as simhash_pairs (which delegates here);
     ``shiftrightunsigned`` keeps block extraction correct even for
     full-64-bit fingerprints whose sign bit is set.
-    """
-    from ab_metadata_pusher_spark.observability import capture_plan_segment
 
+    Materialization contract: the blocking index is shared by both
+    self-join sides via :func:`_materialize_shared` (default lazy — no
+    job at construction; see ``MATERIALIZE_CONF`` for the eager /
+    persist / off modes).
+    """
     nb = max_hamming + 1
     bounds = [round(j * bits / nb) for j in range(nb + 1)]
     blocks = F.array(*[
@@ -470,8 +566,7 @@ def hamming_pairs(hashes: DataFrame, hash_col: str, max_hamming: int,
                                  F.explode(blocks).alias("b"))
                    .select("sid", "h", F.col("b.blk").alias("blk"),
                            F.col("b.val").alias("val")))
-    capture_plan_segment(keyed_build)
-    keyed = keyed_build.localCheckpoint(eager=True)
+    keyed = _materialize_shared(keyed_build, materialize)
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
@@ -543,7 +638,8 @@ def duplicated_spans(df: DataFrame, w: int = 10, text_col: str = "text",
 
 
 def lsh_verified_pairs(df: DataFrame, threshold: float,
-                       k: int = 16, bands: int = 4, n: int = 3) -> DataFrame:
+                       k: int = 16, bands: int = 4, n: int = 3,
+                       materialize: str | None = None) -> DataFrame:
     """Candidate-then-verify near-dup pipeline: LSH banding proposes
     pairs, exact n-gram Jaccard is computed ONLY on those pairs — the
     production shape (LSH alone over-generates, exact-all-pairs is n²).
@@ -552,13 +648,18 @@ def lsh_verified_pairs(df: DataFrame, threshold: float,
     candidate list, so its cost is sum over candidate pairs of |A|
     shingles — proportional to true near-dup density, never corpus².
     Output: sid_a, sid_b, jaccard (>= threshold).
+
+    Precondition: unique ``doc_id`` per row (see :func:`jaccard_pairs`).
+    Materialization contract: the shared verify stream goes through
+    :func:`_materialize_shared` (default lazy — no construction-time
+    job; ``MATERIALIZE_CONF`` for the other modes).
     """
     cand = lsh_candidate_pairs(df, k, bands, n)
     # One materialized (sid, shingle, n_sh) stream serves both verify
     # sides AND the size columns (carried through the joins, min() just
     # propagates the per-sid constant) — the lazy form re-ran the
     # shingling per reference: 4 corpus rebuilds for the verify stage.
-    kept = _kept_shingles(df, n, None)
+    kept = _kept_shingles(df, n, None, materialize)
     expanded = cand.join(
         kept.select(F.col("sid").alias("sid_a"), "shingle",
                     F.col("n_sh").alias("na")), "sid_a")
@@ -579,7 +680,8 @@ def lsh_verified_pairs(df: DataFrame, threshold: float,
 
 
 def ppjoin_pairs(df: DataFrame, threshold: float, n: int = 3,
-                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 materialize: str | None = None) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (PPJoin-lite, Xiao et
     al., WWW'08) — lossless, unlike the df-gate, and candidate-bounded,
     unlike the all-pairs join.
@@ -604,9 +706,11 @@ def ppjoin_pairs(df: DataFrame, threshold: float, n: int = 3,
     to jaccard_pairs(max_df=None); the candidate volume is sum over
     prefix shingles of df_prefix^2, which threshold t keeps near-linear
     on real corpora.
-    """
-    from ab_metadata_pusher_spark.observability import capture_plan_segment
 
+    Materialization contract: the (sid -> df-sorted shingle array)
+    table is shared by three consumers via :func:`_materialize_shared`
+    (default lazy — no job at construction; see ``MATERIALIZE_CONF``).
+    """
     sh = doc_shingles(df, n, text_col, id_col)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # No explicit broadcast hint: dfreq is VOCABULARY-sized, which at
@@ -621,8 +725,7 @@ def ppjoin_pairs(df: DataFrame, threshold: float, n: int = 3,
                       .groupBy("sid")
                       .agg(F.sort_array(F.collect_list(
                           F.struct("df", "shingle"))).alias("sorted_sh")))
-    capture_plan_segment(docs_arr_build)
-    docs_arr = docs_arr_build.localCheckpoint(eager=True)
+    docs_arr = _materialize_shared(docs_arr_build, materialize)
     n_sh = F.size("sorted_sh")
     prefix_len = n_sh - F.ceil(F.lit(threshold) * n_sh).cast("int") + 1
     prefix = (docs_arr.select(

@@ -626,7 +626,8 @@ cand AS (
   WHERE e0.a IS NULL
 )
 SELECT c.a, c.b, c.n_common,
-       round(c.n_common * 1.0 / (da.d + db.d - c.n_common), 4) AS score
+       CAST((c.n_common * 20000 + (da.d + db.d - c.n_common))
+            // (2 * (da.d + db.d - c.n_common)) AS DOUBLE) / 10000 AS score
 FROM cand c
 JOIN deg da ON da.v = c.a
 JOIN deg db ON db.v = c.b
@@ -685,9 +686,16 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(deg.select(F.col("v").alias("b"),
                                          F.col("d").alias("db"))), "b")
             .select("a", "b", "n_common",
-                    F.round(F.col("n_common")
-                            / (F.col("da") + F.col("db")
-                               - F.col("n_common")), 4).alias("score"))
+                    # 4-decimal score via half-up INTEGER division on
+                    # exact counts (the containment_pairs discipline):
+                    # round(double, 4) straddles half boundaries
+                    # differently per engine (Spark vs DuckDB).
+                    (F.floor((F.col("n_common") * 20000
+                              + (F.col("da") + F.col("db")
+                                 - F.col("n_common")))
+                             / ((F.col("da") + F.col("db")
+                                 - F.col("n_common")) * 2))
+                     / 10000.0).alias("score"))
             .orderBy(F.col("score").desc(), "a", "b").limit(50))
 
 
@@ -718,7 +726,8 @@ cand AS (
   WHERE e0.a IS NULL
 )
 SELECT c.a, c.b, c.n_common,
-       round(c.n_common * 1.0 / (da.d + db.d - c.n_common), 4) AS score
+       CAST((c.n_common * 20000 + (da.d + db.d - c.n_common))
+            // (2 * (da.d + db.d - c.n_common)) AS DOUBLE) / 10000 AS score
 FROM cand c
 JOIN deg da ON da.v = c.a
 JOIN deg db ON db.v = c.b
@@ -766,9 +775,16 @@ def q_graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFram
             .join(F.broadcast(deg.select(F.col("v").alias("b"),
                                          F.col("d").alias("db"))), "b")
             .select("a", "b", "n_common",
-                    F.round(F.col("n_common")
-                            / (F.col("da") + F.col("db")
-                               - F.col("n_common")), 4).alias("score"))
+                    # 4-decimal score via half-up INTEGER division on
+                    # exact counts (the containment_pairs discipline):
+                    # round(double, 4) straddles half boundaries
+                    # differently per engine (Spark vs DuckDB).
+                    (F.floor((F.col("n_common") * 20000
+                              + (F.col("da") + F.col("db")
+                                 - F.col("n_common")))
+                             / ((F.col("da") + F.col("db")
+                                 - F.col("n_common")) * 2))
+                     / 10000.0).alias("score"))
             .orderBy(F.col("score").desc(), "a", "b").limit(50))
 
 

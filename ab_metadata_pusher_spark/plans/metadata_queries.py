@@ -311,7 +311,11 @@ d AS (SELECT coalesce(a.table_name, b.table_name) AS table_name,
         ON a.table_name = b.table_name AND a.col_name = b.col_name)
 SELECT * FROM d WHERE status IS NOT NULL
 """,
-    covers=("G.metadata.diff", "B5"),
+    # G.metadata.schema_drift: this query subsumes the retired
+    # metadata_schema_drift (same added/removed/type_changed contract
+    # over two snapshots) — the covers tag moved here at retirement so
+    # the coverage matrix keeps the row (r5 ADVICE).
+    covers=("G.metadata.diff", "G.metadata.schema_drift", "B5"),
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata drift detection: diff two catalog snapshots into

@@ -38,17 +38,26 @@ DEFAULT_MAX_BYTES = SQS_HARD_LIMIT - 4 * 1024
 def _record_size(record: dict[str, Any]) -> int:
     # +1 for the comma separator in a JSON array; sizes are UTF-8 bytes
     # (SQS limits are byte limits, and non-ASCII inflates past len(str)).
+    # ensure_ascii=False keeps that statement true: the default \uXXXX
+    # escaping would charge 6 ASCII bytes per escaped char while
+    # serializing DIFFERENT bytes than a raw-UTF-8 consumer (or the
+    # DuckDB to_json oracle in sink_envelope_chunking) measures.
     return len(json.dumps(record, separators=(",", ":"), sort_keys=True,
-                          default=str).encode("utf-8")) + 1
+                          ensure_ascii=False, default=str)
+               .encode("utf-8")) + 1
 
 
 def envelope_json(nodes: list[dict[str, Any]], relations: list[dict[str, Any]],
                   chunk: int, of: int, tag: str) -> str:
-    """Serialize one envelope deterministically (sorted keys, compact)."""
+    """Serialize one envelope deterministically (sorted keys, compact,
+    raw UTF-8 — non-ASCII is emitted as-is, not \\uXXXX-escaped, so the
+    byte accounting in ``_record_size``/``pack_envelopes`` matches what
+    actually goes over the wire)."""
     return json.dumps(
         {"nodes": nodes, "relations": relations, "chunk": chunk, "of": of,
          "tag": tag},
-        separators=(",", ":"), sort_keys=True, default=str)
+        separators=(",", ":"), sort_keys=True, ensure_ascii=False,
+        default=str)
 
 
 def pack_envelopes(nodes: Iterable[dict[str, Any]],

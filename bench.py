@@ -167,7 +167,7 @@ def _unbounded_llm(spark, sf_dir):
         "text_pii_full": lambda: X.pii_redact(docs_raw),
         "dedup_clusters_full": lambda: _clusters_full(docs),
         "dedup_containment_full": lambda: D.containment_pairs(
-            docs, 0.8, max_df=100),
+            docs, 0.8, max_df=100, materialize="eager"),
     }
 
 

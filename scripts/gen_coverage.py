@@ -128,6 +128,15 @@ STATIC = [
      "(Spark built-in; engine usage proven)",
      "tests/test_observability.py "
      "test_streaming_query_listener_captures_progress"),
+    # Orphaned by the r5 retirement of sessionize_events_pandas (the
+    # 1:1 registry swap): the grouped-map applyInPandas surface stays
+    # implemented and oracle-verified, but outside the registry — the
+    # A/B runs against the SAME _SESSION_SQL oracle every pytest run.
+    ("G.udf.apply_in_pandas",
+     "Grouped-map applyInPandas (pandas sessionize A/B, oracle-backed)",
+     "operators/sessionize.py sessionize_pandas",
+     "tests/test_retired_queries.py (vs _SESSION_SQL, the driver-green "
+     "sessionize_events oracle)"),
 ]
 
 

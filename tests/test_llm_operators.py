@@ -741,3 +741,93 @@ def test_ppjoin_lossless_on_adversarial_corpus(spark):
               for r in ppjoin_pairs(docs, t).collect()}
         assert pp == exact, (t, set(exact) ^ set(pp))
         assert exact  # the corpus must actually produce pairs
+
+
+# -- materialization gating (ADVICE r5: no eager jobs at construction) ------
+
+def test_materialize_mode_decision_table():
+    from ab_metadata_pusher_spark.operators.dedup import (
+        MATERIALIZE_CONF, _materialize_mode,
+    )
+
+    def conf(values):
+        return lambda k, d=None: values.get(k, d)
+
+    # unset -> lazy persist (no construction-time job, recompute-safe)
+    assert _materialize_mode(None, conf({})) == "persist"
+    # conf selects; parameter overrides conf
+    for m in ("eager", "persist", "off"):
+        assert _materialize_mode(None, conf({MATERIALIZE_CONF: m})) == m
+    assert _materialize_mode(
+        "off", conf({MATERIALIZE_CONF: "eager"})) == "off"
+    # eager demotes to persist on elastic clusters: localCheckpoint
+    # blocks are non-replicated executor-local state — losing one
+    # mid-job under decommissioning is a job failure
+    assert _materialize_mode(
+        "eager", conf({"spark.dynamicAllocation.enabled": "true"})) \
+        == "persist"
+    assert _materialize_mode(
+        "eager", conf({"spark.decommission.enabled": "true"})) == "persist"
+    assert _materialize_mode("eager", conf({})) == "eager"
+    with pytest.raises(ValueError, match="eager|persist|off"):
+        _materialize_mode("bogus", conf({}))
+
+
+def test_pair_operators_run_no_job_at_construction(spark):
+    """Building a pair-operator PLAN must not trigger Spark jobs (the
+    library contract: callers can construct plans they never execute).
+    The default lazy materialization defers the shared-stream
+    checkpoint to the first action."""
+    from ab_metadata_pusher_spark.operators.dedup import (
+        containment_pairs, hamming_pairs, jaccard_pairs, ppjoin_pairs,
+        simhash,
+    )
+    sc = spark.sparkContext
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma tok{i + 1} delta epsilon")
+         for i in range(12)], "doc_id long, text string")
+    try:
+        sc.setJobGroup("construct-probe", "plan construction must be lazy")
+        plans = [
+            jaccard_pairs(docs, 0.5, max_df=50),
+            containment_pairs(docs, 0.5),
+            ppjoin_pairs(docs, 0.5),
+            hamming_pairs(simhash(docs, bits=32), "simhash",
+                          max_hamming=3, bits=32),
+        ]
+        constructed = sc.statusTracker().getJobIdsForGroup("construct-probe")
+        assert list(constructed) == [], (
+            f"plan construction ran Spark jobs: {constructed}")
+        sc.setJobGroup("exec-probe", "first action materializes")
+        counts = [p.count() for p in plans]
+        assert all(c >= 0 for c in counts)
+        assert len(sc.statusTracker().getJobIdsForGroup("exec-probe")) > 0
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
+def test_materialize_modes_agree(spark):
+    """eager / persist / off are execution strategies, not semantics:
+    identical pair results on every mode (parameter and conf paths)."""
+    from ab_metadata_pusher_spark.operators.dedup import (
+        MATERIALIZE_CONF, jaccard_pairs,
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f h"),
+         (3, "x y z w v u t"), (4, "a b c d e f g")],
+        "doc_id long, text string")
+    results = {}
+    for mode in ("eager", "persist", "off"):
+        results[mode] = sorted(
+            (r.sid_a, r.sid_b, r.jaccard)
+            for r in jaccard_pairs(docs, 0.5, materialize=mode).collect())
+    try:
+        spark.conf.set(MATERIALIZE_CONF, "off")
+        results["conf-off"] = sorted(
+            (r.sid_a, r.sid_b, r.jaccard)
+            for r in jaccard_pairs(docs, 0.5).collect())
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+    assert results["eager"] == results["persist"] == results["off"] \
+        == results["conf-off"]
+    assert results["eager"]  # non-empty: (1,2) and (1,4) at least

@@ -75,6 +75,27 @@ def test_envelope_json_deterministic():
     assert a == b  # sorted keys -> byte-stable dedup ids
 
 
+def test_pack_envelopes_counts_real_utf8_bytes():
+    # Non-ASCII must be serialized raw (ensure_ascii=False) and charged
+    # at true UTF-8 width: "é" is 2 bytes, not the 6-byte é escape.
+    # The packing bound is a BYTE limit (SQS), so escaped-form accounting
+    # would both overcharge the budget 3x and disagree with any raw-UTF-8
+    # consumer (including the sink_envelope_chunking DuckDB oracle).
+    rec = {"key": "café"}  # {"key":"café"} -> 14 ASCII + 2-byte é
+    from ab_metadata_pusher_spark.sinks.envelope import _record_size
+    assert _record_size(rec) == len('{"key":"caf"}'.encode()) + 2 + 1
+
+    # multibyte text still packs under the bound, measured in bytes
+    nodes = [{"key": f"n{i}", "pad": "é" * 700} for i in range(8)]
+    bodies = list(pack_envelopes(nodes, [], tag="t", max_bytes=2048))
+    assert len(bodies) > 1  # 1400-byte records force multiple chunks
+    for b in bodies:
+        assert len(b.encode("utf-8")) <= 2048
+        assert "\\u" not in b  # raw UTF-8 on the wire, no escapes
+    assert [n for body in bodies
+            for n in json.loads(body)["nodes"]] == nodes
+
+
 # -- SQS publisher ----------------------------------------------------------
 
 def _graph(spark, sf_dir):
