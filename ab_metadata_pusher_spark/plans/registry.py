@@ -68,59 +68,71 @@ def _load_all() -> None:
 #: this for every prefix name).
 #: Everything not listed follows in registration order.
 #:
-#: ROTATION (round 5): evidence is cumulative, so the head keeps the same
-#: 15-slot sentinel core and fills the 35 scored rotation slots with
-#: (a) the two round-5 registrations — graph_link_prediction_capped (the
-#: hub-capped scale-safe form clearing r4's one perf-weak entry) and
-#: sink_envelope_chunking (the 256 KiB packing law's first driver row) —
-#: and (b) 33 oracle-backed queries that have NEVER had a driver row,
-#: prioritized per the r4 verdict: the full text_* family (14), the full
-#: sample_* family (8), four dedup variants, five quality_* screens, and
-#: both ANN recall gates.  Registration stays FROZEN at 239 (r4 verdict
-#: ask #8): the two additions are 1:1 swaps for two retired never-scored
-#: near-duplicates (metadata_schema_drift -> metadata_snapshot_diff
-#: covers it; sessionize_events_pandas -> byte-identical A/B of
-#: sessionize_events, kept as a local test — see the retirement notes at
-#: their definitions and tests/test_retired_queries.py).
-#: The r4 rotation cohort moves below the 50-row window (still verified
-#: every run by tests/test_oracle_parity.py); ~63 never-scored names
-#: remain queued after it in deterministic order — two more rounds of
-#: rotation at this width.  Use scripts/prefix_planner.py to plan the
-#: next rotation.  Pre-validated in r5 for r6: every one of the 63
-#: queued names already passes driver_sim --strict-types at sf0.01 AND
-#: has a flat atomic output schema, so future rotations are purely
-#: mechanical (no repair pass needed before promotion).
+#: ROTATION (round 6): evidence is cumulative, so the head keeps the same
+#: 15-slot sentinel core and fills the 35 scored rotation slots with the
+#: next 35 oracle-backed queries that have NEVER had a driver row (the
+#: head of the deterministic never-scored queue the r5 comment promised:
+#: sketches, the timeseries family, the extended-join family, the nine
+#: remaining dedup variants, embedding/similarity, the window-function
+#: long tail, and the subquery family).  Registration stays FROZEN at
+#: 239.  The r5 rotation cohort (all 35 driver-green in
+#: CORRECTNESS_r05.json) moves below the 50-row window — still verified
+#: every run by tests/test_oracle_parity.py — ahead of the r4 cohort.
+#: 28 never-scored names remain queued after them in deterministic
+#: order: ONE more round of rotation at this width clears the registry.
+#: Use scripts/prefix_planner.py to plan the next rotation.
+#: Pre-validated in r5 (and re-checked for this cohort in r6): every
+#: queued name passes driver_sim --strict-types at sf0.01 AND has a
+#: flat atomic output schema, so rotation stays purely mechanical.
 DRIVER_PREFIX: tuple[str, ...] = (
-    # --- sentinel core (driver-green r2-r4, one per family) ---
+    # --- sentinel core (driver-green r2-r5, one per family) ---
     "metadata_catalog_columns", "metadata_tables",
     "metadata_nodes", "metadata_relations", "metadata_profile_columns",
     "agg_pricing_summary", "join_multiway_revenue", "window_topk_per_group",
     "setop_union_distinct", "rollup_time_buckets", "sessionize_events",
     "cdc_scd2_intervals", "stream_tumbling_counts", "dedup_minhash_lsh",
     "similarity_ann_lsh",
-    # --- rotation: the two round-5 registrations ---
+    # --- rotation (r6): sketches ---
+    "agg_countmin_sketch", "stream_countmin_cells",
+    # --- rotation (r6): metadata + geo ---
+    "metadata_fk_inference", "join_geo_proximity", "metadata_masked_view",
+    # --- rotation (r6): timeseries family ---
+    "timeseries_seasonal_decompose", "timeseries_anomaly_zscore",
+    "timeseries_downsample_lttb", "timeseries_interpolate",
+    # --- rotation (r6): extended joins ---
+    "join_asof_tolerance", "join_temporal_dim", "join_interval_overlap",
+    # --- rotation (r6): remaining dedup variants ---
+    "dedup_suffix_prefix", "dedup_url_canonical", "dedup_chunks",
+    "dedup_keep_best", "dedup_edit_distance", "dedup_minhash_verified",
+    "dedup_incremental", "dedup_paragraph_rewrite",
+    # --- rotation (r6): quality + embedding/similarity ---
+    "quality_ppl_buckets", "embedding_kmeans",
+    "embedding_random_projection", "similarity_pq",
+    # --- rotation (r6): window-function long tail ---
+    "window_gap_islands", "window_ema_bounded", "window_ignore_nulls",
+    "window_moving_median", "window_distribution_funcs",
+    "window_running_distinct", "window_range_1h",
+    # --- rotation (r6): subquery family + filtered agg ---
+    "subquery_not_in", "subquery_correlated_exists",
+    "subquery_correlated_scalar", "agg_filtered",
+    # --- beyond the driver's 50-row window: the r5 cohort (driver-green
+    # --- in CORRECTNESS_r05.json, kept deterministic) ---
     "graph_link_prediction_capped", "sink_envelope_chunking",
-    # --- rotation: text analysis (the full remaining family) ---
     "text_repetition", "text_pii_redact", "text_html_strip",
     "text_unicode_nfc", "text_bpe_pair_counts", "text_bpe_apply",
     "text_bigrams", "text_lm_score", "text_vocab", "text_char_entropy",
     "text_inverted_index", "text_quality_classifier", "text_ngram_novelty",
     "text_boilerplate_lines",
-    # --- rotation: sampling (the full remaining family) ---
     "sample_global_shuffle", "sample_stratified", "sample_domain_mixture",
     "sample_length_curriculum", "sample_temperature", "sample_weighted",
     "sample_epoch_mixture", "sample_kcenter",
-    # --- rotation: dedup variants ---
     "dedup_containment", "dedup_semantic", "dedup_incremental_minhash",
     "dedup_bloom_incremental",
-    # --- rotation: quality screens ---
     "quality_expectations", "quality_fk_violations",
     "quality_adaptive_threshold", "quality_quantile_normalize",
     "quality_mixture_kl",
-    # --- rotation: ANN recall gates ---
     "similarity_ann_recall", "similarity_ivf_recall",
-    # --- beyond the driver's 50-row window: first the r4 cohort (driver-
-    # --- green, kept deterministic), then the remaining never-scored pool ---
+    # --- then the r4 cohort (driver-green in CORRECTNESS_r04.json) ---
     "scalar_regexp_funcs",
     "agg_approx_count_distinct", "agg_hll_sketch_union",
     "embedding_pca_variance", "multimodal_phash_pairs",
@@ -138,25 +150,8 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "text_tfidf_top_terms", "text_bm25", "text_token_counts",
     "text_bigram_lm", "text_bpe_train",
     "sample_dsir", "embedding_covariance",
-    # --- never-scored pool, deterministic order for the r6 rotation ---
-    "agg_countmin_sketch",
-    "stream_countmin_cells", "metadata_fk_inference", "join_geo_proximity",
-    "timeseries_seasonal_decompose", "timeseries_anomaly_zscore",
-    "timeseries_downsample_lttb", "timeseries_interpolate",
-    "join_asof_tolerance", "join_temporal_dim", "join_interval_overlap",
-    "dedup_suffix_prefix", "dedup_url_canonical",
-    "dedup_chunks", "dedup_keep_best",
-    "dedup_edit_distance", "dedup_minhash_verified", "dedup_incremental",
-    "dedup_paragraph_rewrite",
-    "quality_ppl_buckets",
-    "embedding_kmeans", "embedding_random_projection", "similarity_pq",
-    "metadata_masked_view",
-    "window_gap_islands", "window_ema_bounded", "window_ignore_nulls",
-    "window_moving_median", "window_distribution_funcs",
-    "window_running_distinct", "window_range_1h",
-    "subquery_not_in", "subquery_correlated_exists",
-    "subquery_correlated_scalar",
-    "agg_filtered", "agg_weighted_avg", "agg_histogram_equi_depth",
+    # --- never-scored pool, deterministic order for the r7 rotation ---
+    "agg_weighted_avg", "agg_histogram_equi_depth",
     "agg_histogram", "agg_string_concat", "agg_having_in",
     "join_range_binned", "join_disjunctive_pred", "join_asof_cogrouped",
     "setop_union_evolve", "setop_symmetric_diff", "pivot_multi_agg",

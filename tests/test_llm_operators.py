@@ -779,8 +779,8 @@ def test_pair_operators_run_no_job_at_construction(spark):
     The default lazy materialization defers the shared-stream
     checkpoint to the first action."""
     from ab_metadata_pusher_spark.operators.dedup import (
-        containment_pairs, hamming_pairs, jaccard_pairs, ppjoin_pairs,
-        simhash,
+        containment_pairs, edit_distance_pairs, hamming_pairs,
+        jaccard_pairs, ppjoin_pairs, simhash,
     )
     sc = spark.sparkContext
     docs = spark.createDataFrame(
@@ -791,6 +791,7 @@ def test_pair_operators_run_no_job_at_construction(spark):
         plans = [
             jaccard_pairs(docs, 0.5, max_df=50),
             containment_pairs(docs, 0.5),
+            edit_distance_pairs(docs, tau=2),
             ppjoin_pairs(docs, 0.5),
             hamming_pairs(simhash(docs, bits=32), "simhash",
                           max_hamming=3, bits=32),
@@ -831,3 +832,67 @@ def test_materialize_modes_agree(spark):
     assert results["eager"] == results["persist"] == results["off"] \
         == results["conf-off"]
     assert results["eager"]  # non-empty: (1,2) and (1,4) at least
+
+
+# -- edit-distance pairs (PassJoin pigeonhole, value-compressed) -------------
+
+def _typo_corpus(seed=7, bases=60):
+    import random
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon",
+             "zeta", "eta", "theta"]
+    rows, i = [], 0
+    for _ in range(bases):
+        s = " ".join(rng.choice(words) for _ in range(rng.randint(1, 5)))
+        rows.append((i, rng.choice(["X", "Y"]), s)); i += 1
+        for _ in range(rng.randint(0, 3)):
+            t = list(s)
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice("sid")
+                p = rng.randrange(max(1, len(t)))
+                if op == "s":
+                    t[p] = rng.choice("abcxyz ")
+                elif op == "i":
+                    t.insert(p, rng.choice("abcxyz "))
+                elif len(t) > 1:
+                    del t[p]
+            rows.append((i, rng.choice(["X", "Y"]), "".join(t))); i += 1
+    # sub-K-length strings (brute arm) + exact copies (diagonal arm,
+    # value multiplicity) — the two non-pigeonhole code paths
+    for s in ["a", "ab", "b", "abc", "ac", "", "alpha beta", "alpha beta"]:
+        rows.append((i, "X", s)); i += 1
+        rows.append((i, "Y", s)); i += 1
+        rows.append((i, "X", s)); i += 1
+    return rows
+
+
+@pytest.mark.parametrize("tau,blkcol", [(1, "blk"), (2, "blk"),
+                                        (3, "blk"), (2, None)])
+def test_edit_distance_pairs_lossless(spark, tau, blkcol):
+    """PassJoin blocking must equal the brute-force all-pairs join —
+    the pigeonhole is a LOSSLESS candidate filter, across tau values,
+    with and without the coarse block conjunct, on a corpus that
+    exercises typo variants, exact copies, and sub-K-length strings."""
+    from ab_metadata_pusher_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        _typo_corpus(), "doc_id long, blk string, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.text_a, r.text_b, r.lev)
+        for r in edit_distance_pairs(df, tau=tau,
+                                     block_col=blkcol).collect())
+    a, b = df.alias("a"), df.alias("b")
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    if blkcol:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    exact = sorted(
+        (r.id_a, r.id_b, r.text_a, r.text_b, r.lev)
+        for r in a.join(b, cond).filter(lev <= tau)
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.text").alias("text_a"),
+                F.col("b.text").alias("text_b"),
+                lev.alias("lev")).collect())
+    assert got == exact
+    assert exact  # the corpus must actually produce pairs
