@@ -823,12 +823,17 @@ def edit_distance_pairs(df: DataFrame, tau: int = 2,
     """
     K = tau + 1
     blk = F.col(block_col) if block_col else F.lit(0)
+    # NULL texts (and NULL blocks) never pair — matching the SQL
+    # contract: levenshtein(NULL, x) is NULL, and a NULL block fails
+    # the block equality.  Without this filter the groupBy would form
+    # a NULL group and the diagonal arm would emit lev=0 pairs for it.
+    rows = (df.select(F.col(id_col).alias("pid"), blk.alias("blk"),
+                      F.col(text_col).alias("txt"))
+            .filter(F.col("txt").isNotNull() & F.col("blk").isNotNull()))
     groups = _materialize_shared(
-        df.select(F.col(id_col).alias("pid"), blk.alias("blk"),
-                  F.col(text_col).alias("txt"))
-          .groupBy("blk", "txt")
-          .agg(F.sort_array(F.collect_list("pid")).alias("ids"))
-          .withColumn("len", F.length("txt")),
+        rows.groupBy("blk", "txt")
+            .agg(F.sort_array(F.collect_list("pid")).alias("ids"))
+            .withColumn("len", F.length("txt")),
         materialize)
 
     # ONE keyed stream serves both join sides: each value emits, for

@@ -863,6 +863,11 @@ def _typo_corpus(seed=7, bases=60):
         rows.append((i, "X", s)); i += 1
         rows.append((i, "Y", s)); i += 1
         rows.append((i, "X", s)); i += 1
+    # NULL texts and NULL blocks must never pair (SQL levenshtein/
+    # equality NULL semantics) — even as same-group lev-0 copies
+    for _ in range(3):
+        rows.append((i, "X", None)); i += 1
+        rows.append((i, None, "alpha beta")); i += 1
     return rows
 
 
