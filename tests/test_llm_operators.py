@@ -871,9 +871,10 @@ def _typo_corpus(seed=7, bases=60):
     return rows
 
 
-@pytest.mark.parametrize("tau,blkcol", [(1, "blk"), (2, "blk"),
-                                        (3, "blk"), (2, None)])
-def test_edit_distance_pairs_lossless(spark, tau, blkcol):
+@pytest.mark.parametrize("tau,blkcol,seed", [(1, "blk", 7), (2, "blk", 7),
+                                             (3, "blk", 7), (2, None, 7),
+                                             (2, "blk", 11), (2, "blk", 23)])
+def test_edit_distance_pairs_lossless(spark, tau, blkcol, seed):
     """PassJoin blocking must equal the brute-force all-pairs join —
     the pigeonhole is a LOSSLESS candidate filter, across tau values,
     with and without the coarse block conjunct, on a corpus that
@@ -881,7 +882,7 @@ def test_edit_distance_pairs_lossless(spark, tau, blkcol):
     from ab_metadata_pusher_spark.operators.dedup import edit_distance_pairs
 
     df = spark.createDataFrame(
-        _typo_corpus(), "doc_id long, blk string, text string")
+        _typo_corpus(seed), "doc_id long, blk string, text string")
     got = sorted(
         (r.id_a, r.id_b, r.text_a, r.text_b, r.lev)
         for r in edit_distance_pairs(df, tau=tau,

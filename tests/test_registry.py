@@ -34,7 +34,11 @@ def test_results_invariant_under_shuffle_width(spark):
              # round-5 registrations: the hub cap is a deterministic
              # degree filter and the envelope packing a driver-side fold
              # over a sorted record stream — both must ignore layout
-             "graph_link_prediction_capped", "sink_envelope_chunking"]
+             "graph_link_prediction_capped", "sink_envelope_chunking",
+             # round-6 rewrite: value-compressed PassJoin — the group
+             # table, candidate join and in-row expansions must all be
+             # layout-blind
+             "dedup_edit_distance"]
     reg = queries()
     conf_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(conf_key)
