@@ -48,12 +48,15 @@ def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
 def assign_clusters(corpus: DataFrame,
                     centroids: list[tuple[int, list[float]]],
                     id_col: str = "vec_id",
-                    emb_col: str = "embedding") -> DataFrame:
+                    emb_col: str = "embedding",
+                    keep_emb: bool = False) -> DataFrame:
     """Map-only nearest-centroid assignment by Euclidean distance.
 
     Ties break toward the lower cluster id (strict ``<`` while folding in
     ascending cluster order), matching the oracle's ``ORDER BY dist,
-    cluster`` tiebreak.  Output: id, cluster, dist (unrounded double).
+    cluster`` tiebreak.  Output: id, cluster, dist (unrounded double);
+    ``keep_emb`` carries the embedding column through (the Lloyd-update
+    caller wants it so the update needs no corpus re-join).
     """
     cents = _centroid_literal(sorted(centroids))
     v = _dbl(F.col(emb_col))
@@ -71,10 +74,12 @@ def assign_clusters(corpus: DataFrame,
     best = F.array_min(F.transform(
         cents, lambda c: F.struct(sq_dist(c).alias("d2"),
                                   c["cluster"].alias("cluster"))))
-    return corpus.select(
-        F.col(id_col),
-        best["cluster"].alias("cluster"),
-        F.sqrt(best["d2"]).alias("dist"))
+    cols = [F.col(id_col),
+            best["cluster"].alias("cluster"),
+            F.sqrt(best["d2"]).alias("dist")]
+    if keep_emb:
+        cols.append(F.col(emb_col))
+    return corpus.select(*cols)
 
 
 def update_centroids(corpus: DataFrame, assigned: DataFrame,
@@ -82,8 +87,19 @@ def update_centroids(corpus: DataFrame, assigned: DataFrame,
                      emb_col: str = "embedding") -> list[tuple[int, list[float]]]:
     """Lloyd update: per-cluster element-wise mean.  One shuffle keyed on
     (cluster, dim-position), map-side combinable; the k x dim result is
-    driver-sized by construction."""
-    per_dim = (corpus.join(assigned.select(id_col, "cluster"), id_col)
+    driver-sized by construction.
+
+    When ``assigned`` already carries ``emb_col`` (assign_clusters with
+    ``keep_emb=True`` — assignment is a map-only projection OF the
+    corpus, so the column is free), the per-iteration corpus re-join is
+    skipped; the joined fallback stays for callers holding a bare
+    (id, cluster) frame.  Both paths feed the identical row multiset to
+    the identical (cluster, pos) aggregation."""
+    if emb_col in assigned.columns:
+        joined = assigned
+    else:
+        joined = corpus.join(assigned.select(id_col, "cluster"), id_col)
+    per_dim = (joined
                .select("cluster",
                        F.posexplode(_dbl(F.col(emb_col))).alias("pos", "x"))
                .groupBy("cluster", "pos").agg(F.avg("x").alias("m")))
@@ -104,7 +120,8 @@ def kmeans_fit_assign(corpus: DataFrame, k: int = 8, iters: int = 1,
     iterating more than a couple of times."""
     cents = seed_centroids(corpus, k, id_col, emb_col)
     for _ in range(iters):
-        assigned = assign_clusters(corpus, cents, id_col, emb_col)
+        assigned = assign_clusters(corpus, cents, id_col, emb_col,
+                                   keep_emb=True)
         cents = update_centroids(corpus, assigned, id_col, emb_col)
     return assign_clusters(corpus, cents, id_col, emb_col)
 
@@ -135,7 +152,8 @@ def pq_fit_assign(corpus: DataFrame, m: int = 4, k: int = 4,
             F.slice(F.col(emb_col), s * w + 1, w).alias("_sub"))
         cents = seed_centroids(sub, k, id_col, "_sub")
         for _ in range(iters):
-            assigned = assign_clusters(sub, cents, id_col, "_sub")
+            assigned = assign_clusters(sub, cents, id_col, "_sub",
+                                       keep_emb=True)
             cents = update_centroids(sub, assigned, id_col, "_sub")
         outs.append(assign_clusters(sub, cents, id_col, "_sub")
                     .select(id_col, F.lit(s).alias("subspace"),

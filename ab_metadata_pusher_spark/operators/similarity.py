@@ -331,7 +331,7 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 8,
     try:
         cents = seed_centroids(corpus, n_cells)
         for _ in range(iters):
-            assigned = assign_clusters(corpus, cents)
+            assigned = assign_clusters(corpus, cents, keep_emb=True)
             cents = update_centroids(corpus, assigned)
     finally:
         corpus.unpersist()
