@@ -72,12 +72,17 @@ def test_kmeans_separable_clusters(spark):
            for r in kmeans_fit_assign(e, k=2, iters=2).collect()}
     assert out == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1, 5: 1}
 
-    # centroid update is the mean of the assigned points
+    # centroid update is the mean of the assigned points — via the
+    # bare-(id, cluster) fallback (corpus re-join) ...
     cents = seed_centroids(e, 2)
     assigned = assign_clusters(e, cents)
     updated = dict(update_centroids(e, assigned))
     assert updated[0] == [1.0 / 3, 1.0 / 3]
     assert updated[1] == [29.0 / 3, 29.0 / 3]
+    # ... and identically via the join-free keep_emb path the Lloyd
+    # loops use (same row multiset into the same aggregation)
+    carried = assign_clusters(e, cents, keep_emb=True)
+    assert dict(update_centroids(e, carried)) == updated
 
 
 def test_kmeans_tie_breaks_to_lower_cluster(spark):
