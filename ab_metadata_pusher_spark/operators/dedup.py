@@ -787,12 +787,18 @@ def edit_distance_pairs(df: DataFrame, tau: int = 2,
        length, segment text); the probe side emits, for every target
        length within ±tau of its own and every shift in [-tau, +tau],
        the aligned substring — K·(2tau+1)² keys per value (75 for
-       tau=2), deduplicated IN-ROW (array_distinct, no shuffle).  The
-       candidate shuffle is O(#distinct values); collision groups are
-       sized by true near-dup density, never by block population.
-       Exact ``levenshtein`` verifies INLINE on the joined row (the
-       value keys ARE the texts — no verify join), before the pair
-       distinct so the distinct only carries true pairs.
+       tau=2; duplicate keys are NOT pre-deduped — they only repeat
+       candidate pairs, which the value-pair dropDuplicates removes).
+       The candidate shuffle is O(#distinct values); collision groups
+       are sized by aligned-segment sharing — near-dup density on
+       typical corpora, though a shared-AFFIX corpus (every value
+       opening with the same boilerplate third) inflates candidates
+       toward per-key d²; if that is your data, lengthen the shared
+       region's segment count (higher tau partitioning) or add a
+       discriminating ``block_col``.  Exact ``levenshtein`` verifies
+       INLINE on the joined row (the value keys ARE the texts — no
+       verify join), before the pair distinct so the distinct only
+       carries true pairs.
 
     This replaces equality blocking (e.g. on a brand/domain column)
     whose block size GROWS with the corpus: (n/blocks)² per block is
