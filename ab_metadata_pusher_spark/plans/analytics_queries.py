@@ -477,6 +477,8 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _LPA_ITERS = 3
+#: loop shuffle width — see the r4 A/B in q_graph_label_propagation
+_LPA_SHUFFLE_W = 16
 
 
 def _lpa_oracle(iters: int) -> str:
@@ -534,7 +536,11 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.col("a").alias("b")))
              .select(F.col("a").cast("long").alias("a"),
                      F.col("b").cast("long").alias("b")))
-    edges = edges.repartition(16, "a").persist()
+    # ONE width for the whole loop: the up-front edge partitioning (the
+    # alignment every round's aggregations inherit) and the conf-pinned
+    # residual shuffles (the initial distinct) must agree, or the round
+    # aggs re-exchange to the conf width.
+    edges = edges.repartition(_LPA_SHUFFLE_W, "a").persist()
     labels = edges.select(F.col("a").alias("v"),
                           F.col("a").alias("lab")).distinct()
     # Label/count frames are |V|-sized — pin the loop's shuffle width to
@@ -548,7 +554,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try/finally: a mid-loop failure (executor OOM, cancelled stage) must
     # not leak the pinned width or the persisted edges into the rest of
     # the session — same discipline as connected_components.
-    spark.conf.set(conf_key, "16")
+    spark.conf.set(conf_key, str(_LPA_SHUFFLE_W))
     try:
         for _ in range(_LPA_ITERS):
             labels = (edges

@@ -134,6 +134,7 @@ def test_operators_handle_empty_input(spark):
     docs = spark.createDataFrame([], "doc_id bigint, text string")
     assert D.exact_dedup_keep_min(docs).count() == 0
     assert D.lsh_candidate_pairs(docs).count() == 0
+    assert D.edit_distance_pairs(docs, tau=2).count() == 0
     assert X.fingerprint(docs).count() == 0
     assert X.quality_features(docs).count() == 0
 
