@@ -32,6 +32,12 @@ from ab_metadata_pusher_spark.plans.registry import (  # noqa: E402
 #: be a first-time-scored query.
 SENTINELS = set(DRIVER_PREFIX[:15])
 
+#: The driver's correctness gate scores this many queries() entries per
+#: round (observed width of every CORRECTNESS_r* record).  Names beyond
+#: this position are ordering, not scored slots — they must not count
+#: as "wasted".
+SCORED_WINDOW = 50
+
 
 def main() -> int:
     _load_all()
@@ -50,7 +56,7 @@ def main() -> int:
 
     oracle_backed = [n for n, s in REGISTRY.items() if s.oracle]
     pool = [n for n in oracle_backed if n not in scored]
-    wasted = [n for n in DRIVER_PREFIX
+    wasted = [n for n in DRIVER_PREFIX[:SCORED_WINDOW]
               if n in scored and n not in SENTINELS]
 
     print(f"registered={len(REGISTRY)} oracle_backed={len(oracle_backed)} "
