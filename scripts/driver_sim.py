@@ -99,6 +99,7 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             failures += 1
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             print(f"WEAK  {name}: rows={len(s_rows)} (no oracle, rows-only check)")
             continue
@@ -123,7 +124,11 @@ def main() -> int:
                   f"      spark={sn[diff]}\n      duck ={dn[diff]}")
             failures += 1
         else:
-            print(f"OK    {name}: rows={len(s_rows)} ({dt:.2f}s)")
+            # engine vs oracle split: "spark N.NNs + duck N.NNs" — a slow
+            # OK row is usually the DuckDB oracle (e.g. the brute-force
+            # levenshtein enumeration), not the plan under test
+            print(f"OK    {name}: rows={len(s_rows)} ({dt:.2f}s = "
+                  f"spark {t_spark:.2f}s + duck {dt - t_spark:.2f}s)")
     print(f"{'PASS' if failures == 0 else 'FAIL'}: "
           f"{len(names) - failures}/{len(names)} queries match")
     return 1 if failures else 0
