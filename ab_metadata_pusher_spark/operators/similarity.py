@@ -181,7 +181,8 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
 
 def ann_lsh_knn_self(corpus: DataFrame, k: int = 5, *,
                      n_planes: int = 3, n_tables: int = 6,
-                     dim: int = 64) -> DataFrame:
+                     dim: int = 64,
+                     materialize: str | None = None) -> DataFrame:
     """Approximate k-NN of EVERY corpus vector against the corpus itself
     (all-vs-all), via multi-table hyperplane-bucket SELF-joins.
 
@@ -197,7 +198,16 @@ def ann_lsh_knn_self(corpus: DataFrame, k: int = 5, *,
     (corpus/2^planes)² per table — sub-quadratic, fully distributed,
     no broadcast, no crossJoin.  Output schema matches
     ``topk_cosine_bruteforce`` so recall is directly measurable.
+
+    Materialization contract: the bucket-keyed stream is referenced by
+    BOTH self-join sides (Catalyst shares no subplans — the lazy form
+    re-ran the corpus scan + 2·n_tables·n_planes signed projections per
+    alias); it goes through the same strategy selector as the dedup
+    pair operators (default lazy persist; ``materialize=`` or the
+    ``MATERIALIZE_CONF`` session conf select eager/off).
     """
+    from ab_metadata_pusher_spark.operators.dedup import _materialize_shared
+
     all_planes = hyperplanes(n_tables * n_planes, dim)
     tables = [all_planes[t * n_planes:(t + 1) * n_planes]
               for t in range(n_tables)]
@@ -205,9 +215,11 @@ def ann_lsh_knn_self(corpus: DataFrame, k: int = 5, *,
         F.struct(F.lit(t).alias("tbl"),
                  _bucket(F.col("embedding"), tables[t]).alias("bkt"))
         for t in range(n_tables)])
-    keyed = (corpus.select("vec_id", F.explode(buckets).alias("b"))
-             .select("vec_id", F.col("b.tbl").alias("tbl"),
-                     F.col("b.bkt").alias("bkt")))
+    keyed = _materialize_shared(
+        corpus.select("vec_id", F.explode(buckets).alias("b"))
+              .select("vec_id", F.col("b.tbl").alias("tbl"),
+                      F.col("b.bkt").alias("bkt")),
+        materialize)
     cand = (keyed.alias("a")
             .join(keyed.alias("b"), ["tbl", "bkt"])
             .filter(F.col("a.vec_id") != F.col("b.vec_id"))

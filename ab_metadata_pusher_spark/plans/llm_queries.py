@@ -4279,6 +4279,11 @@ def q_quality_label_consistency_ann(spark: SparkSession,
     smallest label; neighbor ties to the smallest id (both pinned)."""
     e = (load_table(spark, sf_dir, "embeddings")
          .filter(F.col("vec_id") < 500))
+    # default (lazy persist) materialization: at this gate's bounded
+    # corpus the keyed stream is tiny and eager/persist/off measured a
+    # wash (3.2-3.8s warm each); the contract matters at corpus scale,
+    # where the persist default shares the stream without running a
+    # construction-time job
     nn = S.ann_lsh_knn_self(e, k=5)
     return _qlc_flags(e, nn)
 

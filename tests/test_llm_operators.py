@@ -783,16 +783,21 @@ def test_pair_operators_run_no_job_at_construction(spark):
         containment_pairs, edit_distance_pairs, hamming_pairs,
         jaccard_pairs, ppjoin_pairs, simhash,
     )
+    from ab_metadata_pusher_spark.operators.similarity import ann_lsh_knn_self
     sc = spark.sparkContext
     docs = spark.createDataFrame(
         [(i, f"tok{i} alpha beta gamma tok{i + 1} delta epsilon")
          for i in range(12)], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(64)])
+         for i in range(8)], "vec_id long, embedding array<double>")
     try:
         sc.setJobGroup("construct-probe", "plan construction must be lazy")
         plans = [
             jaccard_pairs(docs, 0.5, max_df=50),
             containment_pairs(docs, 0.5),
             edit_distance_pairs(docs, tau=2),
+            ann_lsh_knn_self(emb, k=2),
             ppjoin_pairs(docs, 0.5),
             hamming_pairs(simhash(docs, bits=32), "simhash",
                           max_hamming=3, bits=32),
