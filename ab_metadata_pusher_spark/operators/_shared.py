@@ -1,0 +1,152 @@
+"""Shared-subplan materialization — one helper for every operator family.
+
+Catalyst shares no subplans across self-join aliases: a stream referenced
+by BOTH sides of a join (shingle streams, Hamming blocking indexes,
+ANN bucket keys) is otherwise rebuilt once per reference.  The dedup pair
+family (operators/dedup.py) and the ANN kNN self-join
+(operators/similarity.py) both route through :func:`materialize_shared`;
+this module is their common home so neither imports a private helper of
+the other (r6 ADVICE).
+
+The conf key keeps its historical name
+(``spark.ab_metadata_pusher.dedup.materialize``) because registered bench
+plans and library callers already set it; it governs every family that
+routes through here, not just dedup.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+
+from ab_metadata_pusher_spark.observability import capture_plan_segment
+
+__all__ = [
+    "MATERIALIZE_CONF", "materialize_shared", "release_materialized",
+]
+
+logger = logging.getLogger(__name__)
+
+#: Session conf selecting how shared self-join streams are materialized
+#: (see :func:`materialize_shared`): ``persist`` (default, lazy) |
+#: ``eager`` | ``off``.  A ``materialize=`` keyword on the public pair
+#: operators overrides the conf per call.
+MATERIALIZE_CONF = "spark.ab_metadata_pusher.dedup.materialize"
+
+#: Frames persisted by :func:`materialize_shared` in ``persist`` mode.
+#: The cache manager keys entries by logical plan, so dropping the Python
+#: DataFrame does NOT release the entry — this registry keeps the handle
+#: so :func:`release_materialized` can.  Entries are small plan objects,
+#: not data.
+_PERSISTED: list[DataFrame] = []
+
+
+def _materialize_mode(mode: str | None, conf_get) -> str:
+    """Resolve the materialization strategy: parameter > conf > default.
+
+    Pure function of a ``conf_get(key, default)`` callable so the
+    decision table is unit-testable without a session.  Default is
+    ``persist`` — the LAZY strategy: building a plan runs no Spark job
+    (an eager/lazy localCheckpoint both execute upstream AQE stages at
+    construction), and persisted blocks stay recomputable from lineage
+    after executor loss.  An explicit ``eager`` is demoted back to
+    ``persist`` when dynamic allocation or executor decommissioning is
+    enabled — localCheckpoint blocks are non-replicated executor-local
+    state, and losing one mid-job is a job FAILURE there, not a slow
+    path — and the demotion is logged at WARNING level because callers
+    that requested eager for a stable audited plan shape need to know
+    the shape changed (r6 ADVICE).
+    """
+    requested = mode
+    if mode is None:
+        mode = conf_get(MATERIALIZE_CONF, None)
+    mode = "persist" if mode is None else str(mode).lower()
+    if mode not in ("eager", "persist", "off"):
+        raise ValueError(
+            f"materialize mode must be eager|persist|off, got {mode!r}")
+    if mode == "eager":
+        for k in ("spark.dynamicAllocation.enabled",
+                  "spark.decommission.enabled"):
+            if str(conf_get(k, "false")).lower() == "true":
+                if requested is not None:
+                    logger.warning(
+                        "materialize='eager' demoted to 'persist': %s is "
+                        "enabled and localCheckpoint blocks are "
+                        "non-replicated executor-local state (job failure "
+                        "on executor loss); the audited eager plan shape "
+                        "does not apply to this run", k)
+                return "persist"
+    return mode
+
+
+def materialize_shared(df: DataFrame, mode: str | None = None) -> DataFrame:
+    """Materialize a stream referenced by BOTH sides of a self-join.
+
+    Catalyst shares no subplans across aliases, so without
+    materialization the upstream pipeline (shingling, df gates,
+    fingerprint decode) is rebuilt once per reference.  Strategy comes
+    from the ``mode`` parameter, falling back to
+    ``spark.ab_metadata_pusher.dedup.materialize``:
+
+    * ``persist`` (default) — ``persist(MEMORY_AND_DISK)``: LAZY (no
+      Spark job at DataFrame-construction time — library callers can
+      build plans they never execute for free), shared across both join
+      aliases via the cache manager, and recompute-safe after executor
+      loss (lineage kept), so it is also the right mode under dynamic
+      allocation / decommissioning.  Cache-manager entries are NOT freed
+      when the plan is garbage-collected — blocks are LRU-evictable but
+      the entry (and any spilled disk blocks) live until ``unpersist``.
+      Every persist-mode frame is therefore registered here; call
+      :func:`release_materialized` after consuming the results, or use
+      ``eager`` when invoking an operator many times in one session
+      (checkpoint blocks ARE freed by the ContextCleaner on plan GC).
+    * ``eager`` — ``localCheckpoint(eager=True)``: materializes NOW and
+      truncates lineage.  The registered bench plans use this (stable
+      audited plan shape, no cache-entry accumulation across bench
+      loops).  Auto-demoted to ``persist`` on elastic clusters, with a
+      WARNING — see :func:`_materialize_mode`.
+    * ``off`` — return the plan unchanged: pure lazy lineage, downstream
+      predicates push below, upstream recomputes once per reference.
+
+    Under ``eager`` the checkpoint truncates lineage, so downstream
+    filters do NOT push below the materialization point — pre-filter
+    the input or use ``off``/``persist`` when that matters.
+    """
+    mode = _materialize_mode(mode, df.sparkSession.conf.get)
+    if mode == "off":
+        return df
+    if mode == "persist":
+        from pyspark import StorageLevel
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(out)
+        return out
+    capture_plan_segment(df)
+    return df.localCheckpoint(eager=True)
+
+
+def release_materialized(spark=None) -> int:
+    """Unpersist every persist-mode shared stream registered by
+    :func:`materialize_shared` and drop it from the registry.
+
+    ``spark`` (optional) restricts the release to frames belonging to
+    that session — pass it when several sessions share the process.
+    Returns the number of frames released.  Frames whose session has
+    already stopped are dropped without error (their cache entries died
+    with the session).  This is the caller-facing unpersist handle the
+    persist default otherwise lacks (r6 ADVICE): pair operators return
+    derived frames, so the persisted UPSTREAM would be unreachable.
+    """
+    released = 0
+    kept: list[DataFrame] = []
+    for frame in _PERSISTED:
+        if spark is not None and frame.sparkSession is not spark:
+            kept.append(frame)
+            continue
+        try:
+            frame.unpersist()
+            released += 1
+        except Exception:  # session stopped — entry already gone
+            released += 1
+    _PERSISTED[:] = kept
+    return released

@@ -28,6 +28,12 @@ from ab_metadata_pusher_spark.observability import capture_plan_segment
 from ab_metadata_pusher_spark.functions.hashing import (
     MERSENNE_P, md5_long, minhash_coeffs,
 )
+from ab_metadata_pusher_spark.operators._shared import (
+    MATERIALIZE_CONF,
+    _materialize_mode,  # noqa: F401  (re-export: unit tests target it here)
+    materialize_shared as _materialize_shared,
+    release_materialized,
+)
 from ab_metadata_pusher_spark.operators.text import shingle_array, tokens
 
 __all__ = [
@@ -37,83 +43,8 @@ __all__ = [
     "simhash", "simhash_pairs",
     "star_edges", "connected_components", "cluster_labels",
     "hamming_pairs", "ppjoin_pairs", "edit_distance_pairs",
-    "MATERIALIZE_CONF",
+    "MATERIALIZE_CONF", "release_materialized",
 ]
-
-#: Session conf selecting how shared self-join streams are materialized
-#: (see :func:`_materialize_shared`): ``persist`` (default, lazy) |
-#: ``eager`` | ``off``.  A ``materialize=`` keyword on the public pair
-#: operators overrides the conf per call.
-MATERIALIZE_CONF = "spark.ab_metadata_pusher.dedup.materialize"
-
-
-def _materialize_mode(mode: str | None, conf_get) -> str:
-    """Resolve the materialization strategy: parameter > conf > default.
-
-    Pure function of a ``conf_get(key, default)`` callable so the
-    decision table is unit-testable without a session.  Default is
-    ``persist`` — the LAZY strategy: building a plan runs no Spark job
-    (an eager/lazy localCheckpoint both execute upstream AQE stages at
-    construction), and persisted blocks stay recomputable from lineage
-    after executor loss.  An explicit ``eager`` is demoted back to
-    ``persist`` when dynamic allocation or executor decommissioning is
-    enabled: localCheckpoint blocks are non-replicated executor-local
-    state, and losing one mid-job is a job FAILURE there, not a slow
-    path.
-    """
-    if mode is None:
-        mode = conf_get(MATERIALIZE_CONF, None)
-    mode = "persist" if mode is None else str(mode).lower()
-    if mode not in ("eager", "persist", "off"):
-        raise ValueError(
-            f"materialize mode must be eager|persist|off, got {mode!r}")
-    if mode == "eager":
-        for k in ("spark.dynamicAllocation.enabled",
-                  "spark.decommission.enabled"):
-            if str(conf_get(k, "false")).lower() == "true":
-                return "persist"
-    return mode
-
-
-def _materialize_shared(df: DataFrame, mode: str | None = None) -> DataFrame:
-    """Materialize a stream referenced by BOTH sides of a self-join.
-
-    Catalyst shares no subplans across aliases, so without
-    materialization the upstream pipeline (shingling, df gates,
-    fingerprint decode) is rebuilt once per reference.  Strategy comes
-    from the ``mode`` parameter, falling back to
-    ``spark.ab_metadata_pusher.dedup.materialize``:
-
-    * ``persist`` (default) — ``persist(MEMORY_AND_DISK)``: LAZY (no
-      Spark job at DataFrame-construction time — library callers can
-      build plans they never execute for free), shared across both join
-      aliases via the cache manager, and recompute-safe after executor
-      loss (lineage kept), so it is also the right mode under dynamic
-      allocation / decommissioning.  Blocks are LRU-evictable; callers
-      invoking an operator MANY times in one session should prefer
-      ``eager`` (checkpoint blocks are freed by ContextCleaner on plan
-      GC, cache-manager entries are not) or ``unpersist()`` the result's
-      upstream themselves.
-    * ``eager`` — ``localCheckpoint(eager=True)``: materializes NOW and
-      truncates lineage.  The registered bench plans use this (stable
-      audited plan shape, no cache-entry accumulation across bench
-      loops).  Auto-demoted to ``persist`` on elastic clusters — see
-      :func:`_materialize_mode`.
-    * ``off`` — return the plan unchanged: pure lazy lineage, downstream
-      predicates push below, upstream recomputes once per reference.
-
-    Under ``eager`` the checkpoint truncates lineage, so downstream
-    filters do NOT push below the materialization point — pre-filter
-    the input or use ``off``/``persist`` when that matters.
-    """
-    mode = _materialize_mode(mode, df.sparkSession.conf.get)
-    if mode == "off":
-        return df
-    if mode == "persist":
-        from pyspark import StorageLevel
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
-    capture_plan_segment(df)
-    return df.localCheckpoint(eager=True)
 
 
 def cluster_labels(keys: DataFrame, key_cols: list[str],
@@ -274,8 +205,10 @@ def _kept_shingles(df: DataFrame, n: int, max_df: int | None,
                    materialize: str | None = None) -> DataFrame:
     """(sid, shingle, n_sh) — the df-gated shingle stream with each
     doc's kept-set size attached, MATERIALIZED once via
-    :func:`_materialize_shared` (default: lazy localCheckpoint — no job
-    at construction; blocks freed via ContextCleaner on GC).
+    :func:`~ab_metadata_pusher_spark.operators._shared.materialize_shared`
+    (default: lazy persist — no job at construction; release via
+    :func:`release_materialized`, cache-manager entries are not freed
+    on plan GC).
 
     The df gate and the per-doc size are window counts over the single
     exploded stream (no groupBy frames joined back), and the
@@ -321,9 +254,10 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
     Single-pass, single-build formulation (r5): the df gate and the
     per-doc set size are WINDOW counts on the one shingle stream (the
     r4 containment repair), and that stream is then materialized ONCE
-    via :func:`_materialize_shared` (default lazy localCheckpoint: no
-    job at construction, blocks on first action; ``MATERIALIZE_CONF``
-    selects eager / decommission-safe persist / off) — Catalyst does
+    via :func:`_materialize_shared` (default lazy persist: no job at
+    construction, blocks on first action, released via
+    :func:`release_materialized`; ``MATERIALIZE_CONF`` selects
+    eager / persist / off) — Catalyst does
     not share subplans and plans no ReusedExchange across the
     self-join's sides, so the unmaterialized form rebuilt the entire
     shingle pipeline per alias (audited: the corpus scanned once per

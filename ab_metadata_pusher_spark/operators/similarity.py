@@ -206,7 +206,9 @@ def ann_lsh_knn_self(corpus: DataFrame, k: int = 5, *,
     pair operators (default lazy persist; ``materialize=`` or the
     ``MATERIALIZE_CONF`` session conf select eager/off).
     """
-    from ab_metadata_pusher_spark.operators.dedup import _materialize_shared
+    from ab_metadata_pusher_spark.operators._shared import (
+        materialize_shared as _materialize_shared,
+    )
 
     all_planes = hyperplanes(n_tables * n_planes, dim)
     tables = [all_planes[t * n_planes:(t + 1) * n_planes]

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ab_metadata_pusher_spark.observability import capture_plan_segment
+from ab_metadata_pusher_spark.operators._shared import materialize_shared
 from ab_metadata_pusher_spark.operators import text as X
 from ab_metadata_pusher_spark.plans.registry import register
 from ab_metadata_pusher_spark.sources.fixtures import load_table
@@ -354,8 +355,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.a", "p.b")
     adj_build = (pairs.groupBy("a")
                  .agg(F.sort_array(F.collect_set("b")).alias("nbrs")))
-    capture_plan_segment(adj_build)
-    adj = adj_build.localCheckpoint(eager=True)
+    adj = materialize_shared(adj_build)
     e = adj.select("a", F.explode("nbrs").alias("b"))
     n_edges = adj.agg(F.sum(F.size("nbrs")).alias("n_edges"))
     nodes = (e.select(F.col("a").alias("n"))
@@ -673,18 +673,17 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — graph_link_prediction_capped below is the scale-safe form
     (drop deg > K wedge CENTERS, bounding wedges to K²·|centers|); this
     exact form stays registered as its coverage gate and is
-    bench-excluded.  The adjacency is localCheckpoint-ed, not cached:
-    checkpoint blocks are freed by the ContextCleaner once the returned
-    frame is garbage-collected, where a CacheManager entry would
-    accumulate across repeated invocations in one session (bench
-    loops — the r4 ADVICE leak)."""
+    bench-excluded.  The adjacency is materialized via the shared
+    conf-selected strategy (operators/_shared.py): lazy persist by
+    default (released via release_materialized — the r4 ADVICE leak's
+    fix), eager localCheckpoint under the bench's MATERIALIZE_CONF so
+    bench loops accumulate no CacheManager entries."""
     e0 = _cooccur_edges(spark, sf_dir)
     sym = e0.unionByName(e0.select(F.col("b").alias("a"),
                                    F.col("a").alias("b")))
     adj_build = (sym.groupBy(F.col("b").alias("v"))
                  .agg(F.sort_array(F.collect_set("a")).alias("ns")))
-    capture_plan_segment(adj_build)
-    adj = adj_build.localCheckpoint(eager=True)
+    adj = materialize_shared(adj_build)
     edges = (adj.select(F.col("v").alias("a"), F.explode("ns").alias("b"))
              .filter(F.col("a") < F.col("b")))
     deg = adj.select("v", F.size("ns").alias("d"))
@@ -771,8 +770,7 @@ def q_graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFram
                                    F.col("a").alias("b")))
     adj_build = (sym.groupBy(F.col("b").alias("v"))
                  .agg(F.sort_array(F.collect_set("a")).alias("ns")))
-    capture_plan_segment(adj_build)
-    adj = adj_build.localCheckpoint(eager=True)
+    adj = materialize_shared(adj_build)
     edges = (adj.select(F.col("v").alias("a"), F.explode("ns").alias("b"))
              .filter(F.col("a") < F.col("b")))
     deg = adj.select("v", F.size("ns").alias("d"))
@@ -997,8 +995,7 @@ def q_entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     # scans -> 3).
     recs_build = (base.unionByName(t1).unionByName(t2)
                   .withColumn("blk", F.expr("right(name, 3)")))
-    capture_plan_segment(recs_build)
-    recs = recs_build.localCheckpoint(eager=True)
+    recs = materialize_shared(recs_build)
     a, b = recs.alias("a"), recs.alias("b")
     edges = (a.join(b, (F.col("a.nk") == F.col("b.nk"))
                     & (F.col("a.blk") == F.col("b.blk"))
@@ -1612,14 +1609,13 @@ def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair expansion, the per-part supports (explode — identical to
     counting distinct (order, part) rows), and the order count.  The
     r4 form scanned + shuffled lineitem separately for each (three fact
-    scans); `per` is checkpointed once and the fact table is read
+    scans); `per` is materialized once and the fact table is read
     exactly once — the same one-corpus-pass discipline as the graph
     adjacencies."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     per_build = (li.groupBy("l_orderkey")
                  .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
-    capture_plan_segment(per_build)
-    per = per_build.localCheckpoint(eager=True)
+    per = materialize_shared(per_build)
     pairs_col = F.flatten(F.transform("ps", lambda x, i: F.transform(
         F.slice("ps", i + F.lit(2), F.size("ps")),
         lambda y: F.struct(x.alias("pa"), y.alias("pb")))))

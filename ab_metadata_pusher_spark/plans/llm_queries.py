@@ -23,6 +23,7 @@ from ab_metadata_pusher_spark.functions.hashing import (
     MERSENNE_P, md5_long, minhash_coeffs, sql_md5_long,
 )
 from ab_metadata_pusher_spark.observability import capture_plan_segment
+from ab_metadata_pusher_spark.operators._shared import materialize_shared
 from ab_metadata_pusher_spark.operators import bloom as B
 from ab_metadata_pusher_spark.operators import dedup as D
 from ab_metadata_pusher_spark.operators import linalg as L
@@ -2901,8 +2902,7 @@ def q_dedup_incremental_minhash(spark: SparkSession,
     # feeds both the probe and index sides of the self-join; the lazy
     # form re-ran the whole minhash pipeline per side).
     banded_build = D.lsh_bands(corpus, k=16, bands=4)
-    capture_plan_segment(banded_build)
-    banded = banded_build.localCheckpoint(eager=True)
+    banded = materialize_shared(banded_build)
     newb = banded.filter(F.col("sid") >= 1_000_000).alias("n")
     oldb = banded.filter(F.col("sid") < 1_000_000).alias("o")
     m = (newb.join(oldb,
@@ -3075,11 +3075,10 @@ def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(digest.alias("content_md5")).distinct())
     # The bloom frame is ONE row but its build folds the whole digest
     # set; both probe branches (fresh + verified) reference it, so the
-    # lazy form ran the corpus fold twice — checkpoint the single row.
+    # lazy form ran the corpus fold twice — materialize the single row.
     bloom_build_df = B.bloom_build(existing, "content_md5",
                                    _BLOOM_M, _BLOOM_K)
-    capture_plan_segment(bloom_build_df)
-    bloom = bloom_build_df.localCheckpoint(eager=True)
+    bloom = materialize_shared(bloom_build_df)
     batch = (d.filter(F.col("doc_id") >= 200)
              .select("doc_id", digest.alias("content_md5"))
              .unionByName(
@@ -3250,8 +3249,7 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the standard recompute-vs-store trade: the exploded stream is
     # bigger than the corpus, so prefer persist(DISK_ONLY) or recompute
     # when executor storage is the constraint.
-    capture_plan_segment(feats_build)
-    feats = feats_build.localCheckpoint(eager=True)
+    feats = materialize_shared(feats_build)
     is_t = (F.col("source") == "src0").cast("long")
     counts = (feats.groupBy("bkt")
               .agg(F.sum(is_t).alias("ct"), F.count(F.lit(1)).alias("cr")))
@@ -3528,13 +3526,12 @@ def q_quality_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing re-join) and Catalyst does not share subplans, so without
     materialization the whole bigram pipeline ran twice (audited 12
     shuffles -> 7).  It is doc-count-sized — orders of magnitude under
-    the token streams that produce it — so an eager localCheckpoint is
-    the cheap fix (freed via ContextCleaner, same as the graph
-    adjacencies)."""
+    the token streams that produce it — so one shared
+    materialization (conf-selected strategy: lazy persist by default,
+    eager under the bench's MATERIALIZE_CONF) is the cheap fix."""
     d = load_table(spark, sf_dir, "documents")
     scores_build = _bigram_scores(spark, sf_dir)
-    capture_plan_segment(scores_build)
-    scores = scores_build.localCheckpoint(eager=True)
+    scores = materialize_shared(scores_build)
     th = scores.agg(
         F.percentile("s", F.lit(1.0 / 3)).alias("t1"),
         F.percentile("s", F.lit(2.0 / 3)).alias("t2"))
@@ -3957,8 +3954,7 @@ def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit(j).alias("j"), F.col(f"s{j}.t").alias("t"))
         for j in range(_WMH_K)])).alias("c"))
         .select("sid", F.col("c.j").alias("j"), F.col("c.t").alias("t")))
-    capture_plan_segment(comp_build)
-    comp = comp_build.localCheckpoint(eager=True)
+    comp = materialize_shared(comp_build)
     a_, b_ = comp.alias("a"), comp.alias("b")
     return (a_.join(b_, (F.col("a.j") == F.col("b.j"))
                     & (F.col("a.t") == F.col("b.t"))

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ab_metadata_pusher_spark.operators._shared import materialize_shared
 from ab_metadata_pusher_spark.plans.registry import register
 from ab_metadata_pusher_spark.plans.generated_oracles import (
     PINNED_ORACLES,
@@ -2025,7 +2026,7 @@ def q_agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast for the probe join and the true-count comparison would
     # otherwise each rebuild it.
     spread = li.repartition(spark.sparkContext.defaultParallelism)
-    cells = countmin_build(spread, "l_partkey").localCheckpoint(eager=True)
+    cells = materialize_shared(countmin_build(spread, "l_partkey"))
     probes = spark.range(1, 9).select(F.col("id").alias("l_partkey"))
     est = countmin_estimate(cells, probes, "l_partkey")
     tru = (li.filter(F.col("l_partkey").between(1, 8))

@@ -87,6 +87,13 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{args.sf_dir}/{t}.parquet')")
 
+    # Under the lazy-persist default (operators/_shared.py), every query
+    # with a shared self-join stream registers a cache entry; one
+    # 239-query session would accumulate them all without this release.
+    from ab_metadata_pusher_spark.operators._shared import (
+        release_materialized,
+    )
+
     qs, oracles = m.queries(), m.oracle_sql()
     names = args.names or sorted(qs)
     failures = 0
@@ -99,6 +106,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             failures += 1
             continue
+        finally:
+            release_materialized(spark)
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"WEAK  {name}: rows={len(s_rows)} (no oracle, rows-only check)")

@@ -840,6 +840,77 @@ def test_materialize_modes_agree(spark):
     assert results["eager"]  # non-empty: (1,2) and (1,4) at least
 
 
+def test_eager_demotion_warns(caplog):
+    """An EXPLICIT materialize='eager' demoted on an elastic cluster must
+    say so (r6 ADVICE: the audited plan-shape assumption breaks silently
+    otherwise); a conf-derived or defaulted eager demotes quietly."""
+    import logging
+
+    from ab_metadata_pusher_spark.operators._shared import (
+        MATERIALIZE_CONF, _materialize_mode,
+    )
+
+    def conf(values):
+        return lambda k, d=None: values.get(k, d)
+
+    elastic = conf({"spark.dynamicAllocation.enabled": "true"})
+    with caplog.at_level(logging.WARNING,
+                         logger="ab_metadata_pusher_spark.operators._shared"):
+        assert _materialize_mode("eager", elastic) == "persist"
+    assert any("demoted" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="ab_metadata_pusher_spark.operators._shared"):
+        assert _materialize_mode(
+            None, conf({MATERIALIZE_CONF: "eager",
+                        "spark.dynamicAllocation.enabled": "true"})) \
+            == "persist"
+    assert not any("demoted" in r.message for r in caplog.records)
+
+
+def test_release_materialized_unpersists(spark):
+    """persist-mode shared streams are registered and releasable: the
+    pair operators' persisted UPSTREAM is otherwise unreachable from the
+    returned frame (r6 ADVICE — cache-manager entries are not freed on
+    plan GC)."""
+    from ab_metadata_pusher_spark.operators._shared import (
+        _PERSISTED, release_materialized,
+    )
+    from ab_metadata_pusher_spark.operators.dedup import jaccard_pairs
+
+    release_materialized()  # start from a clean registry
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f h")],
+        "doc_id long, text string")
+    pairs = jaccard_pairs(docs, 0.5, materialize="persist")
+    assert len(_PERSISTED) == 1
+    pairs.count()  # materialize the cache entry
+    assert _PERSISTED[0].storageLevel.useMemory
+    assert release_materialized(spark) == 1
+    assert _PERSISTED == []
+    # eager and off modes register nothing
+    jaccard_pairs(docs, 0.5, materialize="off")
+    assert _PERSISTED == []
+    # a different session's frames are kept when filtering by session
+    jaccard_pairs(docs, 0.5, materialize="persist")
+    assert release_materialized(object()) == 0 and len(_PERSISTED) == 1
+    assert release_materialized() == 1 and _PERSISTED == []
+
+
+def test_materialize_shared_has_one_home():
+    """dedup and similarity must share the _shared module's selector —
+    no cross-family private imports (r6 ADVICE)."""
+    from ab_metadata_pusher_spark.operators import _shared, dedup
+
+    assert dedup._materialize_shared is _shared.materialize_shared
+    assert dedup.MATERIALIZE_CONF is _shared.MATERIALIZE_CONF
+    import inspect
+
+    from ab_metadata_pusher_spark.operators import similarity
+    src = inspect.getsource(similarity)
+    assert "operators.dedup import _materialize_shared" not in src
+
+
 # -- edit-distance pairs (PassJoin pigeonhole, value-compressed) -------------
 
 def _typo_corpus(seed=7, bases=60):
