@@ -68,56 +68,72 @@ def _load_all() -> None:
 #: this for every prefix name).
 #: Everything not listed follows in registration order.
 #:
-#: ROTATION (round 6): evidence is cumulative, so the head keeps the same
-#: 15-slot sentinel core and fills the 35 scored rotation slots with the
-#: next 35 oracle-backed queries that have NEVER had a driver row (the
-#: head of the deterministic never-scored queue the r5 comment promised:
-#: sketches, the timeseries family, the extended-join family, the nine
-#: remaining dedup variants, embedding/similarity, the window-function
-#: long tail, and the subquery family).  Registration stays FROZEN at
-#: 239.  The r5 rotation cohort (all 35 driver-green in
-#: CORRECTNESS_r05.json) moves below the 50-row window — still verified
-#: every run by tests/test_oracle_parity.py — ahead of the r4 cohort.
-#: 28 never-scored names remain queued after them in deterministic
-#: order: ONE more round of rotation at this width clears the registry.
-#: Use scripts/prefix_planner.py to plan the next rotation.
-#: Pre-validated in r5 (and re-checked for this cohort in r6): every
-#: queued name passes driver_sim --strict-types at sf0.01 AND has a
-#: flat atomic output schema, so rotation stays purely mechanical.
+#: ROTATION (round 7): evidence is cumulative, so the head keeps the same
+#: 15-slot sentinel core; the 35 scored rotation slots take ALL 28
+#: oracle-backed queries that have never had a driver row (the last of
+#: the never-scored queue — this rotation CLEARS the registry: every
+#: oracle-backed query will have a driver row) plus 7 deliberate
+#: RE-PROOF slots for the r5/r6 repairs (PassJoin edit-distance, the
+#: exchange-free LPA rounds, UTF-8 envelope chunking, the keep_emb
+#: Lloyd path behind both IVF queries, capped link prediction, the
+#: Count-Min sketch, the ANN label screen).  Registration stays FROZEN
+#: at 239.  The r6 rotation cohort (all driver-green in
+#: CORRECTNESS_r06.json) moves below the 50-row window — still verified
+#: every run by tests/test_oracle_parity.py — ahead of the r5 and r4
+#: cohorts.  Use scripts/prefix_planner.py to plan/check rotations (it
+#: knows the re-proof slots are deliberate).
+#: Pre-validated for this cohort in r6 and re-checked at sf0.1 strict
+#: in r7 (SCALE.md): every queued name passes driver_sim --strict-types
+#: AND has a flat atomic output schema, so rotation stays mechanical.
 DRIVER_PREFIX: tuple[str, ...] = (
-    # --- sentinel core (driver-green r2-r5, one per family) ---
+    # --- sentinel core (driver-green r2-r6, one per family) ---
     "metadata_catalog_columns", "metadata_tables",
     "metadata_nodes", "metadata_relations", "metadata_profile_columns",
     "agg_pricing_summary", "join_multiway_revenue", "window_topk_per_group",
     "setop_union_distinct", "rollup_time_buckets", "sessionize_events",
     "cdc_scd2_intervals", "stream_tumbling_counts", "dedup_minhash_lsh",
     "similarity_ann_lsh",
-    # --- rotation (r6): sketches ---
-    "agg_countmin_sketch", "stream_countmin_cells",
-    # --- rotation (r6): metadata + geo ---
+    # --- rotation (r7): agg long tail ---
+    "agg_weighted_avg", "agg_histogram_equi_depth", "agg_histogram",
+    "agg_string_concat", "agg_having_in",
+    # --- rotation (r7): extended joins ---
+    "join_range_binned", "join_disjunctive_pred", "join_asof_cogrouped",
+    # --- rotation (r7): set ops + pivot ---
+    "setop_union_evolve", "setop_symmetric_diff", "pivot_multi_agg",
+    # --- rotation (r7): CDC + sessionize + rollup ---
+    "cdc_latest_snapshot", "cdc_join_view_delta",
+    "sessionize_builtin_window", "rollup_ohlc", "rollup_incremental_merge",
+    # --- rotation (r7): event funnels + layout ---
+    "funnel_steps", "cohort_retention", "layout_zorder_stats",
+    # --- rotation (r7): ingest formats + corpus pipeline ---
+    "csv_corpus_ingest", "xml_corpus_ingest", "warc_corpus_ingest",
+    "orc_corpus_ingest", "corpus_snapshot_diff", "corpus_build_pipeline",
+    "corpus_token_budget",
+    # --- rotation (r7): multimodal ---
+    "multimodal_audio_fingerprint", "multimodal_decode_video",
+    # --- re-proof slots (r7): the r5/r6 repairs, driver-scored again ---
+    "dedup_edit_distance", "graph_label_propagation",
+    "sink_envelope_chunking", "similarity_ann_ivf",
+    "graph_link_prediction_capped", "agg_countmin_sketch",
+    "quality_label_consistency_ann",
+    # --- beyond the driver's 50-row window: the r6 cohort (driver-green
+    # --- in CORRECTNESS_r06.json, kept deterministic) ---
+    "stream_countmin_cells",
     "metadata_fk_inference", "join_geo_proximity", "metadata_masked_view",
-    # --- rotation (r6): timeseries family ---
     "timeseries_seasonal_decompose", "timeseries_anomaly_zscore",
     "timeseries_downsample_lttb", "timeseries_interpolate",
-    # --- rotation (r6): extended joins ---
     "join_asof_tolerance", "join_temporal_dim", "join_interval_overlap",
-    # --- rotation (r6): remaining dedup variants ---
     "dedup_suffix_prefix", "dedup_url_canonical", "dedup_chunks",
-    "dedup_keep_best", "dedup_edit_distance", "dedup_minhash_verified",
+    "dedup_keep_best", "dedup_minhash_verified",
     "dedup_incremental", "dedup_paragraph_rewrite",
-    # --- rotation (r6): quality + embedding/similarity ---
     "quality_ppl_buckets", "embedding_kmeans",
     "embedding_random_projection", "similarity_pq",
-    # --- rotation (r6): window-function long tail ---
     "window_gap_islands", "window_ema_bounded", "window_ignore_nulls",
     "window_moving_median", "window_distribution_funcs",
     "window_running_distinct", "window_range_1h",
-    # --- rotation (r6): subquery family + filtered agg ---
     "subquery_not_in", "subquery_correlated_exists",
     "subquery_correlated_scalar", "agg_filtered",
-    # --- beyond the driver's 50-row window: the r5 cohort (driver-green
-    # --- in CORRECTNESS_r05.json, kept deterministic) ---
-    "graph_link_prediction_capped", "sink_envelope_chunking",
+    # --- then the r5 cohort (driver-green in CORRECTNESS_r05.json) ---
     "text_repetition", "text_pii_redact", "text_html_strip",
     "text_unicode_nfc", "text_bpe_pair_counts", "text_bpe_apply",
     "text_bigrams", "text_lm_score", "text_vocab", "text_char_entropy",
@@ -136,8 +152,8 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "scalar_regexp_funcs",
     "agg_approx_count_distinct", "agg_hll_sketch_union",
     "embedding_pca_variance", "multimodal_phash_pairs",
-    "quality_label_consistency_ann", "quality_label_consistency_recall",
-    "graph_label_propagation", "graph_kcore", "graph_link_prediction",
+    "quality_label_consistency_recall",
+    "graph_kcore", "graph_link_prediction",
     "graph_bfs_distance", "entity_resolution_customers",
     "analytics_ks_drift", "analytics_chi_square",
     "analytics_ols_normal_equations", "analytics_skyline_2d",
@@ -150,20 +166,6 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "text_tfidf_top_terms", "text_bm25", "text_token_counts",
     "text_bigram_lm", "text_bpe_train",
     "sample_dsir", "embedding_covariance",
-    # --- never-scored pool, deterministic order for the r7 rotation ---
-    "agg_weighted_avg", "agg_histogram_equi_depth",
-    "agg_histogram", "agg_string_concat", "agg_having_in",
-    "join_range_binned", "join_disjunctive_pred", "join_asof_cogrouped",
-    "setop_union_evolve", "setop_symmetric_diff", "pivot_multi_agg",
-    "cdc_latest_snapshot", "cdc_join_view_delta",
-    "sessionize_builtin_window",
-    "rollup_ohlc", "rollup_incremental_merge",
-    "funnel_steps", "cohort_retention",
-    "layout_zorder_stats",
-    "csv_corpus_ingest", "xml_corpus_ingest", "warc_corpus_ingest",
-    "orc_corpus_ingest", "corpus_snapshot_diff", "corpus_build_pipeline",
-    "corpus_token_budget", "multimodal_audio_fingerprint",
-    "multimodal_decode_video",
 )
 
 

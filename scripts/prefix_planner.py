@@ -32,6 +32,19 @@ from ab_metadata_pusher_spark.plans.registry import (  # noqa: E402
 #: be a first-time-scored query.
 SENTINELS = set(DRIVER_PREFIX[:15])
 
+#: Deliberate re-proof slots (round 7): the never-scored pool shrank to
+#: 28 < 35 rotation slots, so the remainder re-scores the r5/r6 repairs
+#: at driver conditions.  Not "wasted" — each re-proves a specific fix
+#: (PassJoin edit-distance, exchange-free LPA, UTF-8 envelope chunking,
+#: the keep_emb Lloyd path, capped link prediction, Count-Min, the ANN
+#: label screen).
+REPROOF = {
+    "dedup_edit_distance", "graph_label_propagation",
+    "sink_envelope_chunking", "similarity_ann_ivf",
+    "graph_link_prediction_capped", "agg_countmin_sketch",
+    "quality_label_consistency_ann",
+}
+
 #: The driver's correctness gate scores this many queries() entries per
 #: round (observed width of every CORRECTNESS_r* record).  Names beyond
 #: this position are ordering, not scored slots — they must not count
@@ -57,7 +70,7 @@ def main() -> int:
     oracle_backed = [n for n, s in REGISTRY.items() if s.oracle]
     pool = [n for n in oracle_backed if n not in scored]
     wasted = [n for n in DRIVER_PREFIX[:SCORED_WINDOW]
-              if n in scored and n not in SENTINELS]
+              if n in scored and n not in SENTINELS and n not in REPROOF]
 
     print(f"registered={len(REGISTRY)} oracle_backed={len(oracle_backed)} "
           f"driver_green_ever={len(scored)}")
