@@ -30,6 +30,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from ab_metadata_pusher_spark.operators import dedup as D  # noqa: E402
 from ab_metadata_pusher_spark.operators import similarity as S  # noqa: E402
 from ab_metadata_pusher_spark.operators import text as X  # noqa: E402
+from ab_metadata_pusher_spark.operators._shared import (  # noqa: E402
+    MATERIALIZE_CONF,
+)
 from ab_metadata_pusher_spark.plans.registry import queries  # noqa: E402
 from ab_metadata_pusher_spark.session import get_spark  # noqa: E402
 from ab_metadata_pusher_spark.sources.fixtures import load_table  # noqa: E402
@@ -189,6 +192,13 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false",
                     "spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
+    # The bench keeps the audited EAGER plan shapes for every shared
+    # self-join stream (dedup pairs, ANN bucket keys, the converted
+    # plan-level adjacency/score/sketch materializations): eager
+    # localCheckpoint blocks are freed by the ContextCleaner between the
+    # 104 timed queries, where the library's lazy-persist default would
+    # accumulate cache-manager entries across the whole run.
+    spark.conf.set(MATERIALIZE_CONF, "eager")
 
     reg = queries()
     timings: dict[str, float] = {}
@@ -368,9 +378,16 @@ def _regressions_vs_previous_round(
         # ratio AND absolute floor: sub-second queries flap 1.5x+ on
         # scheduler noise alone (run-to-run 0.3s -> 0.6s observed with
         # identical code); a real regression on a query that matters
-        # moves the needle by >= 0.75s even after the retry pass
-        elif (prev_sec > 0.05 and timings[q] > 1.5 * prev_sec
-              and timings[q] - prev_sec >= 0.75):
+        # moves the needle by >= 0.75s even after the retry pass.
+        # Queries with a >= 3s baseline get a TIGHTER 1.25x ratio: the
+        # r6 gate was structurally blind to similarity_ivf_full drifting
+        # 4.32s -> 6.21s (1.44x) because 1.44 < 1.5 — on the bench's
+        # most expensive queries a quarter of the runtime is never
+        # noise after the min-of-two retry pass (r6 VERDICT ask #2).
+        elif prev_sec > 0.05 and (
+                (timings[q] > 1.5 * prev_sec
+                 and timings[q] - prev_sec >= 0.75)
+                or (prev_sec >= 3.0 and timings[q] > 1.25 * prev_sec)):
             flagged[q] = {"prev_sec": prev_sec, "now_sec": timings[q],
                           "ratio": round(timings[q] / prev_sec, 2)}
     return {"baseline": name, "flagged": flagged}

@@ -54,6 +54,11 @@ def norm(cols, rows):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--conf", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="extra Spark conf for the plain session "
+                         "(repeatable) — the hostile-env sweep passes "
+                         "ansi mode, shuffle width, JVM locale here")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -63,22 +68,34 @@ def main() -> int:
     spec.loader.exec_module(m)
 
     # deliberately NOT ab_metadata_pusher_spark.session.get_spark
-    spark = (SparkSession.builder.appName("plain-driver-check")
-             .master("local[8]")
-             .config("spark.ui.enabled", "false")
-             .config("spark.ui.showConsoleProgress", "false")
-             .getOrCreate())
+    builder = (SparkSession.builder.appName("plain-driver-check")
+               .master("local[8]")
+               .config("spark.ui.enabled", "false")
+               .config("spark.ui.showConsoleProgress", "false"))
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    for k, v in extra.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if extra:
+        print(f"CONF  {extra}")
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{args.sf_dir}/{t}.parquet')")
 
+    # lazy-persist shared streams register cache entries per query;
+    # release between queries so one full sweep accumulates none.
+    from ab_metadata_pusher_spark.operators._shared import (
+        release_materialized,
+    )
+
     qs, oracles = m.queries(), m.oracle_sql()
     names = args.names or sorted(oracles)
     failures = 0
     for name in names:
+        release_materialized(spark)
         try:
             sdf = qs[name](spark, args.sf_dir)
             s = norm(sdf.columns, [tuple(r) for r in sdf.collect()])
