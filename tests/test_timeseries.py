@@ -244,3 +244,31 @@ def test_integer_half_up_rounding_matches_exact_decimal():
         assert got == want, (num, den, got, want)
 
     check()
+
+
+def test_asof_cogrouped_self_derived_sides_and_empty_buckets(spark):
+    """Two hazards of the bucketed cogroup (r7): (1) both sides derived
+    from the SAME parent frame — shared attribute ids made the cogroup
+    resolution flaky (observed: the right-side pandas frame arriving
+    pruned to just the bucket column) until each side got a re-aliasing
+    projection; (2) a bucket whose right side is EMPTY (left-only keys
+    at high bucket counts) must yield unmatched rows, not an error."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators.asof import (
+        asof_join, asof_join_cogrouped,
+    )
+    base = spark.createDataFrame(
+        [(k, _ts(m), 100 * k + m, "L" if m % 2 else "R")
+         for k in range(6) for m in range(0, 40, 3)],
+        "k int, ts timestamp_ntz, eid int, side string")
+    left = base.filter(F.col("side") == "L").select("k", "ts", "eid")
+    # right keeps only k < 2: most buckets are left-only at 4096 buckets
+    right = (base.filter((F.col("side") == "R") & (F.col("k") < 2))
+             .select("k", "ts", "eid"))
+    want = {tuple(r) for r in asof_join(left, right, on="k").collect()}
+    for buckets in (4, 4096):
+        got = {tuple(r) for r in asof_join_cogrouped(
+            left, right, key="k", buckets=buckets).collect()}
+        assert got == want, buckets
+    assert any(r[3] is None for r in want)  # unmatched keys exercised
