@@ -62,7 +62,7 @@ def main() -> int:
         proc = subprocess.run(cmd, env=env, cwd=REPO,
                               capture_output=True, text=True)
         lines = [ln for ln in proc.stdout.splitlines()
-                 if ln[:5].rstrip() in ("FAIL", "EXC", "PASS", "CONF")]
+                 if ln.startswith(("FAIL", "EXC", "PASS", "CONF"))]
         for ln in lines:
             print(f"[{name}] {ln}", flush=True)
         if proc.returncode != 0:
