@@ -700,7 +700,10 @@ _CHUNK_BASE_JSON = ('{"chunk":0,"nodes":[],"of":1000000000,'
 _CHUNKING_SQL = ("WITH RECURSIVE " + catalog_values_cte() + "," + _PROJ_CTE
                  + ",\nnodes AS (" + _NODES_BODY + "),\nrels AS ("
                  + _REL_BODY + ")" + f""",
-recs AS (
+recs AS MATERIALIZED (
+  -- MATERIALIZED: the recursive packer below references recs once per
+  -- step; inlined, every step re-ran the whole nodes/rels JSON pipeline
+  -- (the sample_kcenter oracle lesson) — measured 1.9s -> 0.3s.
   SELECT row_number() OVER (ORDER BY grp, ord1, ord2) AS rn,
          CAST(octet_length(encode(j)) + 1 AS BIGINT) AS sz
   FROM (
@@ -718,7 +721,7 @@ recs AS (
              start_label := start_label, type := type))::VARCHAR
     FROM rels) u
 ),
-budget AS (
+budget AS MATERIALIZED (
   SELECT {_CHUNK_MAX_BYTES} - octet_length(encode('{_CHUNK_BASE_JSON}')) AS b
 ),
 pack AS (

@@ -270,10 +270,18 @@ def count_global_sortwin(plan: str) -> int:
 
 
 def main() -> int:
+    from ab_metadata_pusher_spark.operators._shared import MATERIALIZE_CONF
+
     spark = get_spark(app_name="explain-audit",
                       extra_conf={"spark.ui.enabled": "false",
                                   "spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
+    # Audit the BENCH's plan shapes: eager materialization (checkpointed
+    # shared streams), matching bench.py's pinned mode.  The library's
+    # lazy-persist default swaps those segments for InMemoryTableScans
+    # of the same single materialization — same shuffle structure, but
+    # the audit pins the shape the timed runs execute.
+    spark.conf.set(MATERIALIZE_CONF, "eager")
     reg = queries()
     names = sys.argv[1:] or DEFAULT
     bad = 0
