@@ -375,22 +375,31 @@ def _regressions_vs_previous_round(
     for q, prev_sec in prev.items():
         if q not in timings:
             flagged[q] = {"prev_sec": prev_sec, "now": "missing-or-error"}
-        # ratio AND absolute floor: sub-second queries flap 1.5x+ on
-        # scheduler noise alone (run-to-run 0.3s -> 0.6s observed with
-        # identical code); a real regression on a query that matters
-        # moves the needle by >= 0.75s even after the retry pass.
-        # Queries with a >= 3s baseline get a TIGHTER 1.25x ratio: the
-        # r6 gate was structurally blind to similarity_ivf_full drifting
-        # 4.32s -> 6.21s (1.44x) because 1.44 < 1.5 — on the bench's
-        # most expensive queries a quarter of the runtime is never
-        # noise after the min-of-two retry pass (r6 VERDICT ask #2).
-        elif prev_sec > 0.05 and (
-                (timings[q] > 1.5 * prev_sec
-                 and timings[q] - prev_sec >= 0.75)
-                or (prev_sec >= 3.0 and timings[q] > 1.25 * prev_sec)):
+        elif _is_regression(prev_sec, timings[q]):
             flagged[q] = {"prev_sec": prev_sec, "now_sec": timings[q],
                           "ratio": round(timings[q] / prev_sec, 2)}
     return {"baseline": name, "flagged": flagged}
+
+
+def _is_regression(prev_sec: float, now_sec: float) -> bool:
+    """Flagging predicate, one place for the thresholds.
+
+    Ratio AND absolute floor: sub-second queries flap 1.5x+ on scheduler
+    noise alone (run-to-run 0.3s -> 0.6s observed with identical code);
+    a real regression on a query that matters moves the needle by
+    >= 0.75s even after the retry pass.  Queries with a >= 3s baseline
+    get a TIGHTER 1.25x ratio: the r6 gate was structurally blind to
+    similarity_ivf_full drifting 4.32s -> 6.21s (1.44x) because
+    1.44 < 1.5 — on the bench's most expensive queries a quarter of the
+    runtime is never noise after the min-of-two retry pass (r6 VERDICT
+    ask #2; the settlement measured the same code at 3.9-4.3s across
+    three full sequential runs).
+    """
+    if prev_sec <= 0.05:
+        return False
+    if now_sec > 1.5 * prev_sec and now_sec - prev_sec >= 0.75:
+        return True
+    return prev_sec >= 3.0 and now_sec > 1.25 * prev_sec
 
 
 def _warmup(spark, reg) -> None:

@@ -114,3 +114,25 @@ def test_bench_final_line_stays_parseable_and_capped():
     tail = (detail_line + "\n" + final_line + "\n")[-2000:]
     last = tail[tail.rindex("\n", 0, len(tail) - 1) + 1:]
     assert json.loads(last) == final
+
+
+def test_bench_regression_predicate_tiers():
+    """The gate's two tiers (r7): sub-3s baselines flag at 1.5x AND a
+    0.75s absolute floor; >= 3s baselines flag at 1.25x — the r6 gate
+    shipped a 1.44x drift on the bench's most expensive query as a
+    single unreplicated measurement."""
+    from bench import _is_regression
+
+    # noise floor: tiny baselines never flag
+    assert not _is_regression(0.04, 10.0)
+    # sub-3s tier: both conditions required
+    assert not _is_regression(0.4, 0.9)       # 2.25x but only +0.5s
+    assert not _is_regression(1.0, 1.6)       # +0.6s and 1.6x -> floor
+    assert _is_regression(1.0, 1.8)           # 1.8x and +0.8s
+    assert _is_regression(2.0, 3.1)           # 1.55x and +1.1s
+    assert not _is_regression(2.0, 2.9)       # 1.45x < 1.5 (sub-3s tier)
+    # >= 3s tier: 1.25x alone suffices (the similarity_ivf_full class)
+    assert _is_regression(4.32, 6.21)         # the r6 blind spot: 1.44x
+    assert _is_regression(3.0, 3.8)           # 1.27x
+    assert not _is_regression(3.0, 3.7)       # 1.23x
+    assert not _is_regression(4.0, 4.9)       # 1.22x
