@@ -136,3 +136,19 @@ def test_bench_regression_predicate_tiers():
     assert _is_regression(3.0, 3.8)           # 1.27x
     assert not _is_regression(3.0, 3.7)       # 1.23x
     assert not _is_regression(4.0, 4.9)       # 1.22x
+
+
+def test_scored_window_excludes_bench_excluded_heavy_forms():
+    """The driver scores DRIVER_PREFIX[:50] at a driver-chosen SF.  Two
+    registered forms are deliberate coverage gates with costs that are
+    unacceptable in a scored slot at large SF (r6 VERDICT): the uncapped
+    exact link prediction (~30-48s at sf0.1, wedge-bounded) and the
+    6-pass BPE training loop.  Keep them registered, keep them OUT of
+    the scored window."""
+    from ab_metadata_pusher_spark.plans.registry import DRIVER_PREFIX
+
+    window = set(DRIVER_PREFIX[:50])
+    assert "graph_link_prediction" not in window
+    assert "text_bpe_train" not in window
+    # their scale-safe scored counterparts ARE in the prefix order
+    assert "graph_link_prediction_capped" in window
