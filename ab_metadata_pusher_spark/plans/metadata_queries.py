@@ -606,15 +606,29 @@ def q_metadata_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark shape per pair: distinct on the child column (digest-sized
     shuffle), a left-semi join against the parent key (broadcast — key
     columns are dimension-sized), two counts, one row out.  Pairs union
-    into one plan, so Spark schedules the tiny jobs concurrently; at
-    warehouse scale the same plan runs per type-compatible pair batch
-    with approx_count_distinct as the pre-filter."""
+    into one plan, so Spark schedules the tiny jobs concurrently.  The
+    per-column distinct frames are computed ONCE and shared through the
+    materialization selector (r7): each child frame is referenced twice
+    (semi join + count) and key columns recur across pairs (a warehouse
+    run checks hundreds of pairs over dozens of columns), so the
+    unshared form re-ran scan+distinct per REFERENCE — 12 distinct
+    builds here became 9 unique ones, each built once.  At warehouse
+    scale the same plan runs per type-compatible pair batch with
+    approx_count_distinct as the pre-filter."""
+    from ab_metadata_pusher_spark.operators._shared import materialize_shared
     from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    col_distinct: dict[tuple[str, str], DataFrame] = {}
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        for t, c in ((ct, cc), (pt, pc)):
+            if (t, c) not in col_distinct:
+                col_distinct[(t, c)] = materialize_shared(
+                    load_table(spark, sf_dir, t).select(c).distinct())
 
     out = None
     for ct, cc, pt, pc in _FK_CANDIDATES:
-        child = load_table(spark, sf_dir, ct).select(cc).distinct()
-        parent = load_table(spark, sf_dir, pt).select(pc).distinct()
+        child = col_distinct[(ct, cc)]
+        parent = col_distinct[(pt, pc)]
         contained = child.join(
             F.broadcast(parent), child[cc] == parent[pc], "left_semi")
         row = (child.agg(F.count(F.lit(1)).alias("n_child_distinct"))
