@@ -2894,8 +2894,12 @@ def q_dedup_incremental_minhash(spark: SparkSession,
     The index side is exactly the (sid, band_idx, band_hash) frame a
     standing corpus index stores; the probe is one equi-join from the
     (small) new batch against it — at 100 TB the index is bucketed by
-    band_hash on disk and the probe touches matching buckets only, never
-    a corpus self-join.  New batch here = the corpus builder's mutated +
+    (band_idx, band_hash) on disk (BOTH join keys: bucketing on a
+    subset gets disabled by the planner) and the probe's join reads the
+    index buckets in place, never a corpus self-join — plan-shape-proven
+    by tests/test_bucketing.py
+    test_band_index_bucketed_probe_is_index_side_shuffle_free.
+    New batch here = the corpus builder's mutated +
     exact copies (ids >= 1e6); the index = the originals."""
     corpus = _doc_corpus(spark, sf_dir)
     # The band frame IS the standing index: materialize it once (it

@@ -384,3 +384,74 @@ def test_orc_roundtrip_pushes_filter_and_prunes_columns(spark, sf_dir):
     assert "text" not in plan.split("ReadSchema")[-1]  # pruned projection
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert df.count() == base.filter("n_chars > 100").count()
+
+
+def test_band_index_bucketed_probe_is_index_side_shuffle_free(
+        spark, sf_dir, bucket_db):
+    """The standing-corpus incremental-dedup design
+    (plans/llm_queries.py dedup_incremental_minhash docstring): the
+    (sid, band_idx, band_hash) frame IS the on-disk index, bucketed by
+    band_hash; probing a NEW batch is one equi-join where only the
+    (small) batch side shuffles — the corpus-sized index side must read
+    its buckets in place, no Exchange.  Proves the claimed 100 TB probe
+    shape executes, not just reads well in prose."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators import dedup as D
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    import io
+    from contextlib import redirect_stdout
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = D.lsh_bands(docs.filter(F.col("doc_id") % 5 != 0),
+                         k=16, bands=4)
+    # bucket by BOTH join keys: bucketing on band_hash alone is a
+    # subset of the join clustering and the planner DISABLES bucketed
+    # reading ("Bucketed: false (disabled by query planner)") — the
+    # on-disk index must match the probe's full key set
+    (banded.write.mode("overwrite").bucketBy(8, "band_idx", "band_hash")
+     .sortBy("band_idx", "band_hash").saveAsTable(f"{bucket_db}.band_idx"))
+    idx = spark.table(f"{bucket_db}.band_idx")
+
+    batch = D.lsh_bands(docs.filter(F.col("doc_id") % 5 == 0),
+                        k=16, bands=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        m = (batch.alias("n")
+             .join(idx.alias("o"),
+                   (F.col("n.band_idx") == F.col("o.band_idx"))
+                   & (F.col("n.band_hash") == F.col("o.band_hash")))
+             .groupBy(F.col("n.sid"))
+             .agg(F.countDistinct(F.col("o.sid")).alias("n_matches")))
+        assert m.count() > 0
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            m.explain("formatted")
+        plan = buf.getvalue()
+        # the index scan reads its buckets in place...
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan, \
+            plan[:1200]
+        # ...and carries no Exchange between its scan and the join:
+        # walk the tree from the index scan line up its parent chain
+        # (strictly decreasing indent) — every ancestor until the
+        # SortMergeJoin must be exchange-free (Sort is allowed)
+        tree_lines = plan[:plan.index("\n\n")].splitlines()
+        i = next(i for i, ln in enumerate(tree_lines)
+                 if "Scan parquet" in ln and "band_idx" in ln)
+        indent = tree_lines[i].index("+-")
+        for j in range(i - 1, -1, -1):
+            ln = tree_lines[j]
+            pos = ln.find("+-")
+            if pos == -1 or pos >= indent:
+                continue
+            indent = pos
+            assert "Exchange" not in ln, ln
+            if "SortMergeJoin" in ln:
+                break
+        else:
+            raise AssertionError("index scan not under a SortMergeJoin:\n"
+                                 + plan[:1200])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
