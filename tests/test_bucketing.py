@@ -455,3 +455,49 @@ def test_band_index_bucketed_probe_is_index_side_shuffle_free(
                                  + plan[:1200])
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_semdedup_cell_bucketed_self_join_is_shuffle_free(
+        spark, sf_dir, bucket_db):
+    """The SemDeDup scale claim (operators/similarity.py
+    semantic_dedup_pairs): at corpus scale the cell-assigned embedding
+    table is written bucketed by cell, and the within-cell pair
+    self-join runs shuffle-free on re-use.  Prove it: both sides of the
+    pair join read the same bucketed table and reach the SortMergeJoin
+    with zero Exchange anywhere in the plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators.similarity import (
+        _assign_cells, ivf_centroids, l2_norm,
+    )
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    cents = ivf_centroids(emb, n_cells=4, iters=1)
+    assigned = _assign_cells(emb, cents, "vec_id", "embedding", nprobe=1) \
+        .select("vec_id", "cell", l2_norm("embedding").alias("nrm"))
+    (assigned.write.mode("overwrite").bucketBy(4, "cell")
+     .sortBy("cell").saveAsTable(f"{bucket_db}.cells"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table(f"{bucket_db}.cells")
+        pairs = (t.alias("a").join(t.alias("b"), "cell")
+                 .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+                 .select("cell", F.col("a.vec_id").alias("va"),
+                         F.col("b.vec_id").alias("vb")))
+        assert pairs.count() > 0
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            pairs.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert ") Exchange" not in plan, \
+            "bucketed within-cell self-join must not shuffle:\n" + plan[:1200]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
