@@ -26,7 +26,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["JdbcCatalogSource", "mysql_catalog_sql", "postgres_catalog_sql"]
+__all__ = ["JdbcCatalogSource", "mysql_catalog_sql", "postgres_catalog_sql",
+           "derby_catalog_sql"]
 
 
 def mysql_catalog_sql(where_clause_suffix: str = "",
@@ -75,6 +76,36 @@ JOIN information_schema.tables t
 LEFT JOIN pg_catalog.pg_class pgc
   ON pgc.relname = c.table_name
 WHERE c.table_schema = '{schema}'
+""".strip()
+
+
+def derby_catalog_sql(schema: str = "APP",
+                      database: str = "derby") -> str:
+    """The same catalog scan against Derby's ``SYS`` tables — the dialect
+    that runs LIVE in this container (embedded Derby ships in Spark's
+    jars), so the reference's core job — introspect a real database's
+    catalog into ``catalog_columns`` rows — is integration-tested
+    end-to-end, not just SQL-shape-checked.  Derby has no catalogs or
+    comment columns: ``table_catalog`` carries the database literal and
+    the descriptions are typed NULLs (the fold coalesces them to '').
+    ``CAST(COLUMNDATATYPE AS VARCHAR)`` stringizes Derby's type
+    descriptor ('BIGINT NOT NULL', ...)."""
+    return f"""
+SELECT
+  '{database}'            AS td_database,
+  '{database}'            AS table_catalog,
+  s.SCHEMANAME            AS table_schema,
+  t.TABLENAME             AS table_name,
+  CAST(NULL AS VARCHAR(1)) AS table_description,
+  c.COLUMNNAME            AS col_name,
+  CAST(c.COLUMNDATATYPE AS VARCHAR(128)) AS col_type,
+  CAST(NULL AS VARCHAR(1)) AS col_description,
+  c.COLUMNNUMBER          AS col_sort_order,
+  CASE WHEN t.TABLETYPE = 'V' THEN TRUE ELSE FALSE END AS is_view
+FROM SYS.SYSCOLUMNS c
+JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
+JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+WHERE s.SCHEMANAME = '{schema}' AND t.TABLETYPE IN ('T', 'V')
 """.strip()
 
 

@@ -36,3 +36,44 @@ def test_sql_session_runs_adhoc_tpch_style_query(spark, sf_dir, duck):
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThan(c_acctbal" in plan, "filter not pushed through view"
+
+
+def test_live_db_catalog_to_table_metadata(spark, tmp_path):
+    """The reference's CORE JOB, live: introspect a real database's own
+    catalog (embedded Derby's SYS tables, via the partitionable JDBC
+    source) into catalog_columns rows, then fold them through the
+    standard table_metadata pipeline — the end-to-end path
+    MysqlMetadataExtractor + TableMetadata cover in production, executed
+    against an actual DB instead of a fixture."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators.metadata import table_metadata
+    from ab_metadata_pusher_spark.sources.jdbc import (
+        JdbcCatalogSource, derby_catalog_sql,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/catdb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    for name, df in (
+        ("USERS", spark.range(2).select(
+            F.col("id").alias("USER_ID"), F.lit("x").alias("NAME"))),
+        ("ORDERS_T", spark.range(2).select(
+            F.col("id").alias("ORDER_ID"), F.col("id").alias("USER_ID"),
+            (F.col("id") * 1.5).alias("AMOUNT"))),
+    ):
+        (df.write.format("jdbc").option("url", url).option("driver", drv)
+         .option("dbtable", name).mode("overwrite").save())
+
+    src = JdbcCatalogSource(url=url, driver=drv, query=derby_catalog_sql())
+    folded = table_metadata(src.load(spark)).orderBy("table_name")
+    rows = {r.table_name: r for r in folded.collect()}
+    assert set(rows) == {"users", "orders_t"}
+    u = rows["users"]
+    assert u.schema == "app" and u.cluster == "derby" and not u.is_view
+    assert u.description == ""  # NULL catalog comment -> '' (CSV law)
+    assert [c.name for c in u.columns] == ["user_id", "name"]
+    assert [c.sort_order for c in u.columns] == [1, 2]
+    assert u.columns[0].col_type.startswith("bigint")
+    o = rows["orders_t"]
+    assert [c.name for c in o.columns] == ["order_id", "user_id", "amount"]
+    assert o.columns[2].col_type.startswith("double")
