@@ -41,14 +41,44 @@ METRIC_PREFIX = "ab_metadata_pusher_spark.job"
 
 class MetricsEmitter:
     """statsd-protocol counter/gauge emitter (E5).  The default
-    implementation logs; inject a statsd client adapter for real
-    emission."""
+    implementation logs; :class:`StatsdEmitter` sends the real wire
+    protocol."""
 
     def incr(self, metric: str) -> None:  # pragma: no cover - trivial
         logger.info("metric incr: %s", metric)
 
     def gauge(self, metric: str, value: float) -> None:  # pragma: no cover
         logger.info("metric gauge: %s=%s", metric, value)
+
+
+class StatsdEmitter(MetricsEmitter):
+    """Real statsd emission over UDP — the reference's opt-in metrics
+    path (job/customized_job.py:17-44,80-88 wraps launch() in
+    ``amundsen.databuilder.job.{id}.{success|fail}`` counters when
+    ``is_statsd_enabled``).  The wire protocol is one datagram per
+    event: ``<name>:<value>|c`` for counters, ``|g`` for gauges —
+    fire-and-forget UDP, never blocks or raises into the job
+    (send errors are swallowed, matching statsd client semantics).
+    Live-tested against a real UDP listener in
+    tests/test_observability.py."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8125) -> None:
+        import socket
+
+        self._addr = (host, port)
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def _send(self, payload: str) -> None:
+        try:
+            self._sock.sendto(payload.encode("utf-8"), self._addr)
+        except OSError:  # metrics must never fail the job
+            logger.warning("statsd send failed for %r", payload)
+
+    def incr(self, metric: str) -> None:
+        self._send(f"{metric}:1|c")
+
+    def gauge(self, metric: str, value: float) -> None:
+        self._send(f"{metric}:{value}|g")
 
 
 @dataclass

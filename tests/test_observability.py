@@ -107,3 +107,52 @@ def test_streaming_query_listener_captures_progress(spark, sf_dir):
         spark.streams.removeListener(listener)
     assert n_out > 0
     assert sum(rows_seen) > 0
+
+
+def test_statsd_emitter_sends_real_udp_datagrams(spark, tmp_path):
+    """E5 live: Pipeline.run with the StatsdEmitter must deliver REAL
+    statsd wire-protocol datagrams to a UDP listener — the reference's
+    amundsen.databuilder.job.{id}.{success} counter naming discipline,
+    exercised over an actual socket instead of a logger stub.  A send
+    to a dead port must be swallowed (metrics never fail the job)."""
+    import socket
+
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.pipeline import (
+        METRIC_PREFIX, Pipeline, StatsdEmitter,
+    )
+    from ab_metadata_pusher_spark.sinks.staging import StagingArea
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.settimeout(5)
+    port = srv.getsockname()[1]
+
+    def extract(s):
+        nodes = s.range(2).select(
+            F.concat(F.lit("n"), F.col("id")).alias("KEY"),
+            F.lit("Table").alias("LABEL"))
+        rels = s.range(1).select(
+            F.lit("a").alias("START_KEY"), F.lit("Table").alias("START_LABEL"),
+            F.lit("b").alias("END_KEY"), F.lit("Column").alias("END_LABEL"),
+            F.lit("COL").alias("TYPE"))
+        return nodes, rels
+
+    p = Pipeline(identifier="statsd_live",
+                 staging=StagingArea(str(tmp_path / "stage")),
+                 extract=extract,
+                 metrics=StatsdEmitter("127.0.0.1", port))
+    res = p.run(spark)
+    assert res.succeeded
+
+    seen = []
+    while len(seen) < 3:
+        seen.append(srv.recvfrom(65536)[0].decode())
+    srv.close()
+    assert f"{METRIC_PREFIX}.statsd_live.staged_rows.nodes:2|g" in seen
+    assert f"{METRIC_PREFIX}.statsd_live.staged_rows.relations:1|g" in seen
+    assert f"{METRIC_PREFIX}.statsd_live.success:1|c" in seen
+
+    # fire-and-forget: an unroutable destination must not raise
+    StatsdEmitter("127.0.0.1", 9).incr("x.y")
