@@ -88,3 +88,51 @@ def assert_matches_oracle(spark_df, duck_con, sql: str, approx_float=True):
     _, d_norm = normalized_rows(d_cols, d_rows)
     for i, (a, b) in enumerate(zip(s_norm, d_norm)):
         assert a == b, f"row {i} mismatch:\n  spark={a}\n  duck ={b}"
+
+
+@pytest.fixture()
+def sqs_http_endpoint():
+    """A local HTTP server speaking the SQS JSON protocol
+    (SendMessageBatch), so tests can drive the publisher through a REAL
+    boto3 client end-to-end.  Yields (port, received, lock): every
+    MessageBody arrives in ``received`` under ``lock`` (executor workers
+    post concurrently in distributed mode)."""
+    import hashlib
+    import json as _json
+    import threading
+    import uuid
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    received: list[str] = []
+    lock = threading.Lock()
+
+    class SqsHandler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            raw = self.rfile.read(int(self.headers["Content-Length"]))
+            req = _json.loads(raw)
+            ok = []
+            with lock:
+                for e in req.get("Entries", []):
+                    received.append(e["MessageBody"])
+                    ok.append({
+                        "Id": e["Id"],
+                        "MessageId": str(uuid.uuid4()),
+                        "MD5OfMessageBody": hashlib.md5(
+                            e["MessageBody"].encode()).hexdigest(),
+                    })
+            body = _json.dumps({"Successful": ok, "Failed": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-amz-json-1.0")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), SqsHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        yield srv.server_address[1], received, lock
+    finally:
+        srv.shutdown()

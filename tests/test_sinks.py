@@ -458,7 +458,8 @@ def test_merge_upsert_deletes_emptied_partition(spark, tmp_path):
     assert not (pathlib.Path(path) / "day=d2").exists()
 
 
-def test_sqs_publish_live_http_endpoint_real_boto3(spark, sf_dir):
+def test_sqs_publish_live_http_endpoint_real_boto3(
+        spark, sf_dir, sqs_http_endpoint):
     """E3 live: both publish modes driven through a REAL boto3 SQS
     client against a local HTTP server speaking the SQS JSON protocol —
     the full botocore serialization/signing/md5-validation path runs,
@@ -467,42 +468,9 @@ def test_sqs_publish_live_http_endpoint_real_boto3(spark, sf_dir):
     the server replays every received body so the chunking law
     (<= max_bytes per envelope, every record delivered exactly once per
     mode) is asserted on the wire bytes."""
-    import hashlib
     import json as _json
-    import threading
-    import uuid
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    received: list[str] = []
-    lock = threading.Lock()
-
-    class SqsHandler(BaseHTTPRequestHandler):
-        def do_POST(self):
-            raw = self.rfile.read(int(self.headers["Content-Length"]))
-            req = _json.loads(raw)
-            ok = []
-            with lock:
-                for e in req.get("Entries", []):
-                    received.append(e["MessageBody"])
-                    ok.append({
-                        "Id": e["Id"],
-                        "MessageId": str(uuid.uuid4()),
-                        "MD5OfMessageBody": hashlib.md5(
-                            e["MessageBody"].encode()).hexdigest(),
-                    })
-            body = _json.dumps({"Successful": ok, "Failed": []}).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/x-amz-json-1.0")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-        def log_message(self, *a):  # silence per-request stderr noise
-            pass
-
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), SqsHandler)
-    port = srv.server_address[1]
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port, received, lock = sqs_http_endpoint
 
     def client_factory(port=port):
         import boto3
@@ -517,28 +485,25 @@ def test_sqs_publish_live_http_endpoint_real_boto3(spark, sf_dir):
     max_bytes = 4096
     pub = SqsPublisher("http://q/test", client_factory, max_bytes=max_bytes)
 
-    try:
-        rep = pub.publish_collected(nodes, relations, tag="live-http")
-        with lock:
-            driver_bodies = list(received)
-            received.clear()
-        assert rep.messages_sent == len(driver_bodies) > 1
-        n_recs = 0
-        for b in driver_bodies:
-            assert len(b.encode()) <= max_bytes
-            env = _json.loads(b)
-            assert env["tag"] == "live-http"
-            n_recs += len(env["nodes"]) + len(env["relations"])
-        assert n_recs == nodes.count() + relations.count()
+    rep = pub.publish_collected(nodes, relations, tag="live-http")
+    with lock:
+        driver_bodies = list(received)
+        received.clear()
+    assert rep.messages_sent == len(driver_bodies) > 1
+    n_recs = 0
+    for b in driver_bodies:
+        assert len(b.encode()) <= max_bytes
+        env = _json.loads(b)
+        assert env["tag"] == "live-http"
+        n_recs += len(env["nodes"]) + len(env["relations"])
+    assert n_recs == nodes.count() + relations.count()
 
-        pub.publish_distributed(nodes.repartition(4),
-                                relations.repartition(2), tag="live-http")
-        with lock:
-            dist_bodies = list(received)
-        dist_recs = sum(
-            len(_json.loads(b)["nodes"]) + len(_json.loads(b)["relations"])
-            for b in dist_bodies)
-        assert dist_recs == n_recs  # exactly once per record, per mode
-        assert all(len(b.encode()) <= max_bytes for b in dist_bodies)
-    finally:
-        srv.shutdown()
+    pub.publish_distributed(nodes.repartition(4),
+                            relations.repartition(2), tag="live-http")
+    with lock:
+        dist_bodies = list(received)
+    dist_recs = sum(
+        len(_json.loads(b)["nodes"]) + len(_json.loads(b)["relations"])
+        for b in dist_bodies)
+    assert dist_recs == n_recs  # exactly once per record, per mode
+    assert all(len(b.encode()) <= max_bytes for b in dist_bodies)

@@ -350,3 +350,39 @@ def test_max_files_per_trigger_bounds_microbatches(spark, sf_dir, tmp_path):
     assert len(batches) == 3, batches
     assert sum(batches) == 300
     assert max(batches) < 300  # no single unbounded batch
+
+
+def test_foreach_batch_publish_live_boto3_endpoint(
+        spark, sf_dir, sqs_http_endpoint):
+    """The streaming tick end-to-end on the LIVE protocol path: file
+    stream -> foreachBatch -> executor-side chunked publish through a
+    real boto3 client to the local SQS-JSON HTTP endpoint — the same
+    wire path a production tick takes, with every event delivered
+    exactly once across the run's micro-batches."""
+    port, received, lock = sqs_http_endpoint
+
+    def client_factory(port=port):
+        import boto3
+        return boto3.client(
+            "sqs", region_name="us-east-1",
+            aws_access_key_id="test", aws_secret_access_key="test",
+            endpoint_url=f"http://127.0.0.1:{port}")
+
+    publisher = SqsPublisher("http://q/stream.fifo", client_factory,
+                             max_bytes=32 * 1024)
+    stream = E.events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type")
+    q = E.foreach_batch_publish(stream, publisher, tag="live-tick")
+    q.awaitTermination()
+
+    with lock:
+        bodies = list(received)
+    assert bodies, "no live batches received"
+    total = 0
+    for b in bodies:
+        env = json.loads(b)
+        assert env["tag"].startswith("live-tick-batch")
+        assert len(b.encode()) <= 32 * 1024
+        total += len(env["nodes"])
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == n_events
