@@ -527,12 +527,12 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join key ``b`` instead and pay the (a, lab) aggregation shuffle
     — you can co-locate either the join or the aggregations, and while
     labels broadcast, aligning the aggregations wins.  The crossover is
-    MEASURED, not prose (scripts/lpa_alignment_probe.py, min-of-3 on
+    MEASURED, not prose (scripts/lpa_alignment_probe.py, min-of-N on
     synthetic degree-20 graphs, all-distinct labels — the broadcast's
     worst case): shuffled/broadcast = 2.21x at |V|=1e5, 1.51x at 1e6,
-    1.13x at 4e6 — broadcast still wins at 4M vertices (~64 MB of
-    (long, long) rows) and the log-linear trend crosses 1.0 near
-    |V| ~ 1e7 on this 32-core JVM; on a real cluster flip when the
+    1.13x at 4e6, 1.35x at 8e6 — broadcast wins at every measured size
+    up to ~128 MB of (long, long) label rows, with no crossover
+    reachable cleanly in one JVM; on a real cluster flip when the
     label frame approaches the executor/driver broadcast budget
     (SCALE.md round-7 entry).  (A third variant
     — adjacency arrays + a 1-row label MAP + in-row mode — was A/B
