@@ -22,7 +22,10 @@ from ab_metadata_pusher_spark.plans.registry import (  # noqa: E402
 #: SURVEY §2 ids implemented outside the query registry.
 STATIC = [
     ("A1", "JDBC SQL scan (partitioned, pushdown)",
-     "sources/jdbc.py JdbcCatalogSource", "tests/test_sinks.py"),
+     "sources/jdbc.py JdbcCatalogSource",
+     "tests/test_sources.py LIVE vs embedded Derby (partitioned read, "
+     "pushed filter); tests/test_catalog_introspection.py live SYS-catalog "
+     "round trip"),
     ("A2", "MySQL catalog scan SQL shape",
      "sources/jdbc.py mysql_catalog_sql + sources/catalog.py (fixture path)",
      "tests/test_sinks.py; registry metadata_catalog_columns"),
@@ -79,12 +82,17 @@ STATIC = [
     ("E2", "JSON envelope assembly (byte-pinned golden)",
      "sinks/envelope.py envelope_json", "tests/test_sinks.py"),
     ("E3", "SQS publish with 256 KiB chunking + SendMessageBatch",
-     "sinks/sqs.py SqsPublisher", "tests/test_sinks.py (stubbed client)"),
+     "sinks/sqs.py SqsPublisher",
+     "tests/test_sinks.py LIVE via real boto3 -> local SQS-JSON HTTP "
+     "endpoint (both modes) + stubbed-client laws; "
+     "tests/test_streaming.py live streaming tick"),
     ("E4", "Publish-tag stamping (implemented for real)",
      "sinks/envelope.py tag/chunk/of fields; sinks/kafka.py",
      "tests/test_sinks.py"),
     ("E5", "statsd success/fail metrics",
-     "pipeline.py MetricsEmitter", "tests/test_sinks.py CountingMetrics"),
+     "pipeline.py MetricsEmitter + StatsdEmitter (real UDP wire protocol)",
+     "tests/test_observability.py LIVE UDP listener; "
+     "tests/test_sinks.py CountingMetrics"),
     ("E6", "Kafka publish (reference roadmap)",
      "sinks/kafka.py", "tests/test_sinks.py test_kafka_rows"),
     ("E7", "Success/failure callbacks",
