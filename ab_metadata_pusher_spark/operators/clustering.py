@@ -39,10 +39,16 @@ def seed_centroids(corpus: DataFrame, k: int,
 
 
 def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
-    return F.array(*[
-        F.struct(F.lit(c).alias("cluster"),
-                 F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"))
-        for c, vec in centroids])
+    # One SQL string parsed JVM-side: building k x dim nested F.lit/
+    # F.struct trees costs hundreds of py4j round trips PER literal
+    # (measured ~0.5s of pure driver time at 8x64 before any job runs).
+    # repr(float) is the shortest round-trip form and Double.parseDouble
+    # recovers the identical bits, so the plan literal is bit-exact.
+    parts = ", ".join(
+        "named_struct('cluster', {c}, 'cvec', array({vs}))".format(
+            c=int(c), vs=", ".join(f"{float(x)!r}D" for x in vec))
+        for c, vec in centroids)
+    return F.expr(f"array({parts})")
 
 
 def assign_clusters(corpus: DataFrame,
@@ -84,31 +90,40 @@ def assign_clusters(corpus: DataFrame,
 
 def update_centroids(corpus: DataFrame, assigned: DataFrame,
                      id_col: str = "vec_id",
-                     emb_col: str = "embedding") -> list[tuple[int, list[float]]]:
-    """Lloyd update: per-cluster element-wise mean.  One shuffle keyed on
-    (cluster, dim-position), map-side combinable; the k x dim result is
-    driver-sized by construction.
+                     emb_col: str = "embedding",
+                     dim: int | None = None) -> list[tuple[int, list[float]]]:
+    """Lloyd update: per-cluster element-wise mean as ONE cluster-keyed
+    shuffle of ``dim`` per-dimension ``sum`` columns plus a count — all
+    map-side combinable, k x (dim+1) scalars on the wire, and crucially
+    NO row inflation: the earlier posexplode formulation materialized
+    corpus x dim rows and paid a second cluster-keyed shuffle to
+    re-assemble the vector.  The k x dim result is driver-sized by
+    construction.  (Trade-off: very wide embeddings — thousands of
+    dims — generate one aggregate expression per dimension; past
+    codegen's ~hundreds-of-expressions comfort zone the exploded
+    (cluster, pos) shuffle becomes the better shape again.)
 
     When ``assigned`` already carries ``emb_col`` (assign_clusters with
     ``keep_emb=True`` — assignment is a map-only projection OF the
     corpus, so the column is free), the per-iteration corpus re-join is
     skipped; the joined fallback stays for callers holding a bare
-    (id, cluster) frame.  Both paths feed the identical row multiset to
-    the identical (cluster, pos) aggregation."""
+    (id, cluster) frame.  ``dim`` callers that know the width (every
+    trainer does, from its seed centroids) should pass it; otherwise a
+    single bounded first() infers it."""
     if emb_col in assigned.columns:
         joined = assigned
     else:
         joined = corpus.join(assigned.select(id_col, "cluster"), id_col)
-    per_dim = (joined
-               .select("cluster",
-                       F.posexplode(_dbl(F.col(emb_col))).alias("pos", "x"))
-               .groupBy("cluster", "pos").agg(F.avg("x").alias("m")))
-    rows = (per_dim.groupBy("cluster")
-            .agg(F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"]).alias("cvec"))
-            .collect())
-    return [(int(r["cluster"]), [float(x) for x in r["cvec"]]) for r in rows]
+    if dim is None:
+        dim = len(joined.select(emb_col).first()[0])
+    sums = joined.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.col(emb_col)[i].cast("double")).alias(f"_s{i}")
+          for i in range(dim)])
+    rows = sums.collect()
+    return [(int(r["cluster"]), [float(r[f"_s{i}"]) / r["_n"]
+                                 for i in range(dim)])
+            for r in rows]
 
 
 def kmeans_fit_assign(corpus: DataFrame, k: int = 8, iters: int = 1,
@@ -119,10 +134,11 @@ def kmeans_fit_assign(corpus: DataFrame, k: int = 8, iters: int = 1,
     one (cluster, pos)-keyed shuffle; cache ``corpus`` upstream when
     iterating more than a couple of times."""
     cents = seed_centroids(corpus, k, id_col, emb_col)
+    dim = len(cents[0][1]) if cents else None
     for _ in range(iters):
         assigned = assign_clusters(corpus, cents, id_col, emb_col,
                                    keep_emb=True)
-        cents = update_centroids(corpus, assigned, id_col, emb_col)
+        cents = update_centroids(corpus, assigned, id_col, emb_col, dim=dim)
     return assign_clusters(corpus, cents, id_col, emb_col)
 
 
@@ -154,7 +170,7 @@ def pq_fit_assign(corpus: DataFrame, m: int = 4, k: int = 4,
         for _ in range(iters):
             assigned = assign_clusters(sub, cents, id_col, "_sub",
                                        keep_emb=True)
-            cents = update_centroids(sub, assigned, id_col, "_sub")
+            cents = update_centroids(sub, assigned, id_col, "_sub", dim=w)
         outs.append(assign_clusters(sub, cents, id_col, "_sub")
                     .select(id_col, F.lit(s).alias("subspace"),
                             F.col("cluster").alias("code"),

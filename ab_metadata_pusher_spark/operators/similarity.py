@@ -28,7 +28,8 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_prenorm",
            "topk_cosine_bruteforce",
            "hyperplanes", "ann_lsh_topk", "ann_lsh_knn_self",
            "embedding_near_dup_pairs",
-           "embedding_near_dup_pairs_lsh", "ivf_centroids", "ann_ivf_topk",
+           "embedding_near_dup_pairs_lsh", "ivf_centroids",
+           "ivf_centroid_list", "ann_ivf_topk",
            "semantic_dedup_pairs"]
 
 
@@ -334,6 +335,19 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 8,
     lifetime (it is consumed ``2 * iters + 1`` times) and released
     before returning.
     """
+    return corpus.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in vec])
+         for c, vec in ivf_centroid_list(corpus, n_cells, iters)],
+        "cell bigint, cvec array<double>")
+
+
+def ivf_centroid_list(corpus: DataFrame, n_cells: int = 8,
+                      iters: int = 2) -> list[tuple[int, list[float]]]:
+    """:func:`ivf_centroids` as the raw driver-side list (k x dim — a
+    few KiB by construction).  Internal consumers take this form so the
+    downstream cell assignment can inline the centroids as plan
+    literals (map-only argmin, zero shuffle) instead of paying a
+    corpus x n_cells crossJoin + per-vector window sort."""
     from ab_metadata_pusher_spark.operators.clustering import (
         assign_clusters, seed_centroids, update_centroids,
     )
@@ -344,30 +358,48 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 8,
     corpus = corpus.persist()
     try:
         cents = seed_centroids(corpus, n_cells)
+        dim = len(cents[0][1]) if cents else None
         for _ in range(iters):
             assigned = assign_clusters(corpus, cents, keep_emb=True)
-            cents = update_centroids(corpus, assigned)
+            cents = update_centroids(corpus, assigned, dim=dim)
     finally:
         corpus.unpersist()
-    return corpus.sparkSession.createDataFrame(
-        [(int(c), [float(x) for x in vec]) for c, vec in sorted(cents)],
-        "cell bigint, cvec array<double>")
+    return sorted(cents)
 
 
-def _assign_cells(df: DataFrame, cents: DataFrame, id_col: str,
-                  emb_col: str, nprobe: int) -> DataFrame:
-    """Attach the ``nprobe`` nearest cells to each vector (broadcast the
-    centroid table — it is tiny by construction)."""
-    scored = (df.withColumn("_vnorm", l2_norm(F.col(emb_col)))
-              .crossJoin(F.broadcast(
-                  cents.withColumn("_cnorm", l2_norm(F.col("cvec")))))
-              .withColumn("_csim",
-                          cosine_prenorm(F.col(emb_col), F.col("cvec"),
-                                         F.col("_vnorm"), F.col("_cnorm"))))
-    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell"))
-    return (scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= nprobe)
-            .drop("_csim", "_r", "cvec", "_vnorm", "_cnorm"))
+def _assign_cells(df: DataFrame,
+                  cents: DataFrame | list[tuple[int, list[float]]],
+                  id_col: str, emb_col: str, nprobe: int) -> DataFrame:
+    """Attach the ``nprobe`` nearest cells to each vector — MAP-ONLY.
+
+    The centroid table is k x dim doubles (driver-sized by contract), so
+    it is inlined into the plan as an array-of-structs literal and each
+    row sorts its per-cell (-cosine, cell) structs and keeps the first
+    ``nprobe`` — no crossJoin row inflation, no per-vector window sort,
+    zero shuffle.  Tie-break matches the previous windowed form
+    (cosine DESC, then lower cell).  ``cents`` may be the
+    :func:`ivf_centroids` DataFrame (collected here — bounded) or the
+    :func:`ivf_centroid_list` list."""
+    if isinstance(cents, DataFrame):
+        rows = [(int(r["cell"]), [float(x) for x in r["cvec"]])
+                for r in cents.collect()]
+    else:
+        rows = [(int(c), [float(x) for x in vec]) for c, vec in cents]
+    # One SQL string parsed JVM-side (see clustering._centroid_literal:
+    # nested F.lit trees cost hundreds of py4j round trips); cell is
+    # BIGINT to match the historical ivf_centroids DataFrame schema.
+    lit = F.expr("array({})".format(", ".join(
+        "named_struct('cell', {c}L, 'cvec', array({vs}))".format(
+            c=c, vs=", ".join(f"{x!r}D" for x in vec))
+        for c, vec in sorted(rows))))
+    v, vnorm = F.col(emb_col), l2_norm(F.col(emb_col))
+    ranked = F.transform(lit, lambda c: F.struct(
+        (-cosine_prenorm(v, c["cvec"], vnorm, l2_norm(c["cvec"])))
+        .alias("_negcs"),
+        c["cell"].alias("cell")))
+    picked = F.slice(F.array_sort(ranked), 1, nprobe)
+    return (df.withColumn("cell",
+                          F.explode(F.transform(picked, lambda s: s["cell"]))))
 
 
 def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -382,7 +414,7 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     and the corpus side can be written bucketed by cell so the probe join
     is shuffle-free on re-use.  Output schema matches
     topk_cosine_bruteforce for direct recall measurement."""
-    cents = ivf_centroids(corpus, n_cells=n_cells, iters=iters)
+    cents = ivf_centroid_list(corpus, n_cells=n_cells, iters=iters)
     c = _assign_cells(
         corpus.select(F.col("vec_id").alias("neighbor_id"),
                       F.col("embedding").alias("c_emb"),
@@ -425,7 +457,7 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
     (vec_a < vec_b, shared cell, cosine) for pairs at or above
     ``threshold`` — survivor selection (keep min id per near-dup
     cluster) composes downstream exactly as for MinHash pairs."""
-    cents = ivf_centroids(corpus, n_cells=n_cells, iters=iters)
+    cents = ivf_centroid_list(corpus, n_cells=n_cells, iters=iters)
     assigned = _assign_cells(
         corpus.select("vec_id", "embedding"), cents,
         "vec_id", "embedding", nprobe=1)
