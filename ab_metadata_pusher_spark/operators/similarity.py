@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ab_metadata_pusher_spark.operators._shared import double_array_lit
+
 __all__ = ["dot", "l2_norm", "cosine", "cosine_prenorm",
            "topk_cosine_bruteforce",
            "hyperplanes", "ann_lsh_topk", "ann_lsh_knn_self",
@@ -111,10 +113,11 @@ def _bucket(emb: Column, planes: list[list[float]]) -> Column:
     """Signed-projection bucket id: bit p = (emb . plane_p) >= 0."""
     bits = []
     for p, plane in enumerate(planes):
+        # plane as ONE SQL-parsed literal (a per-element F.lit array is
+        # dim py4j round trips per plane — repr round-trips bit-exact)
+        plane_lit = double_array_lit(plane)
         proj = F.aggregate(
-            F.zip_with(_dbl(emb),
-                       F.array(*[F.lit(v) for v in plane]),
-                       lambda x, y: x * y),
+            F.zip_with(_dbl(emb), plane_lit, lambda x, y: x * y),
             F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     out = bits[0]
@@ -385,12 +388,12 @@ def _assign_cells(df: DataFrame,
                 for r in cents.collect()]
     else:
         rows = [(int(c), [float(x) for x in vec]) for c, vec in cents]
-    # One SQL string parsed JVM-side (see clustering._centroid_literal:
+    # One SQL string parsed JVM-side (see _shared.double_array_lit:
     # nested F.lit trees cost hundreds of py4j round trips); cell is
     # BIGINT to match the historical ivf_centroids DataFrame schema.
     lit = F.expr("array({})".format(", ".join(
         "named_struct('cell', {c}L, 'cvec', array({vs}))".format(
-            c=c, vs=", ".join(f"{x!r}D" for x in vec))
+            c=c, vs=", ".join(f"{float(x)!r}D" for x in vec))
         for c, vec in sorted(rows))))
     v, vnorm = F.col(emb_col), l2_norm(F.col(emb_col))
     ranked = F.transform(lit, lambda c: F.struct(

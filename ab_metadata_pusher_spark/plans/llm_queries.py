@@ -3813,7 +3813,8 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cvec = pts.filter(F.col("vec_id") == first).first().v
 
     def dist_to(center_vec):
-        arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        from ab_metadata_pusher_spark.operators._shared import double_array_lit
+        arr = double_array_lit(center_vec)
         return F.aggregate(
             F.zip_with("v", arr, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0), lambda acc, x: acc + x)
@@ -4155,11 +4156,11 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     bit-for-bit before the 6-dp round."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    from ab_metadata_pusher_spark.operators._shared import double_array_lit
     cols = []
     for i, row in enumerate(_rp_coefs()):
         dot = F.aggregate(
-            F.zip_with("emb", F.array(*[F.lit(c) for c in row]),
-                       lambda x, y: x * y),
+            F.zip_with("emb", double_array_lit(row), lambda x, y: x * y),
             F.lit(0.0), lambda acc, t: acc + t)
         cols.append(F.round(dot / F.lit(float(_RP_D) ** 0.5), 6)
                     .alias(f"p{i}"))
