@@ -3,20 +3,37 @@
 
 The interface mirrors JdbcCatalogSource so the §2.B pipeline is
 source-agnostic: ``catalog_query`` yields the same catalog_columns row
-shape (FIXTURES.md B1) from BigQuery's INFORMATION_SCHEMA, and
-``reader_options``/``load`` target the public Spark BigQuery connector
-(``spark.read.format("bigquery")``, spark-bigquery-connector).  The
-connector jar is not in this container, so ``load`` raises a clear error
-until one is on the classpath — the query/options surface is what's tested.
+shape (FIXTURES.md B1) from BigQuery's INFORMATION_SCHEMA.  Two read
+paths:
+
+* ``load`` targets the public Spark BigQuery connector
+  (``spark.read.format("bigquery")``, spark-bigquery-connector) — the
+  100 TB path: reads stream over the Storage Read API, already
+  partitioned.  The connector jar is not in this container, so ``load``
+  raises a clear error until one is on the classpath.
+* ``load_rest`` speaks the public BigQuery REST protocol directly
+  (``jobs.query`` + ``getQueryResults`` pagination, the documented v2
+  JSON wire shape) and lands the result as a driver-built DataFrame.
+  This is the CATALOG-SIZED fallback — same bounded-result contract as
+  the legacy catalog publish (plans/metadata_queries.py): catalog
+  introspection returns thousands of rows, not terabytes, and it is the
+  only query this source ever issues.  It runs end-to-end in this
+  sandbox against a local HTTP emulator (tests/test_sources.py), the
+  same live-protocol discipline as the Derby JDBC round trip and the
+  local SQS endpoint.
 """
 
 from __future__ import annotations
 
+import json
+import urllib.request
 from dataclasses import dataclass
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["BigQueryCatalogSource", "bigquery_catalog_sql"]
+__all__ = ["BigQueryCatalogSource", "bigquery_catalog_sql",
+           "bq_schema_to_spark", "bq_rows_to_python"]
 
 
 def bigquery_catalog_sql(project: str, dataset: str,
@@ -84,3 +101,138 @@ class BigQueryCatalogSource:
                 "spark-bigquery-connector not on the classpath; add "
                 "com.google.cloud.spark:spark-bigquery-with-dependencies "
                 "to spark.jars.packages") from exc
+
+    def load_rest(self, spark: SparkSession,
+                  endpoint: str = "https://bigquery.googleapis.com/bigquery/v2",
+                  token: str | None = None,
+                  max_results_per_page: int = 10_000,
+                  max_pages: int = 1_000) -> DataFrame:
+        """Run the catalog query over the public BigQuery REST protocol.
+
+        POST ``{endpoint}/projects/{project}/queries`` (jobs.query), then
+        page through ``getQueryResults`` on ``pageToken`` until the token
+        runs out; incomplete jobs (``jobComplete: false``) are re-polled
+        through the same GET.  The JSON wire shape (``schema.fields`` +
+        ``rows[].f[].v`` with stringified scalars) is decoded by
+        :func:`bq_schema_to_spark` / :func:`bq_rows_to_python`.
+
+        Driver-built result by design: this source issues exactly one
+        catalog-introspection query (bounded: rows = columns in the
+        dataset), the same bounded-collect contract as the legacy
+        catalog publish.  Corpus-scale table reads belong to ``load``
+        (Storage Read API — distributed, partitioned).
+        """
+        sql = bigquery_catalog_sql(self.project, self.dataset,
+                                   self.where_clause_suffix)
+        base = f"{endpoint.rstrip('/')}/projects/{self.project}/queries"
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+
+        def _call(url: str, payload: dict | None = None) -> dict:
+            data = json.dumps(payload).encode() if payload is not None else None
+            req = urllib.request.Request(url, data=data, headers=headers,
+                                         method="POST" if payload else "GET")
+            with urllib.request.urlopen(req) as resp:
+                return json.loads(resp.read())
+
+        page = _call(base, {"query": sql, "useLegacySql": False,
+                            "maxResults": max_results_per_page})
+        schema_json = None
+        raw_rows: list[dict] = []
+        for _ in range(max_pages):
+            if page.get("jobComplete", True):
+                if schema_json is None and "schema" in page:
+                    schema_json = page["schema"]
+                raw_rows.extend(page.get("rows", []))
+                tok = page.get("pageToken")
+                if not tok:
+                    break
+            else:
+                tok = None  # incomplete: re-poll the job, no token yet
+            job_id = page["jobReference"]["jobId"]
+            url = f"{base}/{job_id}?maxResults={max_results_per_page}"
+            if tok:
+                url += f"&pageToken={tok}"
+            page = _call(url)
+        else:
+            raise RuntimeError(
+                f"BigQuery pagination did not terminate in {max_pages} pages")
+        if schema_json is None:
+            raise RuntimeError("BigQuery response carried no schema")
+        spark_schema = bq_schema_to_spark(schema_json)
+        rows = bq_rows_to_python(raw_rows, schema_json)
+        return spark.createDataFrame(rows, spark_schema)
+
+
+#: BigQuery scalar type -> (Spark DDL type, string-wire decoder).
+#: REST scalars arrive as JSON strings (ints "1", bools "true",
+#: timestamps as epoch-seconds strings); TIMESTAMP decodes through
+#: datetime.utcfromtimestamp-equivalent arithmetic kept tz-naive so the
+#: column round-trips as TIMESTAMP_NTZ semantics under any session TZ.
+_BQ_SCALARS: dict[str, tuple[str, object]] = {
+    "STRING": ("string", lambda v: v),
+    "BYTES": ("binary", lambda v: __import__("base64").b64decode(v)),
+    "INTEGER": ("bigint", int),
+    "INT64": ("bigint", int),
+    "FLOAT": ("double", float),
+    "FLOAT64": ("double", float),
+    "BOOLEAN": ("boolean", lambda v: v in (True, "true", "TRUE")),
+    "BOOL": ("boolean", lambda v: v in (True, "true", "TRUE")),
+    "NUMERIC": ("decimal(38,9)", Decimal),
+    "BIGNUMERIC": ("decimal(38,9)", Decimal),
+    "DATE": ("date", lambda v: __import__("datetime").date.fromisoformat(v)),
+    # BQ TIMESTAMP is a UTC instant on the wire (epoch-seconds string);
+    # decode to naive-UTC + TIMESTAMP_NTZ so the stored value is
+    # identical under ANY session timezone (hostile-env discipline).
+    "TIMESTAMP": ("timestamp_ntz", lambda v: (
+        __import__("datetime").datetime(1970, 1, 1)
+        + __import__("datetime").timedelta(seconds=float(v)))),
+    # DATETIME is civil time (ISO string, no zone) — naturally NTZ.
+    "DATETIME": ("timestamp_ntz", lambda v: (
+        __import__("datetime").datetime.fromisoformat(v))),
+}
+
+
+def _bq_field_ddl(f: dict) -> str:
+    t = f.get("type", "STRING").upper()
+    if t in ("RECORD", "STRUCT"):
+        inner = ", ".join(
+            f"`{sf['name']}`: {_bq_field_ddl(sf)}"
+            for sf in f.get("fields", []))
+        ddl = f"struct<{inner}>"
+    else:
+        ddl = _BQ_SCALARS.get(t, ("string", str))[0]
+    if f.get("mode", "NULLABLE").upper() == "REPEATED":
+        ddl = f"array<{ddl}>"
+    return ddl
+
+
+def bq_schema_to_spark(schema_json: dict) -> str:
+    """BigQuery ``schema.fields`` JSON -> Spark DDL schema string
+    (scalars, RECORD structs, REPEATED arrays)."""
+    return ", ".join(f"`{f['name']}` {_bq_field_ddl(f)}"
+                     for f in schema_json.get("fields", []))
+
+
+def _decode_value(v, f: dict):
+    if v is None:
+        return None
+    mode = f.get("mode", "NULLABLE").upper()
+    if mode == "REPEATED":
+        elem = dict(f, mode="NULLABLE")
+        return [_decode_value(x.get("v"), elem) for x in v]
+    t = f.get("type", "STRING").upper()
+    if t in ("RECORD", "STRUCT"):
+        return tuple(_decode_value(cell.get("v"), sf)
+                     for cell, sf in zip(v["f"], f.get("fields", [])))
+    return _BQ_SCALARS.get(t, ("string", str))[1](v)
+
+
+def bq_rows_to_python(rows: list[dict], schema_json: dict) -> list[tuple]:
+    """BigQuery ``rows[].f[].v`` JSON -> Python row tuples matching
+    :func:`bq_schema_to_spark`'s column order."""
+    fields = schema_json.get("fields", [])
+    return [tuple(_decode_value(cell.get("v"), f)
+                  for cell, f in zip(r.get("f", []), fields))
+            for r in rows]

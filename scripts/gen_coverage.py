@@ -40,8 +40,9 @@ STATIC = [
     ("A6", "CSV -> records with empty-string-not-null semantics",
      "sinks/staging.py legacy CSV mode (emptyValue '')",
      "tests/test_sinks.py test_staging_legacy_csv_contract"),
-    ("A7", "BigQuery source (reference roadmap)",
-     "sources/bigquery.py BigQueryCatalogSource", "tests/test_sources.py"),
+    ("A7", "BigQuery source (reference roadmap; REST jobs.query live in-sandbox)",
+     "sources/bigquery.py BigQueryCatalogSource.load_rest",
+     "tests/test_sources.py test_bigquery_rest_round_trip_live_http"),
     ("A8", "Envelope read-back as a Python Data Source (partition/file)",
      "sources/envelope_source.py EnvelopeDataSource",
      "tests/test_sources.py test_envelope_datasource_roundtrip"),
