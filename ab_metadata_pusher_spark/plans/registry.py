@@ -86,85 +86,83 @@ def _load_all() -> None:
 #: in r7 (SCALE.md): every queued name passes driver_sim --strict-types
 #: AND has a flat atomic output schema, so rotation stays mechanical.
 DRIVER_PREFIX: tuple[str, ...] = (
-    # --- sentinel core (driver-green r2-r6, one per family) ---
-    "metadata_catalog_columns", "metadata_tables",
-    "metadata_nodes", "metadata_relations", "metadata_profile_columns",
-    "agg_pricing_summary", "join_multiway_revenue", "window_topk_per_group",
-    "setop_union_distinct", "rollup_time_buckets", "sessionize_events",
-    "cdc_scd2_intervals", "stream_tumbling_counts", "dedup_minhash_lsh",
-    "similarity_ann_lsh",
-    # --- rotation (r7): agg long tail ---
-    "agg_weighted_avg", "agg_histogram_equi_depth", "agg_histogram",
-    "agg_string_concat", "agg_having_in",
-    # --- rotation (r7): extended joins ---
-    "join_range_binned", "join_disjunctive_pred", "join_asof_cogrouped",
-    # --- rotation (r7): set ops + pivot ---
-    "setop_union_evolve", "setop_symmetric_diff", "pivot_multi_agg",
-    # --- rotation (r7): CDC + sessionize + rollup ---
-    "cdc_latest_snapshot", "cdc_join_view_delta",
-    "sessionize_builtin_window", "rollup_ohlc", "rollup_incremental_merge",
-    # --- rotation (r7): event funnels + layout ---
-    "funnel_steps", "cohort_retention", "layout_zorder_stats",
-    # --- rotation (r7): ingest formats + corpus pipeline ---
-    "csv_corpus_ingest", "xml_corpus_ingest", "warc_corpus_ingest",
-    "orc_corpus_ingest", "corpus_snapshot_diff", "corpus_build_pipeline",
-    "corpus_token_budget",
-    # --- rotation (r7): multimodal ---
-    "multimodal_audio_fingerprint", "multimodal_decode_video",
-    # --- re-proof slots (r7): the r5/r6 repairs, driver-scored again ---
-    "dedup_edit_distance", "graph_label_propagation",
-    "sink_envelope_chunking", "similarity_ann_ivf",
-    "graph_link_prediction_capped", "agg_countmin_sketch",
+    # --- sentinel core (driver-green r2-r7, one per family) ---
+    "metadata_catalog_columns", "metadata_tables", "metadata_nodes",
+    "metadata_relations", "metadata_profile_columns", "agg_pricing_summary",
+    "join_multiway_revenue", "window_topk_per_group", "setop_union_distinct",
+    "rollup_time_buckets", "sessionize_events", "cdc_scd2_intervals",
+    "stream_tumbling_counts", "dedup_minhash_lsh", "similarity_ann_lsh",
+    # --- re-proof slots (r8): this round touched the whole
+    # --- centroid/LSH literal path (map-only IVF assign, single-shuffle
+    # --- Lloyd update, SQL-parsed double literals) — re-prove each
+    # --- consumer at driver conditions ---
+    "similarity_ann_ivf", "dedup_semantic", "embedding_kmeans",
+    "similarity_pq", "sample_kcenter", "embedding_random_projection",
     "quality_label_consistency_ann",
-    # --- beyond the driver's 50-row window: the r6 cohort (driver-green
-    # --- in CORRECTNESS_r06.json, kept deterministic) ---
-    "stream_countmin_cells",
-    "metadata_fk_inference", "join_geo_proximity", "metadata_masked_view",
+    # --- freshness rotation (r8): every oracle-backed query has driver
+    # --- evidence since r7, so rotation now REFRESHES the oldest rows:
+    # --- the 20 queries whose latest driver row is round 1 ... ---
+    "metadata_graph_degree", "metadata_graph_two_hop",
+    "metadata_graph_closure", "agg_cube", "agg_count_distinct", "agg_max_by",
+    "window_running_total", "topk_global", "distinct_pairs", "setop_except",
+    "join_full_outer_nations", "join_cross_regions", "agg_statistics",
+    "setop_intersect_all", "setop_except_all", "agg_bool_bitwise",
+    "join_lateral_topk", "join_null_safe", "agg_regression", "agg_mode",
+    # --- ... and the 8 oldest of the round-2 cohort ---
+    "metadata_tables_filtered", "metadata_graph_components",
+    "metadata_snapshot_diff", "metadata_graph_pagerank", "agg_rollup",
+    "agg_grouping_sets", "join_left_outer_orders", "join_semi",
+    # --- beyond the driver's 50-row window (ordering only): recent
+    # --- cohorts first, all still verified every run by
+    # --- tests/test_oracle_parity.py ---
+    "agg_weighted_avg", "agg_histogram_equi_depth", "agg_histogram",
+    "agg_string_concat", "agg_having_in", "join_range_binned",
+    "join_disjunctive_pred", "join_asof_cogrouped", "setop_union_evolve",
+    "setop_symmetric_diff", "pivot_multi_agg", "cdc_latest_snapshot",
+    "cdc_join_view_delta", "sessionize_builtin_window", "rollup_ohlc",
+    "rollup_incremental_merge", "funnel_steps", "cohort_retention",
+    "layout_zorder_stats", "csv_corpus_ingest", "xml_corpus_ingest",
+    "warc_corpus_ingest", "orc_corpus_ingest", "corpus_snapshot_diff",
+    "corpus_build_pipeline", "corpus_token_budget",
+    "multimodal_audio_fingerprint", "multimodal_decode_video",
+    "dedup_edit_distance", "graph_label_propagation",
+    "sink_envelope_chunking", "graph_link_prediction_capped",
+    "agg_countmin_sketch", "stream_countmin_cells", "metadata_fk_inference",
+    "join_geo_proximity", "metadata_masked_view",
     "timeseries_seasonal_decompose", "timeseries_anomaly_zscore",
     "timeseries_downsample_lttb", "timeseries_interpolate",
     "join_asof_tolerance", "join_temporal_dim", "join_interval_overlap",
     "dedup_suffix_prefix", "dedup_url_canonical", "dedup_chunks",
-    "dedup_keep_best", "dedup_minhash_verified",
-    "dedup_incremental", "dedup_paragraph_rewrite",
-    "quality_ppl_buckets", "embedding_kmeans",
-    "embedding_random_projection", "similarity_pq",
-    "window_gap_islands", "window_ema_bounded", "window_ignore_nulls",
-    "window_moving_median", "window_distribution_funcs",
-    "window_running_distinct", "window_range_1h",
-    "subquery_not_in", "subquery_correlated_exists",
-    "subquery_correlated_scalar", "agg_filtered",
-    # --- then the r5 cohort (driver-green in CORRECTNESS_r05.json) ---
-    "text_repetition", "text_pii_redact", "text_html_strip",
-    "text_unicode_nfc", "text_bpe_pair_counts", "text_bpe_apply",
-    "text_bigrams", "text_lm_score", "text_vocab", "text_char_entropy",
+    "dedup_keep_best", "dedup_minhash_verified", "dedup_incremental",
+    "dedup_paragraph_rewrite", "quality_ppl_buckets", "window_gap_islands",
+    "window_ema_bounded", "window_ignore_nulls", "window_moving_median",
+    "window_distribution_funcs", "window_running_distinct",
+    "window_range_1h", "subquery_not_in", "subquery_correlated_exists",
+    "subquery_correlated_scalar", "agg_filtered", "text_repetition",
+    "text_pii_redact", "text_html_strip", "text_unicode_nfc",
+    "text_bpe_pair_counts", "text_bpe_apply", "text_bigrams",
+    "text_lm_score", "text_vocab", "text_char_entropy",
     "text_inverted_index", "text_quality_classifier", "text_ngram_novelty",
-    "text_boilerplate_lines",
-    "sample_global_shuffle", "sample_stratified", "sample_domain_mixture",
-    "sample_length_curriculum", "sample_temperature", "sample_weighted",
-    "sample_epoch_mixture", "sample_kcenter",
-    "dedup_containment", "dedup_semantic", "dedup_incremental_minhash",
-    "dedup_bloom_incremental",
-    "quality_expectations", "quality_fk_violations",
-    "quality_adaptive_threshold", "quality_quantile_normalize",
-    "quality_mixture_kl",
-    "similarity_ann_recall", "similarity_ivf_recall",
-    # --- then the r4 cohort (driver-green in CORRECTNESS_r04.json) ---
-    "scalar_regexp_funcs",
+    "text_boilerplate_lines", "sample_global_shuffle", "sample_stratified",
+    "sample_domain_mixture", "sample_length_curriculum",
+    "sample_temperature", "sample_weighted", "sample_epoch_mixture",
+    "dedup_containment", "dedup_incremental_minhash",
+    "dedup_bloom_incremental", "quality_expectations",
+    "quality_fk_violations", "quality_adaptive_threshold",
+    "quality_quantile_normalize", "quality_mixture_kl",
+    "similarity_ann_recall", "similarity_ivf_recall", "scalar_regexp_funcs",
     "agg_approx_count_distinct", "agg_hll_sketch_union",
     "embedding_pca_variance", "multimodal_phash_pairs",
-    "quality_label_consistency_recall",
-    "graph_kcore", "graph_link_prediction",
-    "graph_bfs_distance", "entity_resolution_customers",
-    "analytics_ks_drift", "analytics_chi_square",
-    "analytics_ols_normal_equations", "analytics_skyline_2d",
-    "analytics_winsorize", "analytics_outliers_mad",
-    "analytics_join_size_estimate",
-    "events_markov_transitions", "events_rfm_segments",
-    "events_trigram_paths", "orders_basket_lift",
+    "quality_label_consistency_recall", "graph_kcore",
+    "graph_link_prediction", "graph_bfs_distance",
+    "entity_resolution_customers", "analytics_ks_drift",
+    "analytics_chi_square", "analytics_ols_normal_equations",
+    "analytics_skyline_2d", "analytics_winsorize", "analytics_outliers_mad",
+    "analytics_join_size_estimate", "events_markov_transitions",
+    "events_rfm_segments", "events_trigram_paths", "orders_basket_lift",
     "dedup_ppjoin", "dedup_weighted_minhash", "dedup_simhash_pairs",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "text_tfidf_top_terms", "text_bm25", "text_token_counts",
-    "text_bigram_lm", "text_bpe_train",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "text_tfidf_top_terms",
+    "text_bm25", "text_token_counts", "text_bigram_lm", "text_bpe_train",
     "sample_dsir", "embedding_covariance",
 )
 

@@ -32,16 +32,16 @@ from ab_metadata_pusher_spark.plans.registry import (  # noqa: E402
 #: be a first-time-scored query.
 SENTINELS = set(DRIVER_PREFIX[:15])
 
-#: Deliberate re-proof slots (round 7): the never-scored pool shrank to
-#: 28 < 35 rotation slots, so the remainder re-scores the r5/r6 repairs
-#: at driver conditions.  Not "wasted" — each re-proves a specific fix
-#: (PassJoin edit-distance, exchange-free LPA, UTF-8 envelope chunking,
-#: the keep_emb Lloyd path, capped link prediction, Count-Min, the ANN
-#: label screen).
+#: Deliberate re-proof slots (round 8): the registry cleared in r7
+#: (every oracle-backed query has a driver row), so the prefix policy
+#: is now re-proof + freshness.  These seven re-prove the r8
+#: centroid/LSH literal rebuild (map-only IVF assign, single-shuffle
+#: Lloyd update, SQL-parsed double-array literals) on every consumer;
+#: the 28 freshness slots refresh the oldest driver evidence (r1, then
+#: the oldest of r2).
 REPROOF = {
-    "dedup_edit_distance", "graph_label_propagation",
-    "sink_envelope_chunking", "similarity_ann_ivf",
-    "graph_link_prediction_capped", "agg_countmin_sketch",
+    "similarity_ann_ivf", "dedup_semantic", "embedding_kmeans",
+    "similarity_pq", "sample_kcenter", "embedding_random_projection",
     "quality_label_consistency_ann",
 }
 
@@ -67,23 +67,64 @@ def main() -> int:
                            ("rows_match", "schema_match", "hash_match")):
                         scored.setdefault(name, path.name)
 
+    latest: dict[str, int] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rec = json.loads(path.read_text())
+        except Exception:  # noqa: BLE001
+            continue
+        rnd = int("".join(ch for ch in path.stem if ch.isdigit()) or 0)
+        if isinstance(rec, dict):
+            for name in rec:
+                latest[name] = max(latest.get(name, 0), rnd)
+
     oracle_backed = [n for n, s in REGISTRY.items() if s.oracle]
     pool = [n for n in oracle_backed if n not in scored]
-    wasted = [n for n in DRIVER_PREFIX[:SCORED_WINDOW]
-              if n in scored and n not in SENTINELS and n not in REPROOF]
 
     print(f"registered={len(REGISTRY)} oracle_backed={len(oracle_backed)} "
           f"driver_green_ever={len(scored)}")
     print(f"rotation pool (oracle-backed, never driver-scored): {len(pool)}")
     for n in pool:
         print(f"  {n}")
-    if wasted:
-        print(f"prefix slots re-scoring non-sentinel already-green queries "
-              f"({len(wasted)} — rotate these next round):")
-        for n in wasted:
-            print(f"  {n}")
+
+    if pool:
+        # Never-scored queries exist: any prefix slot re-scoring an
+        # already-green non-sentinel is a wasted slot.
+        wasted = [n for n in DRIVER_PREFIX[:SCORED_WINDOW]
+                  if n in scored and n not in SENTINELS and n not in REPROOF]
+        if wasted:
+            print(f"prefix slots re-scoring non-sentinel already-green "
+                  f"queries ({len(wasted)} — rotate these next round):")
+            for n in wasted:
+                print(f"  {n}")
+        else:
+            print("prefix wastes no slots (every non-sentinel is "
+                  "first-time).")
+        return 0
+
+    # Registry cleared (r7): the policy becomes re-proof + FRESHNESS —
+    # rotation slots should hold the queries whose latest driver row is
+    # oldest.  A slot is stale only if some unscheduled query has
+    # strictly older evidence than the newest evidence inside the
+    # window's freshness slots.
+    window = [n for n in DRIVER_PREFIX[:SCORED_WINDOW]
+              if n not in SENTINELS and n not in REPROOF]
+    outside = [n for n in oracle_backed
+               if n not in DRIVER_PREFIX[:SCORED_WINDOW]]
+    newest_in = max((latest.get(n, 0) for n in window), default=0)
+    older_out = sorted(n for n in outside
+                       if latest.get(n, 99) < newest_in)
+    print(f"freshness window: {len(window)} rotation slots, latest "
+          f"evidence rounds "
+          f"{sorted({latest.get(n, 0) for n in window})}")
+    if older_out:
+        print(f"STALE: {len(older_out)} unscheduled queries have older "
+              f"evidence than a scheduled freshness slot:")
+        for n in older_out:
+            print(f"  {n} (r{latest.get(n)})")
     else:
-        print("prefix wastes no slots (every non-sentinel is first-time).")
+        print("freshness optimal: no unscheduled query has older evidence "
+              "than any scheduled freshness slot.")
     return 0
 
 
