@@ -135,6 +135,10 @@ REGISTRY_BENCH = [
     "events_trigram_paths",
     "events_rfm_segments",
     "orders_basket_lift",
+    # round-9: the scale-safe capped link prediction leaves the scored
+    # window under the freshness rotation — the bench gate becomes its
+    # standing perf watchdog (tests/test_registry.py pins this).
+    "graph_link_prediction_capped",
 ]
 
 

@@ -125,7 +125,22 @@ def main() -> int:
     else:
         print("freshness optimal: no unscheduled query has older evidence "
               "than any scheduled freshness slot.")
-    return 0
+    return _run_registry_tests()
+
+
+def _run_registry_tests() -> int:
+    """Any prefix edit must keep the registry invariants green — the r8
+    rotation shipped with tests/test_registry.py red because this step
+    was a checklist item instead of code (r8 VERDICT ask #1).  Planning
+    a rotation and verifying it are now the same command."""
+    import subprocess
+    print("\nrunning pytest tests/test_registry.py (rotation invariants)…")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_registry.py", "-q",
+         "--no-header", "-x"], cwd=REPO)
+    if proc.returncode != 0:
+        print("REGISTRY TESTS RED — fix before committing the rotation.")
+    return proc.returncode
 
 
 if __name__ == "__main__":

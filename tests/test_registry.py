@@ -144,11 +144,31 @@ def test_scored_window_excludes_bench_excluded_heavy_forms():
     unacceptable in a scored slot at large SF (r6 VERDICT): the uncapped
     exact link prediction (~30-48s at sf0.1, wedge-bounded) and the
     6-pass BPE training loop.  Keep them registered, keep them OUT of
-    the scored window."""
-    from ab_metadata_pusher_spark.plans.registry import DRIVER_PREFIX
+    the scored window.
 
+    Policy decided in r9 (the r8 rotation broke the old form of this
+    guard): under the freshness-rotation prefix policy the CAPPED
+    counterpart is NOT pinned inside the 50-row window — its driver
+    evidence is cumulative like every other query's.  The safety
+    property the guard actually protects is (a) neither heavy form can
+    ever be scored, and (b) the scale-safe capped form stays
+    registered, oracle-backed, IN the prefix ordering, and bench-timed
+    (so a perf regression on it is still caught every round even when
+    it is not in the scored window)."""
+    import bench
+    from ab_metadata_pusher_spark.plans.registry import (
+        DRIVER_PREFIX, REGISTRY, _load_all)
+
+    _load_all()
     window = set(DRIVER_PREFIX[:50])
     assert "graph_link_prediction" not in window
     assert "text_bpe_train" not in window
-    # their scale-safe scored counterparts ARE in the prefix order
-    assert "graph_link_prediction_capped" in window
+    # the scale-safe counterpart: registered, oracle-backed, ordered,
+    # and covered by the bench's per-query regression gate
+    capped = "graph_link_prediction_capped"
+    assert capped in DRIVER_PREFIX
+    assert REGISTRY[capped].oracle is not None
+    assert capped in bench.REGISTRY_BENCH
+    # the heavy forms must never sneak into the bench either
+    assert "graph_link_prediction" not in bench.REGISTRY_BENCH
+    assert "text_bpe_train" not in bench.REGISTRY_BENCH
