@@ -153,17 +153,37 @@ def release_materialized(spark=None) -> int:
     return released
 
 
+def double_sql(v) -> str:
+    """One double as a Spark-SQL-parseable literal fragment.
+
+    ``repr(float)`` is the shortest round-trip decimal form and
+    ``Double.parseDouble`` recovers the identical IEEE-754 bits, so the
+    parsed literal is bit-exact with ``F.lit(v)``.  Non-finite values
+    have no ``...D`` spelling (``nanD``/``infD`` are parse errors — r8
+    ADVICE): emit the documented CAST forms instead."""
+    f = float(v)
+    if f != f:
+        return "CAST('NaN' AS DOUBLE)"
+    if f == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if f == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{f!r}D"
+
+
 def double_array_lit(values) -> "Column":
     """A literal ``array<double>`` column parsed from ONE SQL string.
 
     Building the same literal as ``F.array(*[F.lit(v) ...])`` costs one
     py4j round trip per element — measured ~0.5s of pure driver time for
-    an 8x64 centroid table before any job runs.  ``repr(float)`` is the
-    shortest round-trip decimal form and ``Double.parseDouble`` recovers
-    the identical IEEE-754 bits, so the plan literal is bit-exact with
-    the per-element form.
+    an 8x64 centroid table before any job runs.  Element rendering is
+    :func:`double_sql` (bit-exact, non-finite-safe); an EMPTY input is
+    cast explicitly because a bare ``array()`` literal types as
+    ``array<string>`` and breaks downstream double arithmetic.
     """
     from pyspark.sql import functions as F
 
-    return F.expr("array({})".format(
-        ", ".join(f"{float(v)!r}D" for v in values)))
+    vals = list(values)
+    if not vals:
+        return F.expr("CAST(array() AS array<double>)")
+    return F.expr("array({})".format(", ".join(map(double_sql, vals))))

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ab_metadata_pusher_spark.operators._shared import double_sql
 from ab_metadata_pusher_spark.operators.similarity import _dbl
 
 __all__ = ["seed_centroids", "assign_clusters", "update_centroids",
@@ -42,11 +43,12 @@ def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
     # One SQL string parsed JVM-side: building k x dim nested F.lit/
     # F.struct trees costs hundreds of py4j round trips PER literal
     # (measured ~0.5s of pure driver time at 8x64 before any job runs).
-    # repr(float) is the shortest round-trip form and Double.parseDouble
-    # recovers the identical bits, so the plan literal is bit-exact.
+    # Element rendering is _shared.double_sql: bit-exact with F.lit and
+    # safe for non-finite values (a NaN centroid coordinate — possible
+    # from a degenerate input — must not become an unparseable 'nanD').
     parts = ", ".join(
         "named_struct('cluster', {c}, 'cvec', array({vs}))".format(
-            c=int(c), vs=", ".join(f"{float(x)!r}D" for x in vec))
+            c=int(c), vs=", ".join(map(double_sql, vec)))
         for c, vec in centroids)
     return F.expr(f"array({parts})")
 
@@ -91,17 +93,33 @@ def assign_clusters(corpus: DataFrame,
 def update_centroids(corpus: DataFrame, assigned: DataFrame,
                      id_col: str = "vec_id",
                      emb_col: str = "embedding",
-                     dim: int | None = None) -> list[tuple[int, list[float]]]:
-    """Lloyd update: per-cluster element-wise mean as ONE cluster-keyed
-    shuffle of ``dim`` per-dimension ``sum`` columns plus a count — all
-    map-side combinable, k x (dim+1) scalars on the wire, and crucially
-    NO row inflation: the earlier posexplode formulation materialized
-    corpus x dim rows and paid a second cluster-keyed shuffle to
-    re-assemble the vector.  The k x dim result is driver-sized by
-    construction.  (Trade-off: very wide embeddings — thousands of
-    dims — generate one aggregate expression per dimension; past
-    codegen's ~hundreds-of-expressions comfort zone the exploded
-    (cluster, pos) shuffle becomes the better shape again.)
+                     dim: int | None = None,
+                     shape: str = "auto") -> list[tuple[int, list[float]]]:
+    """Lloyd update: per-cluster element-wise mean.  Two physical
+    shapes, selected by ``shape`` (``auto``/``exploded``/``wide``):
+
+    * **exploded** (the ``auto`` choice): posexplode to (cluster, pos,
+      val) and aggregate per (cluster, pos).  The map side inflates to
+      corpus x dim internal rows, but partial aggregation combines them
+      to partitions x k x dim scalars BEFORE the exchange, and the
+      generated code is constant-size regardless of width.
+    * **wide**: one cluster-keyed aggregate with ``dim`` per-dimension
+      ``avg`` columns — no row inflation, but one aggregate expression
+      per dimension, which exits whole-stage codegen past
+      ``spark.sql.codegen.maxFields`` (default 100) into interpreted
+      per-expression eval, and pays superlinear plan/compile time.
+
+    Measured (scripts/lloyd_dim_probe.py, r9, local[32], min-of-reps
+    warm): exploded wins at EVERY probed point — dim 8-2048 x rows
+    20k-2M — e.g. dim 64/2M rows 0.57s vs 1.33s, dim 256/2M rows 3.45s
+    vs 5.38s (wide cold 37s), dim 2048/20k rows 0.72s vs 20.5s.  The r8
+    rebuild that made wide the only shape was a measured pessimization
+    on the fixture's dim-64 corpus (0.27s vs 1.30s per update at
+    sf0.1) and is the likely real component of the r8 driver-record
+    slowdown on embedding_kmeans/dedup_semantic.  Both shapes exchange
+    the same k x dim partials, so the 100 TB story is unchanged;
+    ``wide`` stays available for narrow-dim callers that want zero row
+    inflation and accept the codegen-fields bound.
 
     When ``assigned`` already carries ``emb_col`` (assign_clusters with
     ``keep_emb=True`` — assignment is a map-only projection OF the
@@ -109,21 +127,48 @@ def update_centroids(corpus: DataFrame, assigned: DataFrame,
     skipped; the joined fallback stays for callers holding a bare
     (id, cluster) frame.  ``dim`` callers that know the width (every
     trainer does, from its seed centroids) should pass it; otherwise a
-    single bounded first() infers it."""
+    single bounded first() infers it.
+
+    Null handling (r8 ADVICE): rows with a NULL embedding are filtered
+    before the groupBy, and each dimension aggregates with ``avg`` —
+    rows carrying a NULL *element* at dim i drop out of dim i's mean
+    only.  A cluster whose every row is NULL at some dimension has no
+    defined mean there and is dropped from the returned list (its
+    members re-assign to surviving centroids next pass) instead of
+    raising ``float(None)``."""
     if emb_col in assigned.columns:
         joined = assigned
     else:
         joined = corpus.join(assigned.select(id_col, "cluster"), id_col)
+    joined = joined.filter(F.col(emb_col).isNotNull())
     if dim is None:
         dim = len(joined.select(emb_col).first()[0])
-    sums = joined.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[F.sum(F.col(emb_col)[i].cast("double")).alias(f"_s{i}")
-          for i in range(dim)])
-    rows = sums.collect()
-    return [(int(r["cluster"]), [float(r[f"_s{i}"]) / r["_n"]
-                                 for i in range(dim)])
-            for r in rows]
+    if shape not in ("auto", "exploded", "wide"):
+        raise ValueError(f"unknown Lloyd update shape: {shape!r}")
+    if shape == "wide":
+        means = joined.groupBy("cluster").agg(
+            *[F.avg(F.col(emb_col)[i].cast("double")).alias(f"_s{i}")
+              for i in range(dim)])
+        return [(int(r["cluster"]),
+                 [float(r[f"_s{i}"]) for i in range(dim)])
+                for r in means.collect()
+                if all(r[f"_s{i}"] is not None for i in range(dim))]
+    per_pos = (joined
+               .select("cluster", F.posexplode(F.col(emb_col))
+                       .alias("_pos", "_val"))
+               .groupBy("cluster", "_pos")
+               .agg(F.avg(F.col("_val").cast("double")).alias("_m"))
+               .collect())
+    by_cluster: dict[int, dict[int, float | None]] = {}
+    for r in per_pos:
+        by_cluster.setdefault(int(r["cluster"]), {})[int(r["_pos"])] = (
+            None if r["_m"] is None else float(r["_m"]))
+    out = []
+    for c, pos_map in sorted(by_cluster.items()):
+        vec = [pos_map.get(i) for i in range(dim)]
+        if all(v is not None for v in vec):
+            out.append((c, vec))
+    return out
 
 
 def kmeans_fit_assign(corpus: DataFrame, k: int = 8, iters: int = 1,

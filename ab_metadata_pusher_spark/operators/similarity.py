@@ -24,7 +24,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from ab_metadata_pusher_spark.operators._shared import double_array_lit
+from ab_metadata_pusher_spark.operators._shared import (
+    double_array_lit, double_sql,
+)
 
 __all__ = ["dot", "l2_norm", "cosine", "cosine_prenorm",
            "topk_cosine_bruteforce",
@@ -382,22 +384,48 @@ def _assign_cells(df: DataFrame,
     zero shuffle.  Tie-break matches the previous windowed form
     (cosine DESC, then lower cell).  ``cents`` may be the
     :func:`ivf_centroids` DataFrame (collected here — bounded) or the
-    :func:`ivf_centroid_list` list."""
+    :func:`ivf_centroid_list` list.
+
+    Each centroid's norm is computed ONCE driver-side (the identical
+    left fold as :func:`l2_norm`, so the double bits match) and inlined
+    into the struct literal — the previous form re-folded
+    ``l2_norm(cvec)`` per cell per ROW, O(k x dim) wasted adds per
+    vector (r8 ADVICE).  Degenerate similarities (zero-norm vector or
+    centroid) are normalized explicitly: the division is GUARDED (under
+    Spark 4 ANSI mode 0/0 raises DIVIDE_BY_ZERO, it does not NaN) and
+    the sort key pinned to +inf so such cells rank LAST
+    deterministically — zero similarity evidence never wins a probe
+    slot; ``nanvl`` catches any residual non-finite cosine the same
+    way.  (The pre-r8 windowed form ranked NaN FIRST, an accident of
+    double DESC ordering; fixture corpora and learned k-means centroids
+    have no zero-norm vectors, so the green oracles see no
+    difference.)"""
     if isinstance(cents, DataFrame):
         rows = [(int(r["cell"]), [float(x) for x in r["cvec"]])
                 for r in cents.collect()]
     else:
         rows = [(int(c), [float(x) for x in vec]) for c, vec in cents]
+
+    def _norm(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:  # same left fold as l2_norm => identical bits
+            acc = acc + x * x
+        return acc ** 0.5
+
     # One SQL string parsed JVM-side (see _shared.double_array_lit:
     # nested F.lit trees cost hundreds of py4j round trips); cell is
     # BIGINT to match the historical ivf_centroids DataFrame schema.
     lit = F.expr("array({})".format(", ".join(
-        "named_struct('cell', {c}L, 'cvec', array({vs}))".format(
-            c=c, vs=", ".join(f"{float(x)!r}D" for x in vec))
+        "named_struct('cell', {c}L, 'cvec', array({vs}), 'cnorm', {n})"
+        .format(c=c, vs=", ".join(map(double_sql, vec)),
+                n=double_sql(_norm(vec)))
         for c, vec in sorted(rows))))
     v, vnorm = F.col(emb_col), l2_norm(F.col(emb_col))
+    inf = F.lit(float("inf"))
     ranked = F.transform(lit, lambda c: F.struct(
-        (-cosine_prenorm(v, c["cvec"], vnorm, l2_norm(c["cvec"])))
+        F.when(vnorm * c["cnorm"] == 0.0, inf)
+        .otherwise(F.nanvl(
+            -cosine_prenorm(v, c["cvec"], vnorm, c["cnorm"]), inf))
         .alias("_negcs"),
         c["cell"].alias("cell")))
     picked = F.slice(F.array_sort(ranked), 1, nprobe)

@@ -26,6 +26,7 @@ paths:
 from __future__ import annotations
 
 import json
+import time
 import urllib.request
 from dataclasses import dataclass
 from decimal import Decimal
@@ -106,7 +107,9 @@ class BigQueryCatalogSource:
                   endpoint: str = "https://bigquery.googleapis.com/bigquery/v2",
                   token: str | None = None,
                   max_results_per_page: int = 10_000,
-                  max_pages: int = 1_000) -> DataFrame:
+                  max_pages: int = 1_000,
+                  http_timeout_sec: float = 60.0,
+                  poll_backoff_sec: float = 0.5) -> DataFrame:
         """Run the catalog query over the public BigQuery REST protocol.
 
         POST ``{endpoint}/projects/{project}/queries`` (jobs.query), then
@@ -121,6 +124,14 @@ class BigQueryCatalogSource:
         dataset), the same bounded-collect contract as the legacy
         catalog publish.  Corpus-scale table reads belong to ``load``
         (Storage Read API — distributed, partitioned).
+
+        Robustness (r8 ADVICE): every HTTP call carries
+        ``http_timeout_sec`` (a stalled endpoint raises instead of
+        hanging the driver), and ``jobComplete: false`` re-polls sleep
+        ``poll_backoff_sec`` with x2 exponential growth capped at 8s
+        (jobs.query's own ``timeoutMs`` long-poll makes the first
+        response usually complete; the backoff bounds the spin when it
+        is not).
         """
         sql = bigquery_catalog_sql(self.project, self.dataset,
                                    self.where_clause_suffix)
@@ -133,13 +144,15 @@ class BigQueryCatalogSource:
             data = json.dumps(payload).encode() if payload is not None else None
             req = urllib.request.Request(url, data=data, headers=headers,
                                          method="POST" if payload else "GET")
-            with urllib.request.urlopen(req) as resp:
+            with urllib.request.urlopen(req,
+                                        timeout=http_timeout_sec) as resp:
                 return json.loads(resp.read())
 
         page = _call(base, {"query": sql, "useLegacySql": False,
                             "maxResults": max_results_per_page})
         schema_json = None
         raw_rows: list[dict] = []
+        backoff = poll_backoff_sec
         for _ in range(max_pages):
             if page.get("jobComplete", True):
                 if schema_json is None and "schema" in page:
@@ -150,6 +163,8 @@ class BigQueryCatalogSource:
                     break
             else:
                 tok = None  # incomplete: re-poll the job, no token yet
+                time.sleep(backoff)
+                backoff = min(backoff * 2, 8.0)
             job_id = page["jobReference"]["jobId"]
             url = f"{base}/{job_id}?maxResults={max_results_per_page}"
             if tok:
@@ -180,7 +195,11 @@ _BQ_SCALARS: dict[str, tuple[str, object]] = {
     "BOOLEAN": ("boolean", lambda v: v in (True, "true", "TRUE")),
     "BOOL": ("boolean", lambda v: v in (True, "true", "TRUE")),
     "NUMERIC": ("decimal(38,9)", Decimal),
-    "BIGNUMERIC": ("decimal(38,9)", Decimal),
+    # BIGNUMERIC is decimal(76,38) on the wire — wider than Spark's
+    # decimal(38) cap.  Mapping it to decimal(38,9) silently truncated
+    # range AND scale (r8 ADVICE); carry the exact decimal string
+    # instead and let the caller cast with explicit, visible loss.
+    "BIGNUMERIC": ("string", str),
     "DATE": ("date", lambda v: __import__("datetime").date.fromisoformat(v)),
     # BQ TIMESTAMP is a UTC instant on the wire (epoch-seconds string);
     # decode to naive-UTC + TIMESTAMP_NTZ so the stored value is

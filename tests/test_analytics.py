@@ -85,6 +85,93 @@ def test_kmeans_separable_clusters(spark):
     assert dict(update_centroids(e, carried)) == updated
 
 
+def test_update_centroids_null_tolerant(spark):
+    """r8 ADVICE: NULL embeddings / NULL elements must not skew the
+    mean, and an all-NULL cluster must drop instead of raising
+    TypeError(float(None)).  Both physical shapes obey the contract."""
+    from ab_metadata_pusher_spark.operators.clustering import (
+        update_centroids,
+    )
+    e = spark.createDataFrame(
+        [(0, 0, [2.0, 4.0]), (1, 0, [4.0, None]), (2, 0, None),
+         (3, 1, None)],
+        "vec_id bigint, cluster int, embedding array<double>")
+    for shape in ("exploded", "wide"):
+        got = dict(update_centroids(e, e, dim=2, shape=shape))
+        # cluster 0: dim0 mean over {2,4}=3, dim1 over {4} alone=4
+        # (the NULL element and NULL row contribute to neither)
+        assert got == {0: [3.0, 4.0]}, (shape, got)
+
+
+def test_update_centroids_shapes_agree(spark):
+    """The wide and exploded Lloyd shapes are the same aggregation in
+    two physical plans — identical output on a dense corpus."""
+    from ab_metadata_pusher_spark.operators.clustering import (
+        assign_clusters, seed_centroids, update_centroids,
+    )
+    pts = [(i, [float(i % 7), float(i % 5), float(i % 3)])
+           for i in range(40)]
+    e = spark.createDataFrame(
+        pts, "vec_id bigint, embedding array<double>")
+    assigned = assign_clusters(e, seed_centroids(e, 3), keep_emb=True)
+    a = dict(update_centroids(e, assigned, dim=3, shape="exploded"))
+    b = dict(update_centroids(e, assigned, dim=3, shape="wide"))
+    assert a.keys() == b.keys()
+    for c in a:
+        assert a[c] == [round(x, 12) for x in b[c]] or a[c] == b[c]
+
+
+def test_double_literals_nonfinite_and_empty(spark):
+    """r8 ADVICE: double_array_lit/double_sql must survive NaN, ±inf
+    (no 'nanD' parse error) and an empty list must still type as
+    array<double>."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators._shared import (
+        double_array_lit, double_sql,
+    )
+    df = spark.range(1).select(
+        double_array_lit([1.5, float("nan"), float("inf"),
+                          float("-inf")]).alias("a"),
+        double_array_lit([]).alias("e"))
+    assert dict(df.dtypes) == {"a": "array<double>", "e": "array<double>"}
+    row = df.first()
+    assert row["a"][0] == 1.5 and math.isnan(row["a"][1])
+    assert row["a"][2] == float("inf") and row["a"][3] == float("-inf")
+    assert row["e"] == []
+    # downstream double arithmetic on the empty literal must not break
+    assert df.select(F.expr(
+        "aggregate(e, 0.0D, (acc, x) -> acc + x)").alias("s")
+    ).first()["s"] == 0.0
+    # bit-exactness of the parsed literal vs F.lit for a hostile value
+    v = 0.1 + 0.2
+    got = spark.range(1).select(
+        F.expr(double_sql(v)).alias("p"), F.lit(v).alias("l")).first()
+    assert got["p"] == got["l"]
+
+
+def test_assign_cells_zero_norm_ranks_last(spark):
+    """Degenerate (zero-norm) similarity is NaN; the r9 contract pins
+    it to rank LAST (nanvl -> +inf sort key): a zero centroid never
+    wins a probe slot, and a zero-norm vector still probes
+    deterministically (all-NaN ties break to the lower cell)."""
+    from ab_metadata_pusher_spark.operators.similarity import _assign_cells
+
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+    got = {(r["vec_id"], r["cell"])
+           for r in _assign_cells(df, cents, "vec_id", "embedding",
+                                  nprobe=2).collect()}
+    # vector 10: real cosines rank cells 1 then 2; the zero centroid
+    # (cell 0, NaN) ranks last and must NOT appear in the top-2
+    # vector 11: every cosine is NaN -> ties break to cells 0, 1
+    assert got == {(10, 1), (10, 2), (11, 0), (11, 1)}
+
+
 def test_kmeans_tie_breaks_to_lower_cluster(spark):
     from ab_metadata_pusher_spark.operators.clustering import assign_clusters
     e = spark.createDataFrame([(9, [5.0])], "vec_id bigint, embedding array<double>")

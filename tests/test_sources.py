@@ -533,3 +533,61 @@ def test_bigquery_rest_type_decoding():
                       date(2026, 8, 15),
                       datetime(2025, 8, 15, 0, 0), ["t1", "t2"], (7, "x"))
     assert out[1] == (None,) * 9
+
+
+def test_bigquery_bignumeric_survives_as_exact_string():
+    """r8 ADVICE: BIGNUMERIC is decimal(76,38) on the wire — wider than
+    Spark's decimal(38) — so mapping it to decimal(38,9) silently lost
+    range and scale.  It now lands as the exact decimal STRING; casting
+    (and its loss) is the caller's explicit choice."""
+    from ab_metadata_pusher_spark.sources.bigquery import (
+        bq_rows_to_python, bq_schema_to_spark,
+    )
+
+    schema = {"fields": [_bq_catalog_field("big", "BIGNUMERIC")]}
+    assert bq_schema_to_spark(schema) == "`big` string"
+    # 50 integer digits + 38 fractional digits: representable in
+    # neither decimal(38,9) range nor scale
+    wire = "12345678901234567890123456789012345678901234567890." + "9" * 38
+    out = bq_rows_to_python([{"f": [{"v": wire}]}], schema)
+    assert out[0] == (wire,)
+
+
+def test_bigquery_rest_polls_with_timeout_and_backoff(monkeypatch):
+    """r8 ADVICE: every HTTP call must carry a timeout (a stalled
+    endpoint raises, never hangs the driver) and jobComplete=false
+    re-polls must back off instead of spinning."""
+    import io
+    import json as _json
+    import urllib.request as _url
+
+    from ab_metadata_pusher_spark.sources import bigquery as bq
+
+    responses = [
+        {"jobReference": {"jobId": "j"}, "jobComplete": False},
+        {"jobReference": {"jobId": "j"}, "jobComplete": False},
+        {"jobReference": {"jobId": "j"}, "jobComplete": True,
+         "schema": {"fields": [_bq_catalog_field("s", "STRING")]},
+         "rows": [{"f": [{"v": "ok"}]}]},
+    ]
+    seen_timeouts = []
+    sleeps = []
+
+    def fake_urlopen(req, timeout=None):
+        seen_timeouts.append(timeout)
+        return io.BytesIO(_json.dumps(responses.pop(0)).encode())
+
+    monkeypatch.setattr(_url, "urlopen", fake_urlopen)
+    monkeypatch.setattr(bq.time, "sleep", sleeps.append)
+
+    class _FakeSpark:
+        def createDataFrame(self, rows, schema):
+            return (rows, schema)
+
+    src = bq.BigQueryCatalogSource(project="p", dataset="d")
+    rows, ddl = src.load_rest(
+        _FakeSpark(), endpoint="http://x", http_timeout_sec=7.5,
+        poll_backoff_sec=0.25)
+    assert rows == [("ok",)] and ddl == "`s` string"
+    assert seen_timeouts == [7.5, 7.5, 7.5]
+    assert sleeps == [0.25, 0.5]  # exponential, per incomplete poll
