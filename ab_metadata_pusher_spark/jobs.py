@@ -40,6 +40,29 @@ def _catalog_extractor(db_type: str, conf: dict[str, Any]):
             return catalog_columns(spark, sf_dir)
         return extract
 
+    if db_type == "bigquery":
+        # SURVEY.md §2.A A7: the roadmap source drops into the SAME
+        # dispatch as mysql/postgres.  Env contract mirrors the JDBC
+        # rows: GCP_PROJECT / BQ_DATASET name the catalog scope,
+        # BQ_ENDPOINT overrides the REST endpoint (tests point it at a
+        # local emulator; the connector-jar Storage-API path stays in
+        # BigQueryCatalogSource.load), BQ_TOKEN is the bearer token.
+        from ab_metadata_pusher_spark.sources.bigquery import (
+            BigQueryCatalogSource,
+        )
+        src = BigQueryCatalogSource(
+            project=conf.get("project", env("GCP_PROJECT", "")),
+            dataset=conf.get("dataset", env("BQ_DATASET", "")),
+            where_clause_suffix=conf.get("where_clause_suffix", ""))
+        endpoint = conf.get(
+            "endpoint",
+            env("BQ_ENDPOINT", "https://bigquery.googleapis.com/bigquery/v2"))
+        token = conf.get("token", env("BQ_TOKEN", "")) or None
+
+        def extract_bq(spark: SparkSession) -> DataFrame:
+            return src.load_rest(spark, endpoint=endpoint, token=token)
+        return extract_bq
+
     if db_type in ("mysql", "postgres"):
         if db_type == "mysql":
             query = mysql_catalog_sql(conf.get("where_clause_suffix", ""))
@@ -120,7 +143,7 @@ def build_metadata_job(db_type: str, queue_type: str,
 JOB_REGISTRY: dict[tuple[str, str],
                    Callable[[dict[str, Any]], Pipeline]] = {
     (db, q): partial(build_metadata_job, db, q)
-    for db in ("fixtures", "mysql", "postgres")
+    for db in ("fixtures", "mysql", "postgres", "bigquery")
     for q in ("aws_sqs", "kafka", "none")
 }
 
