@@ -206,19 +206,29 @@ def main() -> None:
 
     reg = queries()
     timings: dict[str, float] = {}
+    splits: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
 
     def run(name: str, build) -> None:
         # Fault-isolated: a failing query records an error entry instead of
         # killing the run — the JSON summary line must always print.
+        # build() time is recorded separately from execution time: it is
+        # pure DRIVER cost (py4j round trips, plan literal construction,
+        # analysis) — the r8 literal fix showed this component can
+        # dominate and the whole-session gate needs to see it move
+        # independently of executor time (r8 VERDICT ask #2).
         t0 = time.time()
         try:
             df = build()
+            t1 = time.time()
             df.write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             return
-        timings[name] = round(time.time() - t0, 3)
+        t2 = time.time()
+        timings[name] = round(t2 - t0, 3)
+        splits[name] = {"build": round(t1 - t0, 3),
+                        "exec": round(t2 - t1, 3)}
 
     try:
         _warmup(spark, reg)
@@ -253,7 +263,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     regressions = _regressions_vs_previous_round(timings)
     detail_line, final_line = build_summary_lines(
-        timings, errors, regressions, float(sf))
+        timings, errors, regressions, float(sf), splits=splits)
     print(detail_line)
     (REPO / "BENCH_DETAIL.json").write_text(
         json.dumps(json.loads(detail_line[detail_line.index("{"):]),
@@ -262,8 +272,9 @@ def main() -> None:
 
 
 def build_summary_lines(timings: dict[str, float], errors: dict[str, str],
-                        regressions: dict | None,
-                        sf: float) -> tuple[str, str]:
+                        regressions: dict | None, sf: float,
+                        splits: dict[str, dict[str, float]] | None = None,
+                        ) -> tuple[str, str]:
     """Render the two output lines: full detail first, then the compact
     FINAL line.  The driver records only the LAST ~2000 bytes of stdout
     and parses the final JSON line (BENCH_r03 had `parsed: null` because
@@ -279,10 +290,13 @@ def build_summary_lines(timings: dict[str, float], errors: dict[str, str],
         "queries": timings,
         "sf": sf,
     }
+    if splits:
+        detail["splits"] = splits
     if regressions is not None:
         for q, note in _KNOWN_SLOWDOWNS.items():
-            if q in regressions["flagged"]:
-                regressions["flagged"][q]["note"] = note
+            for key in ("flagged", "flagged_normalized"):
+                if q in regressions.get(key, {}):
+                    regressions[key][q]["note"] = note
         detail["regressions"] = regressions
     if errors:
         detail["errors"] = errors
@@ -299,6 +313,10 @@ def build_summary_lines(timings: dict[str, float], errors: dict[str, str],
     }
     if regressions is not None:
         summary["n_regressions"] = len(regressions["flagged"])
+        if "session_factor" in regressions:
+            summary["session_factor"] = regressions["session_factor"]
+            summary["n_regressions_normalized"] = len(
+                regressions.get("flagged_normalized", {}))
     line = ""
     for top in (20, 10, 5, 0):
         summary["queries"] = {q: worst[q] for q in list(worst)[:top]}
@@ -382,7 +400,47 @@ def _regressions_vs_previous_round(
         elif _is_regression(prev_sec, timings[q]):
             flagged[q] = {"prev_sec": prev_sec, "now_sec": timings[q],
                           "ratio": round(timings[q] / prev_sec, 2)}
-    return {"baseline": name, "flagged": flagged}
+    factor, n_stable = _session_factor(prev, timings)
+    flagged_norm = {}
+    for q, prev_sec in prev.items():
+        if q in timings and _is_regression(prev_sec, timings[q] / factor):
+            flagged_norm[q] = {
+                "prev_sec": prev_sec, "now_sec": timings[q],
+                "normalized_sec": round(timings[q] / factor, 3),
+                "ratio_normalized": round(timings[q] / factor / prev_sec, 2)}
+    return {"baseline": name, "flagged": flagged,
+            "session_factor": factor, "session_factor_n_stable": n_stable,
+            "flagged_normalized": flagged_norm}
+
+
+def _session_factor(prev: dict[str, float],
+                    timings: dict[str, float],
+                    min_stable: int = 8) -> tuple[float, int]:
+    """Whole-session calibration: the MEDIAN now/baseline ratio over
+    the stable (>= 1s baseline) queries timed in both sessions.
+
+    r6-r8 showed a 15-20% builder-vs-driver session gap spread across
+    the whole suite (driver records 138.0 -> 141.2 -> 150.4s while the
+    same code measured 134.2/125.3s on the builder's machine), which
+    the per-query gate cannot see: every ratio passes, the baseline
+    re-pins next round, and a slow creep never trips anything — while a
+    real per-query win drowns in session noise (r8 VERDICT ask #2).
+    The median over dozens of untouched queries isolates the session
+    component (a code change moves its own queries, not the median);
+    per-query flags recomputed on now/factor are then machine-drift
+    independent.  Sub-second baselines are excluded (scheduler noise
+    dominates them); below ``min_stable`` common stable queries the
+    factor stays 1.0 — not enough evidence to recalibrate."""
+    ratios = sorted(
+        timings[q] / prev[q]
+        for q, prev_sec in prev.items()
+        if q in timings and prev_sec >= 1.0 and timings[q] > 0)
+    n = len(ratios)
+    if n < min_stable:
+        return 1.0, n
+    mid = n // 2
+    med = ratios[mid] if n % 2 else (ratios[mid - 1] + ratios[mid]) / 2
+    return round(med, 4), n
 
 
 def _is_regression(prev_sec: float, now_sec: float) -> bool:

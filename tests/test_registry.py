@@ -138,6 +138,39 @@ def test_bench_regression_predicate_tiers():
     assert not _is_regression(4.0, 4.9)       # 1.22x
 
 
+def test_session_factor_median_calibration():
+    """r8 VERDICT ask #2: a whole-session slowdown (driver machine 15%
+    slower than the baseline session) must be visible as a calibration
+    factor, not as 104 spurious per-query ratios."""
+    from bench import _is_regression, _session_factor
+
+    prev = {f"q{i}": 2.0 for i in range(10)}
+    now = {f"q{i}": 2.3 for i in range(10)}
+    factor, n = _session_factor(prev, now)
+    assert factor == 1.15 and n == 10
+
+    # sub-second baselines are scheduler noise — excluded from the pool
+    prev["tiny"], now["tiny"] = 0.4, 4.0
+    assert _session_factor(prev, now) == (1.15, 10)
+
+    # below the evidence floor the factor stays 1.0
+    assert _session_factor({"a": 2.0}, {"a": 3.0}) == (1.0, 1)
+
+    # composition with the gate: prev 4.0s -> now 6.0s raw-flags
+    # (1.5x on a >=3s baseline), but in a 1.2x-slow session the
+    # normalized 5.0s is 1.25x — exactly at, not over, the tier line
+    assert _is_regression(4.0, 6.0)
+    assert not _is_regression(4.0, 6.0 / 1.2)
+
+    # a REAL regression survives normalization: 4.0 -> 8.0 in the same
+    # 1.2x session is still 1.67x normalized
+    assert _is_regression(4.0, 8.0 / 1.2)
+
+    # and a real WIN is provable despite a slow session: 4.7 -> 3.3
+    # builder-measured, inflated 1.4x by the session, normalizes back
+    assert not _is_regression(4.7, 3.3 * 1.4 / 1.4)
+
+
 def test_scored_window_excludes_bench_excluded_heavy_forms():
     """The driver scores DRIVER_PREFIX[:50] at a driver-chosen SF.  Two
     registered forms are deliberate coverage gates with costs that are
