@@ -68,53 +68,64 @@ def _load_all() -> None:
 #: this for every prefix name).
 #: Everything not listed follows in registration order.
 #:
-#: ROTATION (round 7): evidence is cumulative, so the head keeps the same
-#: 15-slot sentinel core; the 35 scored rotation slots take ALL 28
-#: oracle-backed queries that have never had a driver row (the last of
-#: the never-scored queue — this rotation CLEARS the registry: every
-#: oracle-backed query will have a driver row) plus 7 deliberate
-#: RE-PROOF slots for the r5/r6 repairs (PassJoin edit-distance, the
-#: exchange-free LPA rounds, UTF-8 envelope chunking, the keep_emb
-#: Lloyd path behind both IVF queries, capped link prediction, the
-#: Count-Min sketch, the ANN label screen).  Registration stays FROZEN
-#: at 239.  The r6 rotation cohort (all driver-green in
-#: CORRECTNESS_r06.json) moves below the 50-row window — still verified
-#: every run by tests/test_oracle_parity.py — ahead of the r5 and r4
-#: cohorts.  Use scripts/prefix_planner.py to plan/check rotations (it
-#: knows the re-proof slots are deliberate).
-#: Pre-validated for this cohort in r6 and re-checked at sf0.1 strict
-#: in r7 (SCALE.md): every queued name passes driver_sim --strict-types
-#: AND has a flat atomic output schema, so rotation stays mechanical.
+#: ROTATION (round 9, freshness policy since r8): evidence is
+#: cumulative and every oracle-backed query has been driver-green
+#: since r7, so the head keeps the 15-slot sentinel core, 3 RE-PROOF
+#: slots hold the IVF consumers whose driver confirmation is pending
+#: (similarity_ann_ivf / dedup_semantic / embedding_kmeans — touched
+#: again in r9 by the exploded-Lloyd flip and the _assign_cells norm
+#: inlining), and the 32 freshness slots refresh the OLDEST driver
+#: evidence: the entire remaining round-2 cohort (27 names) plus the
+#: 5 alphabetically-first of round 3.  Registration stays FROZEN at
+#: 239.  Displaced r8-cohort names move just below the window —
+#: still verified every run by tests/test_oracle_parity.py.  Use
+#: scripts/prefix_planner.py to plan/check rotations (it knows the
+#: re-proof slots are deliberate AND finishes by running
+#: tests/test_registry.py — the r8 lesson).
+#: Pre-validated r9: the whole 50-row window passes driver_sim
+#: --strict-types at sf0.01 AND sf0.1 (SCALE.md round-9 section).
 DRIVER_PREFIX: tuple[str, ...] = (
-    # --- sentinel core (driver-green r2-r7, one per family) ---
+    # --- sentinel core (driver-green r2-r8, one per family) ---
     "metadata_catalog_columns", "metadata_tables", "metadata_nodes",
     "metadata_relations", "metadata_profile_columns", "agg_pricing_summary",
     "join_multiway_revenue", "window_topk_per_group", "setop_union_distinct",
     "rollup_time_buckets", "sessionize_events", "cdc_scd2_intervals",
     "stream_tumbling_counts", "dedup_minhash_lsh", "similarity_ann_lsh",
-    # --- re-proof slots (r8): this round touched the whole
-    # --- centroid/LSH literal path (map-only IVF assign, single-shuffle
-    # --- Lloyd update, SQL-parsed double literals) — re-prove each
-    # --- consumer at driver conditions ---
+    # --- re-proof slots (r9): the IVF-family driver confirmation is
+    # --- still pending (r7/r8 driver records ran slower than the
+    # --- builder's), and r9 flipped the Lloyd update back to the
+    # --- exploded shape + rebuilt _assign_cells with inlined centroid
+    # --- norms — keep these three consumers scored until the driver
+    # --- record confirms (r8 VERDICT ask #5, tie to #2) ---
     "similarity_ann_ivf", "dedup_semantic", "embedding_kmeans",
-    "similarity_pq", "sample_kcenter", "embedding_random_projection",
-    "quality_label_consistency_ann",
-    # --- freshness rotation (r8): every oracle-backed query has driver
-    # --- evidence since r7, so rotation now REFRESHES the oldest rows:
-    # --- the 20 queries whose latest driver row is round 1 ... ---
-    "metadata_graph_degree", "metadata_graph_two_hop",
-    "metadata_graph_closure", "agg_cube", "agg_count_distinct", "agg_max_by",
-    "window_running_total", "topk_global", "distinct_pairs", "setop_except",
-    "join_full_outer_nations", "join_cross_regions", "agg_statistics",
-    "setop_intersect_all", "setop_except_all", "agg_bool_bitwise",
-    "join_lateral_topk", "join_null_safe", "agg_regression", "agg_mode",
-    # --- ... and the 8 oldest of the round-2 cohort ---
-    "metadata_tables_filtered", "metadata_graph_components",
-    "metadata_snapshot_diff", "metadata_graph_pagerank", "agg_rollup",
-    "agg_grouping_sets", "join_left_outer_orders", "join_semi",
+    # --- freshness rotation (r9): refresh the oldest driver evidence —
+    # --- the entire remaining round-2 cohort (27 names) ... ---
+    "agg_percentiles", "decontaminate_ngram_overlap", "dedup_clusters",
+    "dedup_exact", "dedup_simhash", "explode_word_counts", "graph_triangles",
+    "join_anti", "join_asof_clicks", "join_range_bands",
+    "join_salted_revenue", "pack_sequences", "pivot_event_types",
+    "sample_hash_split", "scalar_string_funcs", "setop_intersect",
+    "similarity_topk_cosine", "subquery_above_avg", "text_fingerprint",
+    "text_langid", "text_quality_scores", "timeseries_gap_fill",
+    "udf_grouped_geomean", "unpivot_lineitem_measures", "window_lag_delta",
+    "window_moving_avg", "window_rank_functions",
+    # --- ... and the 5 alphabetically-first of the round-3 cohort ---
+    "agg_heavy_hitters_guaranteed", "array_funcs_embeddings",
+    "dedup_substring_spans", "jsonl_corpus_ingest", "map_event_type_counts",
     # --- beyond the driver's 50-row window (ordering only): recent
     # --- cohorts first, all still verified every run by
     # --- tests/test_oracle_parity.py ---
+    "similarity_pq", "sample_kcenter", "embedding_random_projection",
+    "quality_label_consistency_ann", "metadata_graph_degree",
+    "metadata_graph_two_hop", "metadata_graph_closure", "agg_cube",
+    "agg_count_distinct", "agg_max_by", "window_running_total", "topk_global",
+    "distinct_pairs", "setop_except", "join_full_outer_nations",
+    "join_cross_regions", "agg_statistics", "setop_intersect_all",
+    "setop_except_all", "agg_bool_bitwise", "join_lateral_topk",
+    "join_null_safe", "agg_regression", "agg_mode",
+    "metadata_tables_filtered", "metadata_graph_components",
+    "metadata_snapshot_diff", "metadata_graph_pagerank", "agg_rollup",
+    "agg_grouping_sets", "join_left_outer_orders", "join_semi",
     "agg_weighted_avg", "agg_histogram_equi_depth", "agg_histogram",
     "agg_string_concat", "agg_having_in", "join_range_binned",
     "join_disjunctive_pred", "join_asof_cogrouped", "setop_union_evolve",

@@ -12,6 +12,10 @@ driver harness could legitimately present, one subprocess per variant
   and div-by-zero errors; catches silent-null dependencies)
 * ``narrow``    — + spark.sql.shuffle.partitions=4 (a cluster tuned far
   below our session default; catches partition-count-dependent results)
+* ``nocodegen`` — + spark.sql.codegen.wholeStage=false (interpreted
+  expression eval; catches results that silently depend on codegen
+  evaluation order / codegen-only expression semantics — r8 VERDICT
+  ask #8)
 
 Usage: python scripts/hostile_env_sweep.py [--sf-dir DIR] [variant ...]
 
@@ -39,6 +43,8 @@ VARIANTS: dict[str, dict] = {
     },
     "ansi": {"env": {}, "conf": ["spark.sql.ansi.enabled=true"]},
     "narrow": {"env": {}, "conf": ["spark.sql.shuffle.partitions=4"]},
+    "nocodegen": {"env": {},
+                  "conf": ["spark.sql.codegen.wholeStage=false"]},
 }
 
 

@@ -11,7 +11,12 @@ records present in the repo:
 * whether the current DRIVER_PREFIX wastes slots on already-scored
   non-sentinel queries.
 
-Usage: python scripts/prefix_planner.py
+Usage: python scripts/prefix_planner.py [--skip-tests]
+
+By default the planner finishes by running tests/test_registry.py —
+planning a rotation and verifying its invariants are one command (the
+r8 rotation shipped red because the test run was a separate checklist
+item).  --skip-tests is for read-only analysis iterations.
 """
 
 from __future__ import annotations
@@ -32,17 +37,15 @@ from ab_metadata_pusher_spark.plans.registry import (  # noqa: E402
 #: be a first-time-scored query.
 SENTINELS = set(DRIVER_PREFIX[:15])
 
-#: Deliberate re-proof slots (round 8): the registry cleared in r7
-#: (every oracle-backed query has a driver row), so the prefix policy
-#: is now re-proof + freshness.  These seven re-prove the r8
-#: centroid/LSH literal rebuild (map-only IVF assign, single-shuffle
-#: Lloyd update, SQL-parsed double-array literals) on every consumer;
-#: the 28 freshness slots refresh the oldest driver evidence (r1, then
-#: the oldest of r2).
+#: Deliberate re-proof slots (round 9): the IVF-family driver
+#: confirmation is still pending (two rounds of builder-vs-driver
+#: disagreement) and r9 flipped the Lloyd update to the exploded shape
+#: + inlined centroid norms into _assign_cells — these three consumers
+#: stay scored until the driver record confirms.  The 32 freshness
+#: slots refresh the oldest driver evidence (all of r2, then the
+#: oldest of r3).
 REPROOF = {
     "similarity_ann_ivf", "dedup_semantic", "embedding_kmeans",
-    "similarity_pq", "sample_kcenter", "embedding_random_projection",
-    "quality_label_consistency_ann",
 }
 
 #: The driver's correctness gate scores this many queries() entries per
@@ -53,6 +56,10 @@ SCORED_WINDOW = 50
 
 
 def main() -> int:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-tests", action="store_true")
+    args = ap.parse_args()
     _load_all()
     scored: dict[str, str] = {}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
@@ -100,7 +107,7 @@ def main() -> int:
         else:
             print("prefix wastes no slots (every non-sentinel is "
                   "first-time).")
-        return 0
+        return 0 if args.skip_tests else _run_registry_tests()
 
     # Registry cleared (r7): the policy becomes re-proof + FRESHNESS —
     # rotation slots should hold the queries whose latest driver row is
@@ -125,7 +132,7 @@ def main() -> int:
     else:
         print("freshness optimal: no unscheduled query has older evidence "
               "than any scheduled freshness slot.")
-    return _run_registry_tests()
+    return 0 if args.skip_tests else _run_registry_tests()
 
 
 def _run_registry_tests() -> int:
