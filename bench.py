@@ -253,12 +253,20 @@ def main() -> None:
     # reproduce, spikes don't.  Cost is bounded by the flagged set.
     flagged0 = _regressions_vs_previous_round(timings)
     if flagged0:
-        for name in list(flagged0["flagged"]):
+        # Normalized flags retry too: in a fast session (factor < 1) a
+        # one-shot JIT spike can pass the raw gate yet normalized-flag
+        # (measured: text_ngram_novelty 8.96s cold vs 2.7s warm).
+        retry = (set(flagged0["flagged"])
+                 | set(flagged0.get("flagged_normalized", {})))
+        for name in retry:
             if name not in builders or name not in timings:
                 continue
-            first = timings[name]
+            first, first_split = timings[name], splits.get(name)
             run(name, builders[name])
-            timings[name] = min(first, timings.get(name, first))
+            if timings.get(name, first) > first:  # keep the faster run
+                timings[name] = first
+                if first_split is not None:
+                    splits[name] = first_split
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     regressions = _regressions_vs_previous_round(timings)
@@ -509,6 +517,12 @@ def _warmup(spark, reg) -> None:
     # interval-overlap range-join shape: 10.4s cold vs 1.3s warm at
     # sf0.1 — the same one-time-JIT flap, observed as a 1.67x false flag
     reg["join_interval_overlap"](spark, "/root/testdata/sf0.001") \
+        .write.format("noop").mode("overwrite").save()
+    # hyperplane-LSH self-join + label screen: the deepest warmup curve
+    # on the bench (measured 10.1 -> 3.7 -> 2.9 -> 2.6s at sf0.1) —
+    # min-of-two still caught a 3.99s second run and normalized-flagged
+    # a query whose warm time is BELOW baseline (r9)
+    reg["quality_label_consistency_ann"](spark, "/root/testdata/sf0.001") \
         .write.format("noop").mode("overwrite").save()
 
 
