@@ -372,10 +372,33 @@ def ivf_centroid_list(corpus: DataFrame, n_cells: int = 8,
     return sorted(cents)
 
 
+#: Physical-shape crossover for _assign_cells, in centroid DOUBLES
+#: (k x dim).  The plan-literal shape is bit-exact with the DuckDB
+#: oracles and pays zero Python, but its parse/codegen cost grows
+#: superlinearly with the literal (measured, scripts/ivf_cells_probe.py
+#: at dim 64, 5k rows, warm: k=8 0.65s, k=256 4.0s, k=1024 15.2s,
+#: k=4096 minutes at 20k rows), and per-row argmin through Catalyst
+#: higher-order functions runs ~30M mul-adds/s however the centroids
+#: ship.  Past the threshold the Arrow tier takes over: one numpy
+#: matmul per batch (k=256 0.29s, k=4096 0.72s, k=16384 2.2s) — the
+#: FAISS-style coarse
+#: assignment shape a billion-vector IVF actually needs.  128 cells at
+#: dim 64 keeps every oracle-gated query (n_cells=8) on the exact tier.
+ASSIGN_CELLS_LITERAL_MAX = 8192
+
+
 def _assign_cells(df: DataFrame,
                   cents: DataFrame | list[tuple[int, list[float]]],
-                  id_col: str, emb_col: str, nprobe: int) -> DataFrame:
+                  id_col: str, emb_col: str, nprobe: int,
+                  shape: str = "auto") -> DataFrame:
     """Attach the ``nprobe`` nearest cells to each vector — MAP-ONLY.
+
+    ``shape``: ``literal`` inlines the centroids into the plan (below),
+    ``arrow`` runs a vectorized numpy matmul per Arrow batch
+    (:func:`_assign_cells_arrow`), ``auto`` picks by
+    ``ASSIGN_CELLS_LITERAL_MAX``.  Both tiers share the contract:
+    cosine ranking, ties to the lower cell, degenerate (zero-norm /
+    non-finite) similarity ranks LAST.
 
     The centroid table is k x dim doubles (driver-sized by contract), so
     it is inlined into the plan as an array-of-structs literal and each
@@ -405,6 +428,14 @@ def _assign_cells(df: DataFrame,
                 for r in cents.collect()]
     else:
         rows = [(int(c), [float(x) for x in vec]) for c, vec in cents]
+    if not rows:
+        raise ValueError("_assign_cells: empty centroid table")
+    if shape not in ("auto", "literal", "arrow"):
+        raise ValueError(f"unknown _assign_cells shape: {shape!r}")
+    if shape == "arrow" or (shape == "auto" and
+                            len(rows) * len(rows[0][1])
+                            > ASSIGN_CELLS_LITERAL_MAX):
+        return _assign_cells_arrow(df, rows, emb_col, nprobe)
 
     def _norm(vec: list[float]) -> float:
         acc = 0.0
@@ -431,6 +462,54 @@ def _assign_cells(df: DataFrame,
     picked = F.slice(F.array_sort(ranked), 1, nprobe)
     return (df.withColumn("cell",
                           F.explode(F.transform(picked, lambda s: s["cell"]))))
+
+
+def _assign_cells_arrow(df: DataFrame, rows: list[tuple[int, list[float]]],
+                        emb_col: str, nprobe: int) -> DataFrame:
+    """Large-k cell assignment: one numpy matmul per Arrow batch.
+
+    Still MAP-ONLY (mapInPandas adds no exchange) and still driver-sized
+    state: the k x dim centroid matrix rides the task closure.  Per
+    batch: ``E @ M.T`` (BLAS — measured ~60x faster than per-row
+    Catalyst higher-order folds at k=4096, scripts/ivf_cells_probe.py),
+    then a lexsort on (negated cosine, cell id) whose ordering matches
+    the literal tier's struct sort: ties to the lower cell, degenerate
+    (zero-norm / non-finite) similarity mapped to +inf so it ranks
+    last.  Trade vs the literal tier: float accumulation order differs
+    (BLAS vs left fold) and even MATHEMATICALLY identical centroids can
+    land 1 ULP apart (different matmul output columns take different
+    SIMD/remainder paths), so near-exact cosine ties can pick different
+    cells — which is why the oracle-gated small-k queries stay on the
+    exact tier and the crossover is a constant, not a heuristic."""
+    import numpy as np
+
+    cents = sorted(rows)
+    cell_ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    mat = np.asarray([v for _, v in cents], dtype=np.float64)
+    cnorm = np.sqrt((mat * mat).sum(axis=1))
+    n_out = min(nprobe, len(cents))
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields) + ", `cell` bigint"
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.asarray(pdf[emb_col].tolist(), dtype=np.float64)
+            vnorm = np.sqrt((emb * emb).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                negcs = -(emb @ mat.T) / (vnorm[:, None] * cnorm[None, :])
+            negcs = np.where(np.isfinite(negcs), negcs, np.inf)
+            n = negcs.shape[0]
+            order = np.lexsort(
+                (np.broadcast_to(cell_ids, negcs.shape), negcs),
+                axis=1)[:, :n_out]
+            rep = pdf.loc[pdf.index.repeat(n_out)].reset_index(drop=True)
+            rep["cell"] = cell_ids[order].ravel()
+            yield rep
+
+    return df.mapInPandas(fn, out_schema)
 
 
 def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -172,6 +172,60 @@ def test_assign_cells_zero_norm_ranks_last(spark):
     assert got == {(10, 1), (10, 2), (11, 0), (11, 1)}
 
 
+def test_assign_cells_tiers_agree(spark):
+    """The literal and arrow tiers implement one contract: identical
+    (vec_id, cell) picks on tie-free data, including nprobe truncation.
+
+    Deliberately tie-free: a DUPLICATED centroid ties in math but BLAS
+    computes different matmul output columns through different
+    SIMD/remainder paths, so the duplicate can differ by 1 ULP in the
+    arrow tier and flip the pick (observed: batch of 80 rows x 7 cells
+    picked cell 6 over the identical cell 0; a 2-row batch picked 0).
+    That trade is documented on _assign_cells_arrow; EXACT computed
+    ties (the all-inf degenerate path) are covered by the zero-norm
+    test below."""
+    from ab_metadata_pusher_spark.operators.similarity import _assign_cells
+
+    import random
+    rng = random.Random(42)
+    cents = [(c, [rng.uniform(-1, 1) for _ in range(8)]) for c in range(6)]
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    for nprobe in (1, 3):
+        lit = {(r["vec_id"], r["cell"])
+               for r in _assign_cells(df, cents, "vec_id", "embedding",
+                                      nprobe, shape="literal").collect()}
+        arr = {(r["vec_id"], r["cell"])
+               for r in _assign_cells(df, cents, "vec_id", "embedding",
+                                      nprobe, shape="arrow").collect()}
+        assert lit == arr and len(lit) == 80 * nprobe, f"nprobe={nprobe}"
+
+
+def test_assign_cells_arrow_zero_norm_and_dispatch(spark, monkeypatch):
+    """Arrow tier honors the degenerate contract (zero-norm ranks
+    last, all-NaN ties to lower cells) and auto dispatch crosses to
+    arrow past ASSIGN_CELLS_LITERAL_MAX."""
+    from ab_metadata_pusher_spark.operators import similarity as S
+
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+    got = {(r["vec_id"], r["cell"])
+           for r in S._assign_cells(df, cents, "vec_id", "embedding",
+                                    nprobe=2, shape="arrow").collect()}
+    assert got == {(10, 1), (10, 2), (11, 0), (11, 1)}
+
+    # auto picks arrow once k x dim exceeds the threshold
+    monkeypatch.setattr(S, "ASSIGN_CELLS_LITERAL_MAX", 5)
+    plan = S._assign_cells(df, cents, "vec_id", "embedding", nprobe=1)
+    assert "MapInPandas" in plan._jdf.queryExecution().toString()
+    monkeypatch.setattr(S, "ASSIGN_CELLS_LITERAL_MAX", 8192)
+    plan = S._assign_cells(df, cents, "vec_id", "embedding", nprobe=1)
+    assert "MapInPandas" not in plan._jdf.queryExecution().toString()
+
+
 def test_kmeans_tie_breaks_to_lower_cluster(spark):
     from ab_metadata_pusher_spark.operators.clustering import assign_clusters
     e = spark.createDataFrame([(9, [5.0])], "vec_id bigint, embedding array<double>")
