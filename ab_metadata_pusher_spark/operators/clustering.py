@@ -57,7 +57,8 @@ def assign_clusters(corpus: DataFrame,
                     centroids: list[tuple[int, list[float]]],
                     id_col: str = "vec_id",
                     emb_col: str = "embedding",
-                    keep_emb: bool = False) -> DataFrame:
+                    keep_emb: bool = False,
+                    shape: str = "auto") -> DataFrame:
     """Map-only nearest-centroid assignment by Euclidean distance.
 
     Ties break toward the lower cluster id (strict ``<`` while folding in
@@ -65,8 +66,30 @@ def assign_clusters(corpus: DataFrame,
     cluster`` tiebreak.  Output: id, cluster, dist (unrounded double);
     ``keep_emb`` carries the embedding column through (the Lloyd-update
     caller wants it so the update needs no corpus re-join).
+
+    ``shape``: same two physical tiers as similarity._assign_cells and
+    the same crossover constant — the literal tier is O(k x dim) plan
+    text and per-row Catalyst folds, which degrade superlinearly past
+    a few hundred centroids (scripts/ivf_cells_probe.py), while a
+    SemDeDup-scale k-means wants thousands of clusters.  ``auto``
+    keeps the bit-exact literal tier for every oracle-gated query
+    (k <= 8) and crosses to the numpy argmin tier on
+    ASSIGN_CELLS_LITERAL_MAX doubles.
     """
-    cents = _centroid_literal(sorted(centroids))
+    from ab_metadata_pusher_spark.operators.similarity import (
+        ASSIGN_CELLS_LITERAL_MAX,
+    )
+    centroids = sorted(centroids)
+    if not centroids:
+        raise ValueError("assign_clusters: empty centroid list")
+    if shape not in ("auto", "literal", "arrow"):
+        raise ValueError(f"unknown assign_clusters shape: {shape!r}")
+    if shape == "arrow" or (shape == "auto" and
+                            len(centroids) * len(centroids[0][1])
+                            > ASSIGN_CELLS_LITERAL_MAX):
+        return _assign_clusters_arrow(corpus, centroids, id_col, emb_col,
+                                      keep_emb)
+    cents = _centroid_literal(centroids)
     v = _dbl(F.col(emb_col))
 
     def sq_dist(c: Column) -> Column:
@@ -88,6 +111,52 @@ def assign_clusters(corpus: DataFrame,
     if keep_emb:
         cols.append(F.col(emb_col))
     return corpus.select(*cols)
+
+
+def _assign_clusters_arrow(corpus: DataFrame,
+                           centroids: list[tuple[int, list[float]]],
+                           id_col: str, emb_col: str,
+                           keep_emb: bool) -> DataFrame:
+    """Large-k assignment: numpy squared-distance argmin per Arrow
+    batch — still map-only, centroid matrix in the task closure.
+    ||e - c||^2 expands to ||e||^2 - 2 e.c + ||c||^2 (one matmul);
+    ``dist`` is recomputed exactly for the winning centroid only, so
+    the reported distance does not carry the expansion's cancellation
+    error.  Same trade as similarity._assign_cells_arrow: BLAS
+    accumulation can split near-exact ties differently than the
+    literal tier's left fold (argmin still ties to the lower cluster
+    id within its own values)."""
+    import numpy as np
+
+    ids = np.asarray([c for c, _ in centroids], dtype=np.int64)
+    mat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    c2 = (mat * mat).sum(axis=1)
+    in_types = {f.name: f.dataType.simpleString() for f in corpus.schema}
+    out_cols = [f"`{id_col}` {in_types[id_col]}", "`cluster` int",
+                "`dist` double"]
+    if keep_emb:
+        out_cols.append(f"`{emb_col}` {in_types[emb_col]}")
+    out_schema = ", ".join(out_cols)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.asarray(pdf[emb_col].tolist(), dtype=np.float64)
+            d2 = ((emb * emb).sum(axis=1)[:, None]
+                  - 2.0 * (emb @ mat.T) + c2[None, :])
+            pick = np.argmin(d2, axis=1)  # first (lowest) index on ties
+            diff = emb - mat[pick]
+            dist = np.sqrt((diff * diff).sum(axis=1))
+            out = {id_col: pdf[id_col].to_numpy(),
+                   "cluster": ids[pick].astype(np.int32),
+                   "dist": dist}
+            if keep_emb:
+                out[emb_col] = pdf[emb_col]
+            import pandas as pd
+            yield pd.DataFrame(out)
+
+    return corpus.mapInPandas(fn, out_schema)
 
 
 def update_centroids(corpus: DataFrame, assigned: DataFrame,

@@ -226,6 +226,35 @@ def test_assign_cells_arrow_zero_norm_and_dispatch(spark, monkeypatch):
     assert "MapInPandas" not in plan._jdf.queryExecution().toString()
 
 
+def test_assign_clusters_tiers_agree(spark, monkeypatch):
+    """assign_clusters mirrors _assign_cells' two tiers (same crossover
+    constant): identical (id, cluster) picks and round-6 dists on
+    tie-free data, and auto dispatch crosses to MapInPandas past the
+    threshold."""
+    import random
+
+    from ab_metadata_pusher_spark.operators import similarity as S
+    from ab_metadata_pusher_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    rng = random.Random(7)
+    cents = [(c, [rng.uniform(-1, 1) for _ in range(8)]) for c in range(5)]
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    lit = {(r["vec_id"], r["cluster"], round(r["dist"], 6))
+           for r in assign_clusters(df, cents, shape="literal").collect()}
+    arr = {(r["vec_id"], r["cluster"], round(r["dist"], 6))
+           for r in assign_clusters(df, cents, shape="arrow",
+                                    keep_emb=True).collect()}
+    assert lit == arr and len(lit) == 60
+
+    monkeypatch.setattr(S, "ASSIGN_CELLS_LITERAL_MAX", 5)
+    plan = assign_clusters(df, cents)
+    assert "MapInPandas" in plan._jdf.queryExecution().toString()
+
+
 def test_kmeans_tie_breaks_to_lower_cluster(spark):
     from ab_metadata_pusher_spark.operators.clustering import assign_clusters
     e = spark.createDataFrame([(9, [5.0])], "vec_id bigint, embedding array<double>")
