@@ -479,6 +479,19 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ITERS = 3
 #: loop shuffle width — see the r4 A/B in q_graph_label_propagation
 _LPA_SHUFFLE_W = 16
+#: Alignment flip for the LPA loop (r7 probe -> r9 code): broadcasting
+#: the |V|-row label frame keeps every round exchange-free and WON at
+#: every in-container size the probe could reach (shuffled/broadcast =
+#: 1.13-2.21x up to |V|=8e6, ~128 MB of (long, long) rows,
+#: scripts/lpa_alignment_probe.py) — so the flip is a RESOURCE bound,
+#: not a perf crossover: past this per-round broadcast footprint the
+#: build side risks executor/driver memory pressure and the loop
+#: switches to the b-aligned shuffle form (labels shuffle into the
+#: join; rounds pay the (a, lab) aggregation exchange instead).
+_LPA_BROADCAST_MAX_BYTES = 512 << 20
+#: bytes per (long v, long lab) label row in the broadcast relation,
+#: incl. per-row overhead (unsafe row + hashed-relation slack, ~2x raw)
+_LPA_LABEL_ROW_BYTES = 32
 
 
 def _lpa_oracle(iters: int) -> str:
@@ -532,25 +545,37 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst case): shuffled/broadcast = 2.21x at |V|=1e5, 1.51x at 1e6,
     1.13x at 4e6, 1.35x at 8e6 — broadcast wins at every measured size
     up to ~128 MB of (long, long) label rows, with no crossover
-    reachable cleanly in one JVM; on a real cluster flip when the
-    label frame approaches the executor/driver broadcast budget
-    (SCALE.md round-7 entry).  (A third variant
+    reachable cleanly in one JVM, so the flip is a RESOURCE bound and
+    since r9 it is CODE, not prose: ``_lpa_run`` counts |V| once (off
+    the checkpointed initial label frame) and switches to the shuffled
+    alignment past ``_LPA_BROADCAST_MAX_BYTES`` (SCALE.md round-7
+    entry; both alignments are equality-tested).  (A third variant
     — adjacency arrays + a 1-row label MAP + in-row mode — was A/B
     tested and REJECTED: element_at on MapType is a linear scan, 17x
     slower at |V|=20k.)  The oracle unrolls the same fixed iteration
     count as CTE stages."""
     e0 = _cooccur_edges(spark, sf_dir)
+    return _lpa_run(spark, e0, _LPA_ITERS)
+
+
+def _lpa_run(spark: SparkSession, e0: DataFrame, iters: int,
+             align: str = "auto") -> DataFrame:
+    """The synchronous-LPA loop with the alignment choice as code.
+
+    ``align``: ``broadcast`` partitions edges by the DESTINATION ``a``
+    once and broadcasts the |V|-row label frame each round — every
+    round is exchange-free.  ``shuffle`` partitions edges by the JOIN
+    key ``b``; labels shuffle into a SortMergeJoin and the round pays
+    the (a, lab) aggregation exchange — no broadcast, the web-scale
+    form.  ``auto`` counts |V| once (off the checkpointed initial
+    label frame, so nothing recomputes) and flips to ``shuffle`` past
+    ``_LPA_BROADCAST_MAX_BYTES`` of estimated label rows."""
+    if align not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown LPA alignment: {align!r}")
     edges = (e0.unionByName(e0.select(F.col("b").alias("a"),
                                       F.col("a").alias("b")))
              .select(F.col("a").cast("long").alias("a"),
                      F.col("b").cast("long").alias("b")))
-    # ONE width for the whole loop: the up-front edge partitioning (the
-    # alignment every round's aggregations inherit) and the conf-pinned
-    # residual shuffles (the initial distinct) must agree, or the round
-    # aggs re-exchange to the conf width.
-    edges = edges.repartition(_LPA_SHUFFLE_W, "a").persist()
-    labels = edges.select(F.col("a").alias("v"),
-                          F.col("a").alias("lab")).distinct()
     # Label/count frames are |V|-sized — pin the loop's shuffle width to
     # that cardinality, not CPU count (same measurement as the CC loop:
     # near-empty partitions cost per-round scheduling).  Re-measured in
@@ -563,11 +588,32 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not leak the pinned width or the persisted edges into the rest of
     # the session — same discipline as connected_components.
     spark.conf.set(conf_key, str(_LPA_SHUFFLE_W))
+    pinned: list[DataFrame] = []
     try:
-        for _ in range(_LPA_ITERS):
+        # ONE width for the whole loop: the up-front edge partitioning
+        # (the alignment every round's aggregations inherit) and the
+        # conf-pinned residual shuffles (the initial distinct) must
+        # agree, or the round aggs re-exchange to the conf width.  The
+        # initial distinct is checkpointed so the |V| count below (and
+        # round 1's build side) never recompute it; the pre-repartition
+        # edges pin so the co-occur join computes once, not twice.
+        edges = edges.persist()
+        pinned.append(edges)
+        labels = (edges.select(F.col("a").alias("v"),
+                               F.col("a").alias("lab"))
+                  .distinct().localCheckpoint(eager=True))
+        if align == "auto":
+            n_v = labels.count()
+            align = ("broadcast"
+                     if n_v * _LPA_LABEL_ROW_BYTES
+                     <= _LPA_BROADCAST_MAX_BYTES else "shuffle")
+        edges = edges.repartition(
+            _LPA_SHUFFLE_W, "a" if align == "broadcast" else "b").persist()
+        pinned.append(edges)
+        hint = F.broadcast if align == "broadcast" else (lambda df: df)
+        for _ in range(iters):
             labels = (edges
-                      .join(F.broadcast(labels.withColumnRenamed("v", "b")),
-                            "b")
+                      .join(hint(labels.withColumnRenamed("v", "b")), "b")
                       .groupBy(F.col("a").alias("v"), "lab")
                       .agg(F.count(F.lit(1)).alias("c"))
                       .groupBy("v")
@@ -584,7 +630,8 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels = labels.localCheckpoint(eager=True)
     finally:
         spark.conf.set(conf_key, prev_conf)
-        edges.unpersist()
+        for frame in pinned:
+            frame.unpersist()
     return labels.select(F.col("v").alias("node"),
                          F.col("lab").alias("community"))
 

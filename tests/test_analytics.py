@@ -226,6 +226,28 @@ def test_assign_cells_arrow_zero_norm_and_dispatch(spark, monkeypatch):
     assert "MapInPandas" not in plan._jdf.queryExecution().toString()
 
 
+def test_lpa_alignments_agree(spark):
+    """The broadcast and shuffled LPA alignments are one algorithm in
+    two physical plans (r9: the r7-measured flip is now code, selected
+    on the label-frame footprint) — identical communities, and the
+    auto path picks broadcast at fixture scale."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from conftest import SF_DIR
+
+    from ab_metadata_pusher_spark.plans.analytics_queries import (
+        _cooccur_edges, _lpa_run,
+    )
+    res = {}
+    for align in ("broadcast", "shuffle", "auto"):
+        out = _lpa_run(spark, _cooccur_edges(spark, SF_DIR), 3, align=align)
+        res[align] = sorted((r["node"], r["community"])
+                            for r in out.collect())
+    assert res["broadcast"] == res["shuffle"] == res["auto"]
+    assert len(res["auto"]) > 0
+
+
 def test_assign_clusters_tiers_agree(spark, monkeypatch):
     """assign_clusters mirrors _assign_cells' two tiers (same crossover
     constant): identical (id, cluster) picks and round-6 dists on
