@@ -3,14 +3,27 @@
 
 The interface mirrors JdbcCatalogSource so the §2.B pipeline is
 source-agnostic: ``catalog_query`` yields the same catalog_columns row
-shape (FIXTURES.md B1) from BigQuery's INFORMATION_SCHEMA.  Two read
+shape (FIXTURES.md B1) from BigQuery's INFORMATION_SCHEMA.  Three read
 paths:
 
 * ``load`` targets the public Spark BigQuery connector
-  (``spark.read.format("bigquery")``, spark-bigquery-connector) — the
-  100 TB path: reads stream over the Storage Read API, already
-  partitioned.  The connector jar is not in this container, so ``load``
-  raises a clear error until one is on the classpath.
+  (``spark.read.format("bigquery")``, spark-bigquery-connector).  The
+  connector jar is not in this container, so ``load`` raises a clear
+  error until one is on the classpath.
+* ``BigQueryStorageSource.load_storage`` — the 100 TB path WITHOUT the
+  jar: a pure-PySpark implementation of the publicly documented
+  BigQuery Storage Read API v1 wire protocol (the same API the
+  connector uses).  The driver issues ONE CreateReadSession call
+  (``POST /v1/{table=projects/*/datasets/*/tables/*}``, Arrow format,
+  selected fields + row restriction pushed down server-side); the
+  service partitions the table into N independent read streams; each
+  Spark task then reads ITS stream executor-side over ``ReadRows``
+  (``GET /v1/{stream}?offset=K``), decoding the serialized Arrow
+  record batches straight into columnar pandas via ``mapInPandas`` —
+  no driver materialization, batch-at-a-time memory, offset-resumable
+  retries.  Runs end-to-end in this sandbox against a local HTTP
+  emulator speaking the same JSON/base64 wire shape
+  (tests/test_sources.py).
 * ``load_rest`` speaks the public BigQuery REST protocol directly
   (``jobs.query`` + ``getQueryResults`` pagination, the documented v2
   JSON wire shape) and lands the result as a driver-built DataFrame.
@@ -25,16 +38,20 @@ paths:
 
 from __future__ import annotations
 
+import base64
 import json
 import time
+import urllib.error
 import urllib.request
 from dataclasses import dataclass
 from decimal import Decimal
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["BigQueryCatalogSource", "bigquery_catalog_sql",
-           "bq_schema_to_spark", "bq_rows_to_python"]
+__all__ = ["BigQueryCatalogSource", "BigQueryStorageSource",
+           "bigquery_catalog_sql", "bq_schema_to_spark",
+           "bq_rows_to_python"]
 
 
 def bigquery_catalog_sql(project: str, dataset: str,
@@ -101,7 +118,9 @@ class BigQueryCatalogSource:
             raise NotImplementedError(
                 "spark-bigquery-connector not on the classpath; add "
                 "com.google.cloud.spark:spark-bigquery-with-dependencies "
-                "to spark.jars.packages") from exc
+                "to spark.jars.packages, or use the jar-free "
+                "BigQueryStorageSource.load_storage distributed read "
+                "path") from exc
 
     def load_rest(self, spark: SparkSession,
                   endpoint: str = "https://bigquery.googleapis.com/bigquery/v2",
@@ -178,6 +197,174 @@ class BigQueryCatalogSource:
         spark_schema = bq_schema_to_spark(schema_json)
         rows = bq_rows_to_python(raw_rows, schema_json)
         return spark.createDataFrame(rows, spark_schema)
+
+
+def _read_stream_batches(endpoint: str, stream: str, token: str | None,
+                         schema_b64: str, offset: int = 0,
+                         http_timeout_sec: float = 60.0,
+                         max_attempts: int = 5,
+                         retry_backoff_sec: float = 0.25) -> Iterator:
+    """Executor-side ReadRows: yield pyarrow RecordBatches for one stream.
+
+    Speaks the documented v1 REST binding ``GET /v1/{read_stream=
+    projects/*/locations/*/sessions/*/streams/*}?offset=K``; the
+    response is the server-streamed sequence of ReadRowsResponse
+    messages as a JSON array, each carrying
+    ``arrowRecordBatch.serializedRecordBatch`` (base64 Arrow IPC
+    RecordBatch message) + ``rowCount``.  Batches decode against the
+    session's serialized Arrow schema (``schema_b64``).
+
+    Resumability is the Storage API's own contract: ``offset`` is the
+    row offset within the stream, so a transport failure retries the
+    GET from the offset of the last FULLY-DECODED batch (never
+    re-yielding rows), with exponential backoff, ``max_attempts``
+    per-position cap.  Pure stdlib + pyarrow — importable on executors
+    with no Spark objects captured.
+    """
+    import pyarrow as pa  # local import: runs inside executor workers
+
+    arrow_schema = pa.ipc.read_schema(
+        pa.py_buffer(base64.b64decode(schema_b64)))
+    headers = {"Authorization": f"Bearer {token}"} if token else {}
+    attempts = 0
+    while True:
+        url = f"{endpoint.rstrip('/')}/v1/{stream}?offset={offset}"
+        try:
+            req = urllib.request.Request(url, headers=headers)
+            with urllib.request.urlopen(req,
+                                        timeout=http_timeout_sec) as resp:
+                responses = json.loads(resp.read())
+        except (urllib.error.URLError, json.JSONDecodeError, OSError):
+            attempts += 1
+            if attempts >= max_attempts:
+                raise
+            time.sleep(retry_backoff_sec * (2 ** (attempts - 1)))
+            continue
+        attempts = 0  # progress resets the per-position retry budget
+        for msg in responses:
+            blob = msg.get("arrowRecordBatch", {}).get(
+                "serializedRecordBatch")
+            if not blob:
+                continue
+            batch = pa.ipc.read_record_batch(
+                pa.py_buffer(base64.b64decode(blob)), arrow_schema)
+            offset += batch.num_rows
+            yield batch
+        return
+
+
+@dataclass
+class BigQueryStorageSource:
+    """Distributed BigQuery table read over the Storage Read API v1
+    REST protocol — the 100 TB read path, pure PySpark (no connector
+    jar).
+
+    Same split model as the official spark-bigquery-connector: ONE
+    driver-side ``CreateReadSession`` asks the service to partition the
+    table into up to ``max_stream_count`` independent streams (with
+    column projection + ``row_restriction`` predicate pushed down
+    server-side, so executors never see dropped columns/rows); the
+    session's stream list becomes an N-row DataFrame repartitioned to
+    one stream per task, and ``mapInPandas`` turns each task into an
+    Arrow-native ReadRows consumer (:func:`_read_stream_batches`).
+    Scale properties: driver state is O(streams); executor memory is
+    one record batch at a time; a lost task re-reads only its own
+    stream (offset-resumable); no shuffle — the read lands already
+    partitioned.
+
+    SURVEY.md §2.A A7 (reference README.md:53 roadmap row).
+    """
+
+    project: str
+    dataset: str
+    table: str
+    selected_fields: tuple[str, ...] = ()
+    row_restriction: str = ""
+
+    @property
+    def table_path(self) -> str:
+        return (f"projects/{self.project}/datasets/{self.dataset}"
+                f"/tables/{self.table}")
+
+    def create_read_session(
+            self, endpoint: str, token: str | None = None,
+            max_stream_count: int = 0,
+            http_timeout_sec: float = 60.0) -> dict:
+        """Driver-side ``CreateReadSession`` (documented REST binding
+        ``POST /v1/{read_session.table=projects/*/datasets/*/tables/*}``).
+
+        Returns the ReadSession JSON: ``name``,
+        ``arrowSchema.serializedSchema`` (base64 Arrow IPC schema) and
+        ``streams[].name``.  ``max_stream_count=0`` lets the service
+        pick (its contract); Spark callers pass their parallelism.
+        """
+        body = {
+            "readSession": {
+                "table": self.table_path,
+                "dataFormat": "ARROW",
+                "readOptions": {
+                    "selectedFields": list(self.selected_fields),
+                    "rowRestriction": self.row_restriction,
+                },
+            },
+            "maxStreamCount": max_stream_count,
+        }
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        url = f"{endpoint.rstrip('/')}/v1/{self.table_path}"
+        req = urllib.request.Request(url, data=json.dumps(body).encode(),
+                                     headers=headers, method="POST")
+        with urllib.request.urlopen(req, timeout=http_timeout_sec) as resp:
+            return json.loads(resp.read())
+
+    def load_storage(self, spark: SparkSession, endpoint: str,
+                     token: str | None = None,
+                     max_stream_count: int | None = None,
+                     http_timeout_sec: float = 60.0,
+                     max_attempts: int = 5) -> DataFrame:
+        """Read the table as a DataFrame partitioned one-task-per-stream.
+
+        The returned frame's schema comes from the session's Arrow
+        schema (``prefer_timestamp_ntz`` — wire instants are zoneless
+        Arrow values, and NTZ keeps them identical under any session
+        timezone, the same hostile-env discipline as ``load_rest``).
+        """
+        from pyspark.sql.pandas.types import from_arrow_schema
+        import pyarrow as pa
+
+        if max_stream_count is None:
+            max_stream_count = spark.sparkContext.defaultParallelism
+        session = self.create_read_session(
+            endpoint, token, max_stream_count, http_timeout_sec)
+        schema_b64 = session["arrowSchema"]["serializedSchema"]
+        arrow_schema = pa.ipc.read_schema(
+            pa.py_buffer(base64.b64decode(schema_b64)))
+        spark_schema = from_arrow_schema(arrow_schema,
+                                         prefer_timestamp_ntz=True)
+        streams = [s["name"] for s in session.get("streams", [])]
+        if not streams:  # empty table: session legitimately has 0 streams
+            return spark.createDataFrame([], spark_schema)
+
+        # plain locals only — the closure ships to executor workers
+        _endpoint, _token, _timeout, _retries = (
+            endpoint, token, http_timeout_sec, max_attempts)
+
+        def read_streams(parts: Iterator) -> Iterator:
+            for pdf in parts:
+                for stream in pdf["stream_name"]:
+                    for batch in _read_stream_batches(
+                            _endpoint, stream, _token, schema_b64,
+                            http_timeout_sec=_timeout,
+                            max_attempts=_retries):
+                        yield batch.to_pandas()
+
+        stream_df = spark.createDataFrame(
+            [(s,) for s in streams], "stream_name string")
+        # round-robin repartition of exactly N rows into N partitions:
+        # one stream per task, the connector's own placement
+        return (stream_df.repartition(len(streams))
+                .mapInPandas(read_streams, schema=spark_schema))
 
 
 #: BigQuery scalar type -> (Spark DDL type, string-wire decoder).

@@ -633,3 +633,198 @@ def test_bigquery_rest_polls_with_timeout_and_backoff(monkeypatch):
     assert rows == [("ok",)] and ddl == "`s` string"
     assert seen_timeouts == [7.5, 7.5, 7.5]
     assert sleeps == [0.25, 0.5]  # exponential, per incomplete poll
+
+
+# ---------------------------------------------------------------------------
+# A7, the 100 TB path: Storage Read API v1 over live local HTTP
+# ---------------------------------------------------------------------------
+
+def _storage_emulator(parquet_path, n_streams, batch_rows, calls,
+                      fail_first_get_on=None, require_token=None):
+    """A local HTTP server speaking the documented Storage Read API v1
+    REST wire shape: CreateReadSession (``POST /v1/{table}``) answers
+    with a session whose Arrow schema + stream names cover
+    ``parquet_path`` split into ``n_streams`` row ranges (selected
+    fields projected, rowRestriction applied — the server-side pushdown
+    the real service performs); ReadRows (``GET /v1/{stream}?offset=K``)
+    streams each range back as base64 Arrow IPC record batches of
+    ``batch_rows`` rows.  ``fail_first_get_on`` injects one 503 on that
+    stream index to prove the client's offset-resume retry."""
+    import json as _json
+    import base64 as _b64
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import urlparse, parse_qs
+
+    import duckdb as _duckdb
+
+    state = {"splits": None, "schema": None, "failed_once": set()}
+
+    class StorageHandler(BaseHTTPRequestHandler):
+        def _reply(self, payload, code=200):
+            body = _json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _auth_ok(self):
+            if require_token is None:
+                return True
+            return (self.headers.get("Authorization")
+                    == f"Bearer {require_token}")
+
+        def do_POST(self):
+            req = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            calls.append(("POST", self.path, req))
+            if not self._auth_ok():
+                return self._reply({"error": {"code": 401}}, code=401)
+            rs = req["readSession"]
+            assert rs["dataFormat"] == "ARROW"
+            opts = rs.get("readOptions", {})
+            cols = ", ".join(opts.get("selectedFields") or ["*"])
+            where = opts.get("rowRestriction") or "TRUE"
+            tbl = _duckdb.query(
+                f"SELECT {cols} FROM read_parquet('{parquet_path}') "
+                f"WHERE {where}").arrow().combine_chunks()
+            n = min(max(req.get("maxStreamCount") or n_streams, 1),
+                    n_streams)
+            per = -(-tbl.num_rows // n) if tbl.num_rows else 1
+            state["splits"] = [tbl.slice(i * per, per) for i in range(n)
+                               if i * per < tbl.num_rows]
+            state["schema"] = tbl.schema
+            name = "projects/p/locations/us/sessions/s1"
+            self._reply({
+                "name": name,
+                "dataFormat": "ARROW",
+                "arrowSchema": {"serializedSchema": _b64.b64encode(
+                    tbl.schema.serialize().to_pybytes()).decode()},
+                "streams": [{"name": f"{name}/streams/{i}"}
+                            for i in range(len(state["splits"]))],
+            })
+
+        def do_GET(self):
+            parsed = urlparse(self.path)
+            offset = int(parse_qs(parsed.query).get("offset", ["0"])[0])
+            calls.append(("GET", parsed.path, offset))
+            if not self._auth_ok():
+                return self._reply({"error": {"code": 401}}, code=401)
+            idx = int(parsed.path.rsplit("/", 1)[1])
+            if (fail_first_get_on == idx
+                    and idx not in state["failed_once"]):
+                state["failed_once"].add(idx)
+                return self._reply({"error": {"code": 503}}, code=503)
+            split = state["splits"][idx].slice(offset)
+            out = []
+            for start in range(0, split.num_rows, batch_rows):
+                b = split.slice(start, batch_rows).to_batches()
+                assert len(b) == 1
+                out.append({
+                    "arrowRecordBatch": {"serializedRecordBatch":
+                        _b64.b64encode(
+                            b[0].serialize().to_pybytes()).decode()},
+                    "rowCount": str(b[0].num_rows)})
+            self._reply(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), StorageHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_bigquery_storage_read_distributed_live_http(spark, sf_dir):
+    """A7 100 TB path, end-to-end in-sandbox: CreateReadSession splits
+    orders into 4 streams; executors read their streams over live HTTP
+    (one injected 503 proves the offset-resume retry), decode Arrow
+    batches, and the landed frame equals the parquet read under the
+    pushed-down projection + restriction."""
+    from ab_metadata_pusher_spark.sources.bigquery import (
+        BigQueryStorageSource)
+
+    calls = []
+    srv = _storage_emulator(f"{sf_dir}/orders.parquet", n_streams=4,
+                            batch_rows=100, calls=calls,
+                            fail_first_get_on=1, require_token="tok-7")
+    try:
+        src = BigQueryStorageSource(
+            project="p", dataset="d", table="orders",
+            selected_fields=("o_orderkey", "o_totalprice", "o_orderdate"),
+            row_restriction="o_totalprice > 150000")
+        df = src.load_storage(
+            spark, endpoint=f"http://127.0.0.1:{srv.server_address[1]}",
+            token="tok-7", max_stream_count=4)
+        # one stream per task, landed already partitioned — no shuffle
+        assert df.rdd.getNumPartitions() == 4
+        got = sorted(tuple(r) for r in df.collect())
+    finally:
+        srv.shutdown()
+
+    exp_df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where("o_totalprice > 150000")
+              .selectExpr("o_orderkey", "o_totalprice",
+                          "CAST(o_orderdate AS timestamp_ntz)"))
+    assert df.schema == exp_df.schema
+    exp = sorted(tuple(r) for r in exp_df.collect())
+    assert got == exp and len(got) > 100
+
+    # wire shape: 1 POST; the stream-1 503 forces exactly one retry GET
+    posts = [c for c in calls if c[0] == "POST"]
+    gets = [c for c in calls if c[0] == "GET"]
+    assert len(posts) == 1
+    assert posts[0][2]["readSession"]["readOptions"]["rowRestriction"] == \
+        "o_totalprice > 150000"
+    assert len(gets) == 5
+    retried = [c for c in gets if c[1].endswith("/streams/1")]
+    assert [off for _, _, off in retried] == [0, 0]  # 503 then resume@0
+
+
+def test_bigquery_storage_readrows_offset_resumes_mid_stream(sf_dir):
+    """The offset contract itself: a nonzero ``offset`` skips exactly
+    the rows already consumed (the Storage API's documented resume
+    semantics), and batches decode against the session schema."""
+    from ab_metadata_pusher_spark.sources.bigquery import (
+        BigQueryStorageSource, _read_stream_batches)
+
+    calls = []
+    srv = _storage_emulator(f"{sf_dir}/orders.parquet", n_streams=1,
+                            batch_rows=64, calls=calls)
+    try:
+        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+        src = BigQueryStorageSource(project="p", dataset="d",
+                                    table="orders")
+        session = src.create_read_session(endpoint, max_stream_count=1)
+        schema_b64 = session["arrowSchema"]["serializedSchema"]
+        stream = session["streams"][0]["name"]
+        full = [b.num_rows for b in _read_stream_batches(
+            endpoint, stream, None, schema_b64)]
+        resumed = sum(b.num_rows for b in _read_stream_batches(
+            endpoint, stream, None, schema_b64, offset=1400))
+    finally:
+        srv.shutdown()
+    assert sum(full) == 1500 and full[0] == 64
+    assert resumed == 100
+
+
+def test_bigquery_storage_empty_result_yields_empty_frame(spark, sf_dir):
+    """A restriction matching nothing: the session has zero streams and
+    load_storage returns an empty frame with the session schema."""
+    from ab_metadata_pusher_spark.sources.bigquery import (
+        BigQueryStorageSource)
+
+    srv = _storage_emulator(f"{sf_dir}/orders.parquet", n_streams=2,
+                            batch_rows=64, calls=[])
+    try:
+        src = BigQueryStorageSource(project="p", dataset="d",
+                                    table="orders",
+                                    selected_fields=("o_orderkey",),
+                                    row_restriction="o_orderkey < 0")
+        df = src.load_storage(
+            spark, endpoint=f"http://127.0.0.1:{srv.server_address[1]}")
+        assert df.columns == ["o_orderkey"]
+        assert df.count() == 0
+    finally:
+        srv.shutdown()
