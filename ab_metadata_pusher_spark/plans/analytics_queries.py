@@ -328,11 +328,11 @@ SELECT (SELECT count(*) FROM (SELECT a FROM e UNION SELECT b FROM e)) AS n_nodes
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the part co-occurrence graph via the
-    node-iterator-with-orientation algorithm: canonically orient edges
-    (a < b), build each node's sorted out-neighbor list ONCE, then for
-    every edge (a, b) count |N+(a) ∩ N+(b)| with array_intersect — each
-    triangle a<b<c counted exactly once at its smallest vertex.  The
-    oracle states the naive three-way wedge self-join instead —
+    node-iterator-with-orientation algorithm: canonically orient edges,
+    build each node's sorted out-neighbor list ONCE, then for every
+    edge (a, b) count |N+(a) ∩ N+(b)| with array_intersect — each
+    triangle counted exactly once at its orientation-smallest vertex.
+    The oracle states the naive three-way wedge self-join instead —
     different algorithm, same count.
 
     The adjacency form never materializes wedges: the wedge join's
@@ -342,9 +342,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-order pair expansion (collect_set dedupes cross-order
     repeats), so the only corpus-sized shuffle is that one groupBy — the
     edge list is derived by exploding the (cached, node-count-sized)
-    adjacency, never shuffled or deduplicated separately.  At 100 TB:
-    orient by (degree, id) instead of id so every out-list is ≤ O(√m),
-    cap/salt residual hubs."""
+    adjacency, never shuffled or deduplicated separately.  The hub
+    safety valve — reorient by (degree, id) so every out-list is
+    ≤ O(√(2m)) — is CODE, not prose: see :func:`_triangles_run`."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     per = (li.groupBy("l_orderkey")
            .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
@@ -353,6 +353,53 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("ps", i + F.lit(2), F.size("ps")),
             lambda y: F.struct(x.alias("a"), y.alias("b")))))).alias("p")) \
         .select("p.a", "p.b")
+    return _triangles_run(spark, pairs)
+
+
+#: Orientation flip for the triangle intersect stage: with id
+#: orientation a hub keeps its whole forward neighborhood in ONE
+#: out-list, so the per-edge intersect degrades toward O(n); the
+#: (degree, id) total order bounds every out-list by O(√(2m)) (an edge
+#: leaves a node only toward HIGHER-degree ends, and at most √(2m)
+#: nodes have degree ≥ √(2m)).  The reorientation costs two |E|-row
+#: aggregation exchanges on top of the one corpus-sized shuffle, so it
+#: only pays once real skew exists: flip when the longest out-list
+#: exceeds this factor × √(2m).  Measured at factor 4
+#: (scripts/triangle_orientation_probe.py, min-of-3 warm): the
+#: mildly-skewed sf0.1 fixture stays id (max out-list 199 vs bound
+#: 6186; the degree form would cost 1.6× THERE — the flip being
+#: conditional is the point), while hub-concentrated power-law graphs
+#: flip and win 1.9× at |V|=5e4 (max out-list 21187 vs bound 5633) and
+#: 8.0× at |V|=2e5 (58027 vs 11294; 37.9 s → 4.7 s).  SCALE.md round-9.
+_TRI_HUB_FACTOR = 4.0
+
+
+def _pick_orientation(max_out: int | None, m: int | None) -> str:
+    """The auto flip itself: ``degree`` once the longest id-oriented
+    out-list exceeds ``_TRI_HUB_FACTOR``·√(2m), else ``id`` (including
+    the empty graph, where both scalars are NULL)."""
+    if not max_out or not m:
+        return "id"
+    return "degree" if max_out > _TRI_HUB_FACTOR * (2 * m) ** 0.5 else "id"
+
+
+def _triangles_run(spark: SparkSession, pairs: DataFrame,
+                   orientation: str = "auto") -> DataFrame:
+    """Oriented-adjacency triangle count with the hub flip as code.
+
+    ``pairs`` are (a, b) id-ascending co-occurrence pairs (cross-pair
+    duplicates allowed — the adjacency groupBy dedupes).  ``orientation``:
+    ``id`` intersects the id-oriented out-lists directly; ``degree``
+    reorients every edge toward its (degree, id)-greater end first —
+    two extra |E|-row exchanges buy out-lists bounded by O(√(2m)) under
+    ANY skew; ``auto`` reads the two scalars the flip needs (longest
+    out-list, Σ out-degrees = m) off the already-materialized id
+    adjacency — one cached |V|-row aggregate — and flips past
+    ``_TRI_HUB_FACTOR``·√(2m).  All three orientations are
+    equality-tested (tests/test_analytics.py); the returned triple is
+    orientation-invariant."""
+    if orientation not in ("auto", "id", "degree"):
+        raise ValueError(f"unknown triangle orientation: {orientation!r}")
     adj_build = (pairs.groupBy("a")
                  .agg(F.sort_array(F.collect_set("b")).alias("nbrs")))
     adj = materialize_shared(adj_build)
@@ -361,9 +408,39 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (e.select(F.col("a").alias("n"))
              .union(e.select("b")).distinct()
              .agg(F.count(F.lit(1)).alias("n_nodes")))
-    tri = (e.join(adj.select(F.col("a"), F.col("nbrs").alias("na")), "a")
-           .join(adj.select(F.col("a").alias("b"),
-                            F.col("nbrs").alias("nb")), "b")
+    if orientation == "auto":
+        sig = adj.agg(F.max(F.size("nbrs")).alias("mx"),
+                      F.sum(F.size("nbrs")).alias("m")).first()
+        orientation = _pick_orientation(sig["mx"], sig["m"])
+    if orientation == "degree":
+        # symmetric degree = out + in of the id orientation; both are
+        # |E|->|V| map-side-combinable aggregates off the cached frame
+        deg = (e.select(F.col("a").alias("v"))
+               .unionByName(e.select(F.col("b").alias("v")))
+               .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+        # no broadcast hint on deg: this branch exists for graphs whose
+        # |V| outgrows a build side — AQE still broadcasts when small
+        oriented = (e
+                    .join(deg.select(F.col("v").alias("a"),
+                                     F.col("d").alias("da")), "a")
+                    .join(deg.select(F.col("v").alias("b"),
+                                     F.col("d").alias("db")), "b")
+                    .select(F.when(F.struct("da", "a") < F.struct("db", "b"),
+                                   F.struct(F.col("a").alias("s"),
+                                            F.col("b").alias("t")))
+                            .otherwise(F.struct(F.col("b").alias("s"),
+                                                F.col("a").alias("t")))
+                            .alias("st"))
+                    .select("st.s", "st.t"))
+        adj2_build = (oriented.groupBy(F.col("s").alias("a"))
+                      .agg(F.sort_array(F.collect_set("t")).alias("nbrs")))
+        adj2 = materialize_shared(adj2_build)
+        e2 = adj2.select("a", F.explode("nbrs").alias("b"))
+    else:
+        adj2, e2 = adj, e
+    tri = (e2.join(adj2.select(F.col("a"), F.col("nbrs").alias("na")), "a")
+           .join(adj2.select(F.col("a").alias("b"),
+                             F.col("nbrs").alias("nb")), "b")
            .agg(F.sum(F.size(F.array_intersect("na", "nb")))
                 .alias("n_triangles")))
     return nodes.crossJoin(n_edges).crossJoin(tri)

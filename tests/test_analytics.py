@@ -348,3 +348,49 @@ def test_expectations_split_and_report_agree(spark):
     import pytest as _p
     with _p.raises(ValueError):
         apply_expectations(df, {})
+
+
+def test_triangle_orientations_agree_on_hub_graph(spark):
+    """The id and (degree, id) orientations are one algorithm in two
+    physical plans (r9: the SCALE.md hub prose is now code): identical
+    (n_nodes, n_edges, n_triangles) on a hub-dominated graph where the
+    id orientation hands node 0 the whole forward neighborhood, and
+    both match the brute-force count."""
+    from itertools import combinations
+
+    from ab_metadata_pusher_spark.plans.analytics_queries import (
+        _triangles_run)
+
+    n = 120
+    # hub 0 -- every ring node, plus the ring itself (i, i+1)
+    und = {(0, i) for i in range(1, n)}
+    und |= {(min(i, i % (n - 1) + 1), max(i, i % (n - 1) + 1))
+            for i in range(1, n)}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = sum(1 for x, y, z in combinations(sorted(adj), 3)
+                   if y in adj[x] and z in adj[x] and z in adj[y])
+    pairs = spark.createDataFrame(sorted(und), "a bigint, b bigint")
+
+    res = {}
+    for orientation in ("id", "degree", "auto"):
+        row = _triangles_run(spark, pairs, orientation).collect()[0]
+        res[orientation] = (row["n_nodes"], row["n_edges"],
+                            row["n_triangles"])
+    assert res["id"] == res["degree"] == res["auto"] == \
+        (len(adj), len(und), expected)
+
+
+def test_triangle_orientation_flip_threshold():
+    """The flip is the documented resource rule: degree orientation only
+    past _TRI_HUB_FACTOR x sqrt(2m); NULL scalars (empty graph) stay id."""
+    from ab_metadata_pusher_spark.plans.analytics_queries import (
+        _TRI_HUB_FACTOR, _pick_orientation)
+
+    m = 5000  # sqrt(2m) = 100
+    assert _pick_orientation(None, None) == "id"
+    assert _pick_orientation(0, 0) == "id"
+    assert _pick_orientation(int(_TRI_HUB_FACTOR * 100), m) == "id"
+    assert _pick_orientation(int(_TRI_HUB_FACTOR * 100) + 1, m) == "degree"
