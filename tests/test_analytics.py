@@ -394,3 +394,34 @@ def test_triangle_orientation_flip_threshold():
     assert _pick_orientation(0, 0) == "id"
     assert _pick_orientation(int(_TRI_HUB_FACTOR * 100), m) == "id"
     assert _pick_orientation(int(_TRI_HUB_FACTOR * 100) + 1, m) == "degree"
+
+
+def test_double_array_lit_bit_exact_over_adversarial_doubles(spark):
+    """The literal path's whole contract is BIT-exactness: repr() is
+    the shortest round-trip form and Spark's parse must recover the
+    identical IEEE-754 bits, or centroid/LSH consumers drift from
+    their oracles.  Checked over the classic parser-hostile doubles
+    (subnormals incl. the 2.2250738585072011e-308 hang value, -0.0,
+    max/min normals, 2^53 neighbors) plus 200 seeded random bit
+    patterns — one Spark action for the whole corpus."""
+    import random
+    import struct
+
+    from ab_metadata_pusher_spark.operators._shared import double_array_lit
+
+    edge = [0.0, -0.0, 5e-324, -5e-324, 2.2250738585072011e-308,
+            2.2250738585072014e-308, 1.7976931348623157e308,
+            -1.7976931348623157e308, 2.0**53, 2.0**53 + 2, 2.0**53 - 1,
+            1e-310, 0.1 + 0.2, 1 / 3, -1e16 - 1]
+    rng = random.Random(0xD0B1E5)
+    raw = [struct.unpack("<d", struct.pack("<Q", rng.getrandbits(64)))[0]
+           for _ in range(200)]
+    vals = edge + [v for v in raw if v == v and abs(v) != float("inf")]
+
+    got = spark.range(1).select(
+        double_array_lit(vals).alias("a")).first()["a"]
+    bits = lambda x: struct.pack("<d", x)  # noqa: E731 — -0.0 vs 0.0 visible
+    assert len(got) == len(vals)
+    mismatches = [(v, g) for v, g in zip(vals, got)
+                  if bits(v) != bits(g)]
+    assert mismatches == []
