@@ -473,7 +473,15 @@ def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: cache the edge frame once (reused every step), partition
     it by src so each frontier join co-locates, and checkpoint the
-    visited set every few steps to cut lineage depth."""
+    visited set every few steps to cut lineage depth.  The
+    frontier/visited build sides broadcast only WITHIN the
+    :func:`_nodeset_hint` budget (decided per step from the counts the
+    checkpoint discipline already pays for): a 3-hop neighborhood on a
+    dense 100 TB graph saturates toward |V|, at which point the
+    anti-join flips to its shuffled form instead of OOMing the build —
+    while the explicit hint below the budget still stops the planner
+    ever guessing the 2|E| edge side small (its join-output size
+    estimates are unreliable)."""
     eh = _cooccur_edges(spark, sf_dir)
     edges = (eh.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .union(eh.select(F.col("b"), F.col("a"))).cache())
@@ -482,17 +490,16 @@ def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col("p_partkey").alias("node"),
                         F.lit(0).alias("dist")))
     visited = frontier
+    n_visited = 1
+    n_frontier = 1
     for step in (1, 2, 3):
-        # frontier and visited are node-sized (tiny next to the edge
-        # list) — broadcast them EXPLICITLY so the planner never
-        # guesses the edge side small (its size estimate for a join
-        # output is unreliable, and broadcasting 2|E| rows OOMs).
-        frontier = (edges.join(F.broadcast(frontier),
+        frontier = (edges.join(_nodeset_hint(n_frontier, 24)(frontier),
                                edges.src == frontier.node)
                     .select(F.col("dst").alias("node"),
                             F.lit(step).alias("dist"))
                     .distinct()
-                    .join(F.broadcast(visited), "node", "left_anti"))
+                    .join(_nodeset_hint(n_visited, 24)(visited),
+                          "node", "left_anti"))
         # each step's frontier feeds TWO consumers (next anti-join +
         # visited union); checkpointing it keeps lineage depth constant
         # per step instead of nesting every prior step's join chain
@@ -501,6 +508,9 @@ def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # max_steps-bound loop.
         capture_plan_segment(frontier)
         frontier = frontier.localCheckpoint(eager=True)
+        # count over the just-checkpointed blocks — no recompute
+        n_frontier = frontier.count()
+        n_visited += n_frontier
         visited = visited.union(frontier)
     return visited
 
@@ -828,11 +838,14 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
              .agg(F.count(F.lit(1)).alias("n_common")))
     cand = wedge.join(edges, ["a", "b"], "left_anti")
+    # deg is |V|-keyed: broadcast only within the node-set budget
+    # (|V| bounded above by the part dimension -- a metadata-cheap count)
+    hint = _nodeset_hint(_t(spark, sf_dir, "part").count(), 24)
     return (cand
-            .join(F.broadcast(deg.select(F.col("v").alias("a"),
-                                         F.col("d").alias("da"))), "a")
-            .join(F.broadcast(deg.select(F.col("v").alias("b"),
-                                         F.col("d").alias("db"))), "b")
+            .join(hint(deg.select(F.col("v").alias("a"),
+                                  F.col("d").alias("da"))), "a")
+            .join(hint(deg.select(F.col("v").alias("b"),
+                                  F.col("d").alias("db"))), "b")
             .select("a", "b", "n_common",
                     # 4-decimal score via half-up INTEGER division on
                     # exact counts (the containment_pairs discipline):
@@ -916,11 +929,14 @@ def q_graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFram
              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
              .agg(F.count(F.lit(1)).alias("n_common")))
     cand = wedge.join(edges, ["a", "b"], "left_anti")
+    # deg is |V|-keyed: broadcast only within the node-set budget
+    # (|V| bounded above by the part dimension -- a metadata-cheap count)
+    hint = _nodeset_hint(_t(spark, sf_dir, "part").count(), 24)
     return (cand
-            .join(F.broadcast(deg.select(F.col("v").alias("a"),
-                                         F.col("d").alias("da"))), "a")
-            .join(F.broadcast(deg.select(F.col("v").alias("b"),
-                                         F.col("d").alias("db"))), "b")
+            .join(hint(deg.select(F.col("v").alias("a"),
+                                  F.col("d").alias("da"))), "a")
+            .join(hint(deg.select(F.col("v").alias("b"),
+                                  F.col("d").alias("db"))), "b")
             .select("a", "b", "n_common",
                     # 4-decimal score via half-up INTEGER division on
                     # exact counts (the containment_pairs discipline):
@@ -942,6 +958,25 @@ def q_graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFram
 _KCORE_K = 2
 _KCORE_MIN_W = 2
 _KCORE_ROUNDS = 10
+#: Per-step broadcast budget for node-set build sides inside the
+#: iterative graph loops (k-core survivors, BFS frontier/visited) —
+#: the same resource rule as the LPA alignment flip
+#: (_LPA_BROADCAST_MAX_BYTES), but decided PER STEP and for free:
+#: each loop already pays a count on the set (fixpoint test /
+#: checkpointed frontier), so a 100 TB graph starts on shuffled
+#: joins where the set is |V|-near (k-core round 1, a saturated BFS
+#: visited set) and drops to broadcast exactly when the count fits
+#: the budget.  Row-byte estimates include hashed-relation slack:
+#: single-long sets ~16 B, (long, int) rows ~24 B.
+_NODESET_BROADCAST_MAX_BYTES = 512 << 20
+
+
+def _nodeset_hint(n_rows: int, row_bytes: int = 16):
+    """The flip itself: F.broadcast below the budget, identity above
+    (shuffled join — SMJ/SHJ on the set's key)."""
+    if n_rows * row_bytes <= _NODESET_BROADCAST_MAX_BYTES:
+        return F.broadcast
+    return lambda df: df
 
 
 def _kcore_oracle(k: int, min_w: int, rounds: int) -> str:
@@ -987,16 +1022,21 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Peeling is a Pregel-style loop of two |V|-sized steps: degree count
     (one map-side-combined groupBy over the CURRENT edge set) and edge
-    restriction (two semi-joins against the survivor set — broadcast at
-    every realistic k, since survivors only shrink).  Edges start df-
-    gated by the min-weight threshold, the loop early-exits when the
-    survivor count is stable (further rounds provably no-op, so the
-    result equals the oracle's fixed {rounds}-round unroll), and each
-    round ends in an eager localCheckpoint so round r's broadcast build
-    never re-executes rounds 1..r-1 — same discipline as the LPA and CC
-    loops.  At 100 TB: k-core peeling touches only |V|+|E| per round and
-    the round count is bounded by the degeneracy ordering depth; salt
-    the degree groupBy if a hub key dominates."""
+    restriction (two semi-joins against the survivor set).  The
+    semi-join alignment is decided PER ROUND from the survivor count
+    the fixpoint test already pays for (:func:`_nodeset_hint` —
+    broadcast within the 512 MiB budget, shuffled above it): round 1
+    of a 100 TB graph keeps nearly |V| survivors, far past any build
+    side, then the monotone shrink crosses into broadcast territory
+    and later rounds go exchange-free on the survivor side.  Edges
+    start df-gated by the min-weight threshold, the loop early-exits
+    when the survivor count is stable (further rounds provably no-op,
+    so the result equals the oracle's fixed {rounds}-round unroll), and
+    each round ends in an eager localCheckpoint so round r's semi-join
+    build never re-executes rounds 1..r-1 — same discipline as the LPA
+    and CC loops.  At 100 TB: k-core peeling touches only |V|+|E| per
+    round and the round count is bounded by the degeneracy ordering
+    depth; salt the degree groupBy if a hub key dominates."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     per = (li.groupBy("l_orderkey")
            .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
@@ -1029,10 +1069,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             if n == prev_nodes:
                 break  # fixpoint: every further round is an identity map
             prev_nodes = n
+            hint = _nodeset_hint(n)
             edges = (edges
-                     .join(F.broadcast(keep.withColumnRenamed("s", "a")),
+                     .join(hint(keep.withColumnRenamed("s", "a")),
                            "a", "semi")
-                     .join(F.broadcast(keep.withColumnRenamed("s", "b")),
+                     .join(hint(keep.withColumnRenamed("s", "b")),
                            "b", "semi"))
             capture_plan_segment(edges)
             edges = edges.localCheckpoint(eager=True)
@@ -1734,8 +1775,10 @@ def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair counts reuse the per-order sorted-array expansion (one
     groupBy shuffle, no fact self-join — the oracle states the
-    self-join); the margin frames broadcast.  Ties in the top-20 cut
-    break on the pair key, deterministic in both engines.
+    self-join); the margin frames broadcast within the
+    :func:`_nodeset_hint` budget (they are |parts|-keyed — a dimension
+    that outgrows a build side at extreme scale).  Ties in the top-20
+    cut break on the pair key, deterministic in both engines.
 
     EVERYTHING derives from the per-order distinct-part arrays: the
     pair expansion, the per-part supports (explode — identical to
@@ -1758,11 +1801,13 @@ def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = (per.select(F.explode("ps").alias("l_partkey"))
            .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s")))
     n = per.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    # sup is |parts|-keyed: broadcast only within the node-set budget
+    hint = _nodeset_hint(_t(spark, sf_dir, "part").count(), 24)
     return (pairs
-            .join(F.broadcast(sup.select(F.col("l_partkey").alias("pa"),
-                                         F.col("s").alias("sa"))), "pa")
-            .join(F.broadcast(sup.select(F.col("l_partkey").alias("pb"),
-                                         F.col("s").alias("sb"))), "pb")
+            .join(hint(sup.select(F.col("l_partkey").alias("pa"),
+                                  F.col("s").alias("sa"))), "pa")
+            .join(hint(sup.select(F.col("l_partkey").alias("pb"),
+                                  F.col("s").alias("sb"))), "pb")
             .crossJoin(F.broadcast(n))
             .select("pa", "pb", F.col("s_ab").alias("support"),
                     F.round(F.col("s_ab") / F.col("sa").cast("double"), 4)

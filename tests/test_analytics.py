@@ -425,3 +425,53 @@ def test_double_array_lit_bit_exact_over_adversarial_doubles(spark):
     mismatches = [(v, g) for v, g in zip(vals, got)
                   if bits(v) != bits(g)]
     assert mismatches == []
+
+
+def test_kcore_survivor_alignments_agree(spark, monkeypatch):
+    """The broadcast and shuffled survivor semi-joins are one peel in
+    two physical plans (r9: the per-round flip rides the fixpoint
+    count): forcing the above-budget path (as a 100 TB round-1 survivor
+    set would) yields the identical core."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from conftest import SF_DIR
+
+    from ab_metadata_pusher_spark.plans import analytics_queries as aq
+
+    base = sorted((r["node"], r["core_degree"]) for r in
+                  aq.q_graph_kcore(spark, SF_DIR).collect())
+    monkeypatch.setattr(aq, "_NODESET_BROADCAST_MAX_BYTES", 0)
+    shuffled = sorted((r["node"], r["core_degree"]) for r in
+                      aq.q_graph_kcore(spark, SF_DIR).collect())
+    assert base == shuffled and len(base) > 0
+
+
+def test_nodeset_hint_threshold():
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.plans.analytics_queries import (
+        _NODESET_BROADCAST_MAX_BYTES, _nodeset_hint)
+
+    fit = _NODESET_BROADCAST_MAX_BYTES // 16
+    assert _nodeset_hint(fit) is F.broadcast
+    assert _nodeset_hint(fit + 1) is not F.broadcast
+    assert _nodeset_hint(fit, row_bytes=24) is not F.broadcast
+
+
+def test_bfs_alignments_agree(spark, monkeypatch):
+    """Forcing the above-budget path (a saturated 100 TB visited set)
+    yields identical BFS distances to the broadcast plan."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from conftest import SF_DIR
+
+    from ab_metadata_pusher_spark.plans import analytics_queries as aq
+
+    base = sorted((r["node"], r["dist"]) for r in
+                  aq.q_graph_bfs_distance(spark, SF_DIR).collect())
+    monkeypatch.setattr(aq, "_NODESET_BROADCAST_MAX_BYTES", 0)
+    shuffled = sorted((r["node"], r["dist"]) for r in
+                      aq.q_graph_bfs_distance(spark, SF_DIR).collect())
+    assert base == shuffled and len(base) > 1
