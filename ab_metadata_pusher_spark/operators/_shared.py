@@ -153,6 +153,42 @@ def release_materialized(spark=None) -> int:
     return released
 
 
+#: Per-step broadcast budget for node-set build sides inside iterative
+#: graph loops and |V|-keyed margin joins (the LPA alignment flip's
+#: resource rule, generalized): a set that fits the budget broadcasts;
+#: past it the join falls back to its shuffled form instead of OOMing
+#: the build side.  Row-byte estimates include hashed-relation slack:
+#: single-long sets ~16 B, (long, int/long) rows ~24 B, string-keyed
+#: rank rows ~64 B.
+NODESET_BROADCAST_MAX_BYTES = 512 << 20
+
+
+def nodeset_hint(n_rows: int, row_bytes: int = 16):
+    """F.broadcast below the budget, identity above (shuffled join)."""
+    from pyspark.sql import functions as F
+
+    if n_rows * row_bytes <= NODESET_BROADCAST_MAX_BYTES:
+        return F.broadcast
+    return lambda df: df
+
+
+def parquet_rowcount(path: str) -> int:
+    """Exact row count from parquet FOOTER metadata — a driver-side
+    file read, never a Spark job.  Exists so plan-construction-time
+    size decisions (nodeset_hint bounds) stay compatible with the
+    lazy-construction contract (tests/test_plan_shapes.py): Spark's own
+    scan planning reads the same footers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                   for f in sorted(os.listdir(path))
+                   if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def double_sql(v) -> str:
     """One double as a Spark-SQL-parseable literal fragment.
 

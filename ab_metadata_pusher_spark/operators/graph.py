@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ab_metadata_pusher_spark.observability import capture_plan_segment
+from ab_metadata_pusher_spark.operators._shared import nodeset_hint
 
 __all__ = [
     "table_key", "column_key", "to_nodes", "to_relations",
@@ -223,7 +224,7 @@ def graph_components(relations: DataFrame) -> DataFrame:
 
 def pagerank(relations: DataFrame, iters: int = 3,
              damping: float = 0.85,
-             broadcast_ranks: bool = True,
+             broadcast_ranks: bool | None = None,
              checkpoint_every: int = 3) -> DataFrame:
     """Fixed-iteration PageRank over a relations frame (start_key ->
     end_key directed edges): ``pr'(v) = (1-d)/N + d * sum_{u->v}
@@ -239,24 +240,32 @@ def pagerank(relations: DataFrame, iters: int = 3,
     a driver-side count — the vertex set of a metadata graph is
     catalog-sized.
 
-    ``broadcast_ranks=True`` (default) hints the rank/contribution side
-    of every join: a metadata graph's vertex frame is KB-sized, and the
-    hint turns 3 iterations of sort-merge-join chains into map-side
-    broadcast joins against the one persisted edge list.  For web-scale
-    graphs pass False (ranks no longer fit in one executor); lineage is
-    truncated with ``localCheckpoint`` every ``checkpoint_every``
-    iterations either way.
+    ``broadcast_ranks`` hints the rank/contribution side of every join:
+    a metadata graph's vertex frame is KB-sized, and the hint turns 3
+    iterations of sort-merge-join chains into map-side broadcast joins
+    against the one persisted edge list.  The default (``None``) decides
+    from the vertex count the uniform-rank seed already pays for, under
+    the shared node-set budget (``operators/_shared.nodeset_hint`` —
+    the LPA/k-core/BFS resource rule): web-scale rank frames no longer
+    fit one executor and flip to the shuffled form automatically; pass
+    True/False to override.  Lineage is truncated with
+    ``localCheckpoint`` every ``checkpoint_every`` iterations either
+    way.
     """
     edges = relations.select(F.col("start_key").alias("src"),
                              F.col("end_key").alias("dst"))
     nodes = (edges.select(F.col("src").alias("node_key"))
              .unionByName(edges.select(F.col("dst").alias("node_key")))
              .distinct())
-    hint = F.broadcast if broadcast_ranks else (lambda df: df)
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    e = edges.join(hint(out_deg), "src").persist()
     nodes.persist()
     n = nodes.count()
+    if broadcast_ranks is None:
+        # string-keyed (node_key, double) rank rows: ~64 B with slack
+        hint = nodeset_hint(n, 64)
+    else:
+        hint = F.broadcast if broadcast_ranks else (lambda df: df)
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e = edges.join(hint(out_deg), "src").persist()
     teleport = F.lit((1.0 - damping) / n)
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     for i in range(iters):

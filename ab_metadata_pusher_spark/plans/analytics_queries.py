@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ab_metadata_pusher_spark.observability import capture_plan_segment
-from ab_metadata_pusher_spark.operators._shared import materialize_shared
+from ab_metadata_pusher_spark.operators._shared import (
+    materialize_shared, nodeset_hint, parquet_rowcount, _materialize_mode,
+)
 from ab_metadata_pusher_spark.operators import text as X
 from ab_metadata_pusher_spark.plans.registry import register
 from ab_metadata_pusher_spark.sources.fixtures import load_table
@@ -409,9 +411,19 @@ def _triangles_run(spark: SparkSession, pairs: DataFrame,
              .union(e.select("b")).distinct()
              .agg(F.count(F.lit(1)).alias("n_nodes")))
     if orientation == "auto":
-        sig = adj.agg(F.max(F.size("nbrs")).alias("mx"),
-                      F.sum(F.size("nbrs")).alias("m")).first()
-        orientation = _pick_orientation(sig["mx"], sig["m"])
+        # data-dependent shape choice needs an action; under the LAZY
+        # construction contract (library default, tests/test_plan_shapes
+        # .py) auto resolves to id without running a job, and the
+        # measured flip engages only in eager mode, where the adjacency
+        # is already materialized at construction and the two scalars
+        # cost one cached aggregate.  Scale callers in lazy mode pass
+        # orientation="degree" explicitly.
+        if _materialize_mode(None, spark.conf.get) == "eager":
+            sig = adj.agg(F.max(F.size("nbrs")).alias("mx"),
+                          F.sum(F.size("nbrs")).alias("m")).first()
+            orientation = _pick_orientation(sig["mx"], sig["m"])
+        else:
+            orientation = "id"
     if orientation == "degree":
         # symmetric degree = out + in of the id orientation; both are
         # |E|->|V| map-side-combinable aggregates off the cached frame
@@ -838,9 +850,10 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
              .agg(F.count(F.lit(1)).alias("n_common")))
     cand = wedge.join(edges, ["a", "b"], "left_anti")
-    # deg is |V|-keyed: broadcast only within the node-set budget
-    # (|V| bounded above by the part dimension -- a metadata-cheap count)
-    hint = _nodeset_hint(_t(spark, sf_dir, "part").count(), 24)
+    # deg is |V|-keyed: broadcast only within the node-set budget.
+    # |V| is bounded above by the part dimension, counted from parquet
+    # FOOTERS (driver-side, no Spark job -- construction stays lazy)
+    hint = _nodeset_hint(parquet_rowcount(f"{sf_dir}/part.parquet"), 24)
     return (cand
             .join(hint(deg.select(F.col("v").alias("a"),
                                   F.col("d").alias("da"))), "a")
@@ -929,9 +942,10 @@ def q_graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFram
              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
              .agg(F.count(F.lit(1)).alias("n_common")))
     cand = wedge.join(edges, ["a", "b"], "left_anti")
-    # deg is |V|-keyed: broadcast only within the node-set budget
-    # (|V| bounded above by the part dimension -- a metadata-cheap count)
-    hint = _nodeset_hint(_t(spark, sf_dir, "part").count(), 24)
+    # deg is |V|-keyed: broadcast only within the node-set budget.
+    # |V| is bounded above by the part dimension, counted from parquet
+    # FOOTERS (driver-side, no Spark job -- construction stays lazy)
+    hint = _nodeset_hint(parquet_rowcount(f"{sf_dir}/part.parquet"), 24)
     return (cand
             .join(hint(deg.select(F.col("v").alias("a"),
                                   F.col("d").alias("da"))), "a")
@@ -958,25 +972,14 @@ def q_graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFram
 _KCORE_K = 2
 _KCORE_MIN_W = 2
 _KCORE_ROUNDS = 10
-#: Per-step broadcast budget for node-set build sides inside the
-#: iterative graph loops (k-core survivors, BFS frontier/visited) —
-#: the same resource rule as the LPA alignment flip
-#: (_LPA_BROADCAST_MAX_BYTES), but decided PER STEP and for free:
-#: each loop already pays a count on the set (fixpoint test /
-#: checkpointed frontier), so a 100 TB graph starts on shuffled
-#: joins where the set is |V|-near (k-core round 1, a saturated BFS
-#: visited set) and drops to broadcast exactly when the count fits
-#: the budget.  Row-byte estimates include hashed-relation slack:
-#: single-long sets ~16 B, (long, int) rows ~24 B.
-_NODESET_BROADCAST_MAX_BYTES = 512 << 20
-
-
-def _nodeset_hint(n_rows: int, row_bytes: int = 16):
-    """The flip itself: F.broadcast below the budget, identity above
-    (shuffled join — SMJ/SHJ on the set's key)."""
-    if n_rows * row_bytes <= _NODESET_BROADCAST_MAX_BYTES:
-        return F.broadcast
-    return lambda df: df
+# The node-set broadcast budget lives in operators/_shared.py
+# (nodeset_hint) so the operator layer (pagerank) shares the same
+# resource rule; decided PER STEP and for free here: each loop already
+# pays a count on the set (k-core fixpoint test, BFS checkpointed
+# frontier), so a 100 TB graph starts on shuffled joins where the set
+# is |V|-near (k-core round 1, a saturated BFS visited set) and drops
+# to broadcast exactly when the count fits the budget.
+_nodeset_hint = nodeset_hint
 
 
 def _kcore_oracle(k: int, min_w: int, rounds: int) -> str:
@@ -1802,7 +1805,8 @@ def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s")))
     n = per.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
     # sup is |parts|-keyed: broadcast only within the node-set budget
-    hint = _nodeset_hint(_t(spark, sf_dir, "part").count(), 24)
+    # (footer-counted upper bound -- no job at construction)
+    hint = _nodeset_hint(parquet_rowcount(f"{sf_dir}/part.parquet"), 24)
     return (pairs
             .join(hint(sup.select(F.col("l_partkey").alias("pa"),
                                   F.col("s").alias("sa"))), "pa")

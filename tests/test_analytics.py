@@ -374,13 +374,29 @@ def test_triangle_orientations_agree_on_hub_graph(spark):
                    if y in adj[x] and z in adj[x] and z in adj[y])
     pairs = spark.createDataFrame(sorted(und), "a bigint, b bigint")
 
+    from ab_metadata_pusher_spark.operators._shared import MATERIALIZE_CONF
+
     res = {}
     for orientation in ("id", "degree", "auto"):
         row = _triangles_run(spark, pairs, orientation).collect()[0]
         res[orientation] = (row["n_nodes"], row["n_edges"],
                             row["n_triangles"])
+    # under eager mode auto MEASURES the signal and flips to degree on
+    # this hub graph (max out-list = |V|-1 >> 4*sqrt(2m)); in the lazy
+    # default it resolves to id without running a construction job
+    prev = spark.conf.get(MATERIALIZE_CONF, None)
+    spark.conf.set(MATERIALIZE_CONF, "eager")
+    try:
+        row = _triangles_run(spark, pairs, "auto").collect()[0]
+        res["auto_eager"] = (row["n_nodes"], row["n_edges"],
+                             row["n_triangles"])
+    finally:
+        if prev is None:
+            spark.conf.unset(MATERIALIZE_CONF)
+        else:
+            spark.conf.set(MATERIALIZE_CONF, prev)
     assert res["id"] == res["degree"] == res["auto"] == \
-        (len(adj), len(und), expected)
+        res["auto_eager"] == (len(adj), len(und), expected)
 
 
 def test_triangle_orientation_flip_threshold():
@@ -437,11 +453,12 @@ def test_kcore_survivor_alignments_agree(spark, monkeypatch):
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from conftest import SF_DIR
 
+    from ab_metadata_pusher_spark.operators import _shared
     from ab_metadata_pusher_spark.plans import analytics_queries as aq
 
     base = sorted((r["node"], r["core_degree"]) for r in
                   aq.q_graph_kcore(spark, SF_DIR).collect())
-    monkeypatch.setattr(aq, "_NODESET_BROADCAST_MAX_BYTES", 0)
+    monkeypatch.setattr(_shared, "NODESET_BROADCAST_MAX_BYTES", 0)
     shuffled = sorted((r["node"], r["core_degree"]) for r in
                       aq.q_graph_kcore(spark, SF_DIR).collect())
     assert base == shuffled and len(base) > 0
@@ -450,13 +467,13 @@ def test_kcore_survivor_alignments_agree(spark, monkeypatch):
 def test_nodeset_hint_threshold():
     from pyspark.sql import functions as F
 
-    from ab_metadata_pusher_spark.plans.analytics_queries import (
-        _NODESET_BROADCAST_MAX_BYTES, _nodeset_hint)
+    from ab_metadata_pusher_spark.operators._shared import (
+        NODESET_BROADCAST_MAX_BYTES, nodeset_hint)
 
-    fit = _NODESET_BROADCAST_MAX_BYTES // 16
-    assert _nodeset_hint(fit) is F.broadcast
-    assert _nodeset_hint(fit + 1) is not F.broadcast
-    assert _nodeset_hint(fit, row_bytes=24) is not F.broadcast
+    fit = NODESET_BROADCAST_MAX_BYTES // 16
+    assert nodeset_hint(fit) is F.broadcast
+    assert nodeset_hint(fit + 1) is not F.broadcast
+    assert nodeset_hint(fit, row_bytes=24) is not F.broadcast
 
 
 def test_bfs_alignments_agree(spark, monkeypatch):
@@ -467,11 +484,12 @@ def test_bfs_alignments_agree(spark, monkeypatch):
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from conftest import SF_DIR
 
+    from ab_metadata_pusher_spark.operators import _shared
     from ab_metadata_pusher_spark.plans import analytics_queries as aq
 
     base = sorted((r["node"], r["dist"]) for r in
                   aq.q_graph_bfs_distance(spark, SF_DIR).collect())
-    monkeypatch.setattr(aq, "_NODESET_BROADCAST_MAX_BYTES", 0)
+    monkeypatch.setattr(_shared, "NODESET_BROADCAST_MAX_BYTES", 0)
     shuffled = sorted((r["node"], r["dist"]) for r in
                       aq.q_graph_bfs_distance(spark, SF_DIR).collect())
     assert base == shuffled and len(base) > 1

@@ -979,3 +979,21 @@ def test_edit_distance_pairs_lossless(spark, tau, blkcol, seed):
                 lev.alias("lev")).collect())
     assert got == exact
     assert exact  # the corpus must actually produce pairs
+
+
+def test_pagerank_alignments_agree(spark, monkeypatch):
+    """auto broadcast_ranks rides the vertex count under the shared
+    node-set budget: forcing the above-budget (shuffled) path yields
+    identical ranks."""
+    from ab_metadata_pusher_spark.operators import _shared
+    from ab_metadata_pusher_spark.operators.graph import pagerank
+
+    rels = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "start_key string, end_key string")
+    base = sorted((r["node_key"], r["pagerank"])
+                  for r in pagerank(rels).collect())
+    monkeypatch.setattr(_shared, "NODESET_BROADCAST_MAX_BYTES", 0)
+    shuffled = sorted((r["node_key"], r["pagerank"])
+                      for r in pagerank(rels).collect())
+    assert base == shuffled and len(base) == 4
