@@ -828,3 +828,31 @@ def test_bigquery_storage_empty_result_yields_empty_frame(spark, sf_dir):
         assert df.count() == 0
     finally:
         srv.shutdown()
+
+
+def test_bigquery_storage_reads_list_columns(spark, sf_dir):
+    """REPEATED fields ride the same Arrow wire: a list<float> column
+    (embeddings) survives batch decode -> pandas -> mapInPandas intact,
+    element-exact vs the parquet read."""
+    from ab_metadata_pusher_spark.sources.bigquery import (
+        BigQueryStorageSource)
+
+    srv = _storage_emulator(f"{sf_dir}/embeddings.parquet", n_streams=3,
+                            batch_rows=200, calls=[])
+    try:
+        src = BigQueryStorageSource(project="p", dataset="d",
+                                    table="embeddings",
+                                    row_restriction="vec_id < 300")
+        df = src.load_storage(
+            spark, endpoint=f"http://127.0.0.1:{srv.server_address[1]}",
+            max_stream_count=3)
+        got = sorted((r["vec_id"], tuple(r["embedding"]), r["label"])
+                     for r in df.collect())
+    finally:
+        srv.shutdown()
+    exp_df = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+              .where("vec_id < 300"))
+    assert df.schema == exp_df.schema
+    exp = sorted((r["vec_id"], tuple(r["embedding"]), r["label"])
+                 for r in exp_df.collect())
+    assert got == exp and len(got) == 300
