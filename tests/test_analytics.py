@@ -493,3 +493,18 @@ def test_bfs_alignments_agree(spark, monkeypatch):
     shuffled = sorted((r["node"], r["dist"]) for r in
                       aq.q_graph_bfs_distance(spark, SF_DIR).collect())
     assert base == shuffled and len(base) > 1
+
+
+def test_parquet_rowcount_matches_engine(spark, sf_dir, tmp_path):
+    """The footer count (job-free, feeds nodeset_hint bounds at plan
+    construction) equals the engine's count for both a single file and
+    a multi-file directory."""
+    from ab_metadata_pusher_spark.operators._shared import parquet_rowcount
+
+    single = f"{sf_dir}/part.parquet"
+    assert parquet_rowcount(single) == \
+        spark.read.parquet(single).count()
+
+    multi = str(tmp_path / "multi")
+    spark.range(1234).repartition(3).write.parquet(multi)
+    assert parquet_rowcount(multi) == 1234
