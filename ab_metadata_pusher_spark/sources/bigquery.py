@@ -39,6 +39,7 @@ paths:
 from __future__ import annotations
 
 import base64
+import http.client
 import json
 import time
 import urllib.error
@@ -234,7 +235,11 @@ def _read_stream_batches(endpoint: str, stream: str, token: str | None,
             with urllib.request.urlopen(req,
                                         timeout=http_timeout_sec) as resp:
                 responses = json.loads(resp.read())
-        except (urllib.error.URLError, json.JSONDecodeError, OSError):
+        # IncompleteRead (mid-body truncation) is an http.client
+        # HTTPException — neither URLError nor OSError — and it is
+        # exactly the failure the offset-resume exists for
+        except (urllib.error.URLError, json.JSONDecodeError, OSError,
+                http.client.HTTPException):
             attempts += 1
             if attempts >= max_attempts:
                 raise

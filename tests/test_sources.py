@@ -856,3 +856,74 @@ def test_bigquery_storage_reads_list_columns(spark, sf_dir):
     exp = sorted((r["vec_id"], tuple(r["embedding"]), r["label"])
                  for r in exp_df.collect())
     assert got == exp and len(got) == 300
+
+
+def test_bigquery_storage_retries_truncated_body(sf_dir):
+    """A mid-body truncation surfaces as http.client.IncompleteRead
+    (an HTTPException, NOT a URLError/OSError) — the reader must retry
+    from its offset instead of dying.  The emulator advertises a
+    Content-Length longer than what it sends on the first GET."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from ab_metadata_pusher_spark.sources.bigquery import (
+        BigQueryStorageSource, _read_stream_batches)
+
+    calls = []
+    inner = _storage_emulator(f"{sf_dir}/orders.parquet", n_streams=1,
+                              batch_rows=512, calls=calls)
+
+    class TruncatingHandler(BaseHTTPRequestHandler):
+        truncated = []
+
+        def do_POST(self):
+            import urllib.request
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{inner.server_address[1]}{self.path}",
+                data=body, method="POST",
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=10) as r:
+                payload = r.read()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            import urllib.request
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{inner.server_address[1]}"
+                    f"{self.path}", timeout=10) as r:
+                payload = r.read()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            if not self.truncated:
+                self.truncated.append(True)
+                self.wfile.write(payload[: len(payload) // 2])
+                self.wfile.flush()
+                self.connection.close()
+            else:
+                self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), TruncatingHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+        src = BigQueryStorageSource(project="p", dataset="d",
+                                    table="orders")
+        session = src.create_read_session(endpoint, max_stream_count=1)
+        total = sum(b.num_rows for b in _read_stream_batches(
+            endpoint, session["streams"][0]["name"], None,
+            session["arrowSchema"]["serializedSchema"],
+            retry_backoff_sec=0.01))
+    finally:
+        srv.shutdown()
+        inner.shutdown()
+    assert total == 1500
+    assert len(TruncatingHandler.truncated) == 1  # the retry happened
