@@ -177,15 +177,22 @@ def parquet_rowcount(path: str) -> int:
     file read, never a Spark job.  Exists so plan-construction-time
     size decisions (nodeset_hint bounds) stay compatible with the
     lazy-construction contract (tests/test_plan_shapes.py): Spark's own
-    scan planning reads the same footers."""
+    scan planning reads the same footers.
+
+    The walk is RECURSIVE (r9 ADVICE): a hive-partitioned dataset keeps
+    its files under key=value subdirectories, and a top-level-only
+    listing silently returned an undercount — which would feed
+    nodeset_hint an under-estimate and keep a broadcast hint on an
+    over-budget build side."""
     import os
 
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        return sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                   for f in sorted(os.listdir(path))
-                   if f.endswith(".parquet"))
+        return sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for d, _dirs, files in sorted(os.walk(path))
+            for f in sorted(files) if f.endswith(".parquet"))
     return pq.ParquetFile(path).metadata.num_rows
 
 

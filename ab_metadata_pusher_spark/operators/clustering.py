@@ -125,12 +125,20 @@ def _assign_clusters_arrow(corpus: DataFrame,
     error.  Same trade as similarity._assign_cells_arrow: BLAS
     accumulation can split near-exact ties differently than the
     literal tier's left fold (argmin still ties to the lower cluster
-    id within its own values)."""
+    id within its own values).
+
+    Degenerate rows (NULL / ragged / null-element embeddings) follow
+    the literal tier's contract instead of crashing the batch (r9
+    ADVICE): every distance is NULL, so array_min ties every struct to
+    the LOWEST cluster id and sqrt(NULL) is NULL — here the row is
+    masked out of the matmul and emitted as (lowest cluster id, NULL
+    dist) directly."""
     import numpy as np
 
     ids = np.asarray([c for c, _ in centroids], dtype=np.int64)
     mat = np.asarray([v for _, v in centroids], dtype=np.float64)
     c2 = (mat * mat).sum(axis=1)
+    degenerate_cluster = int(ids.min())
     in_types = {f.name: f.dataType.simpleString() for f in corpus.schema}
     out_cols = [f"`{id_col}` {in_types[id_col]}", "`cluster` int",
                 "`dist` double"]
@@ -139,21 +147,36 @@ def _assign_clusters_arrow(corpus: DataFrame,
     out_schema = ", ".join(out_cols)
 
     def fn(batches):
+        import pandas as pd
+
+        dim = mat.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
-            emb = np.asarray(pdf[emb_col].tolist(), dtype=np.float64)
+            vals = list(pdf[emb_col])
+            ok = np.fromiter(
+                (v is not None and len(v) == dim
+                 and not any(x is None for x in v) for v in vals),
+                dtype=bool, count=len(vals))
+            emb = np.zeros((len(vals), dim), dtype=np.float64)
+            if ok.any():
+                emb[ok] = np.asarray(
+                    [vals[i] for i in np.flatnonzero(ok)],
+                    dtype=np.float64)
             d2 = ((emb * emb).sum(axis=1)[:, None]
                   - 2.0 * (emb @ mat.T) + c2[None, :])
             pick = np.argmin(d2, axis=1)  # first (lowest) index on ties
             diff = emb - mat[pick]
             dist = np.sqrt((diff * diff).sum(axis=1))
+            cluster = ids[pick].astype(np.int32)
+            cluster[~ok] = degenerate_cluster
             out = {id_col: pdf[id_col].to_numpy(),
-                   "cluster": ids[pick].astype(np.int32),
-                   "dist": dist}
+                   "cluster": cluster,
+                   "dist": pd.array(np.where(ok, dist, np.nan),
+                                    dtype="Float64")}
+            out["dist"][~ok] = pd.NA  # NULL, not NaN, on the wire
             if keep_emb:
                 out[emb_col] = pdf[emb_col]
-            import pandas as pd
             yield pd.DataFrame(out)
 
     return corpus.mapInPandas(fn, out_schema)

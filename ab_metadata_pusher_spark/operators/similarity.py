@@ -475,7 +475,12 @@ def _assign_cells_arrow(df: DataFrame, rows: list[tuple[int, list[float]]],
     then a lexsort on (negated cosine, cell id) whose ordering matches
     the literal tier's struct sort: ties to the lower cell, degenerate
     (zero-norm / non-finite) similarity mapped to +inf so it ranks
-    last.  Trade vs the literal tier: float accumulation order differs
+    last.  NULL / ragged / null-element embeddings take the same +inf
+    path instead of crashing the batch (r9 ADVICE): the literal tier's
+    NULL fold makes every ``_negcs`` NULL, which sorts like the all-NaN
+    case — ties break to the lowest cell ids — so degenerate rows are
+    masked out of the matmul and handed the all-inf row.  Trade vs the
+    literal tier: float accumulation order differs
     (BLAS vs left fold) and even MATHEMATICALLY identical centroids can
     land 1 ULP apart (different matmul output columns take different
     SIMD/remainder paths), so near-exact cosine ties can pick different
@@ -493,14 +498,25 @@ def _assign_cells_arrow(df: DataFrame, rows: list[tuple[int, list[float]]],
         for f in df.schema.fields) + ", `cell` bigint"
 
     def fn(batches):
+        dim = mat.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
-            emb = np.asarray(pdf[emb_col].tolist(), dtype=np.float64)
+            vals = list(pdf[emb_col])
+            ok = np.fromiter(
+                (v is not None and len(v) == dim
+                 and not any(x is None for x in v) for v in vals),
+                dtype=bool, count=len(vals))
+            emb = np.zeros((len(vals), dim), dtype=np.float64)
+            if ok.any():
+                emb[ok] = np.asarray(
+                    [vals[i] for i in np.flatnonzero(ok)],
+                    dtype=np.float64)
             vnorm = np.sqrt((emb * emb).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
                 negcs = -(emb @ mat.T) / (vnorm[:, None] * cnorm[None, :])
             negcs = np.where(np.isfinite(negcs), negcs, np.inf)
+            negcs[~ok] = np.inf
             n = negcs.shape[0]
             order = np.lexsort(
                 (np.broadcast_to(cell_ids, negcs.shape), negcs),

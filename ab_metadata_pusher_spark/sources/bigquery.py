@@ -34,6 +34,16 @@ paths:
   sandbox against a local HTTP emulator (tests/test_sources.py), the
   same live-protocol discipline as the Derby JDBC round trip and the
   local SQS endpoint.
+
+SCHEMA CHANGE (r9): BIGNUMERIC columns decoded by ``load_rest`` map to
+``string`` (exact decimal text), not the pre-r9 ``decimal(38,9)``.
+BIGNUMERIC is decimal(76,38) on the wire — wider than Spark's
+decimal(38) cap — so the old mapping silently truncated range AND
+scale.  Existing consumers that did arithmetic or ordering on such a
+column must now cast explicitly (comparisons on the raw column are
+lexicographic); callers that accept the old truncation can restore it
+with ``F.col(c).cast("decimal(38,9)")`` — the loss is then visible in
+their own plan.
 """
 
 from __future__ import annotations
@@ -235,6 +245,18 @@ def _read_stream_batches(endpoint: str, stream: str, token: str | None,
             with urllib.request.urlopen(req,
                                         timeout=http_timeout_sec) as resp:
                 responses = json.loads(resp.read())
+        # 4xx (bad auth, missing stream) is a CLIENT error the backoff
+        # schedule cannot heal — fail the task immediately rather than
+        # paying max_attempts * backoff per task (r9 ADVICE).  408/429
+        # are the documented retryable exceptions to that rule.
+        except urllib.error.HTTPError as exc:
+            if 400 <= exc.code < 500 and exc.code not in (408, 429):
+                raise
+            attempts += 1
+            if attempts >= max_attempts:
+                raise
+            time.sleep(retry_backoff_sec * (2 ** (attempts - 1)))
+            continue
         # IncompleteRead (mid-body truncation) is an http.client
         # HTTPException — neither URLError nor OSError — and it is
         # exactly the failure the offset-resume exists for
@@ -352,24 +374,28 @@ class BigQueryStorageSource:
             return spark.createDataFrame([], spark_schema)
 
         # plain locals only — the closure ships to executor workers
-        _endpoint, _token, _timeout, _retries = (
-            endpoint, token, http_timeout_sec, max_attempts)
+        # (the stream list is O(streams) driver state, a few KiB)
+        _endpoint, _token, _timeout, _retries, _streams = (
+            endpoint, token, http_timeout_sec, max_attempts, list(streams))
 
         def read_streams(parts: Iterator) -> Iterator:
             for pdf in parts:
-                for stream in pdf["stream_name"]:
+                for idx in pdf["id"]:
                     for batch in _read_stream_batches(
-                            _endpoint, stream, _token, schema_b64,
-                            http_timeout_sec=_timeout,
+                            _endpoint, _streams[int(idx)], _token,
+                            schema_b64, http_timeout_sec=_timeout,
                             max_attempts=_retries):
                         yield batch.to_pandas()
 
-        stream_df = spark.createDataFrame(
-            [(s,) for s in streams], "stream_name string")
-        # round-robin repartition of exactly N rows into N partitions:
-        # one stream per task, the connector's own placement
-        return (stream_df.repartition(len(streams))
-                .mapInPandas(read_streams, schema=spark_schema))
+        # EXACTLY one stream per task (r9 ADVICE: round-robin
+        # repartition of N single-row input partitions starts each at
+        # an independent offset, so two streams could land in one task
+        # and leave another empty).  spark.range(N, numPartitions=N)
+        # partitions by CONTIGUOUS slices — row i IS partition i — so
+        # the placement is guaranteed, not probabilistic, with no
+        # exchange at all.
+        stream_df = spark.range(0, len(streams), 1, len(streams))
+        return stream_df.mapInPandas(read_streams, schema=spark_schema)
 
 
 #: BigQuery scalar type -> (Spark DDL type, string-wire decoder).

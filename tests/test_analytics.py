@@ -226,6 +226,44 @@ def test_assign_cells_arrow_zero_norm_and_dispatch(spark, monkeypatch):
     assert "MapInPandas" not in plan._jdf.queryExecution().toString()
 
 
+def test_assign_tiers_degenerate_embeddings_agree(spark):
+    """r9 ADVICE: the arrow tiers crashed on NULL / ragged / null-element
+    embeddings (np.asarray over a ragged list) while the literal tiers
+    degrade gracefully.  Both tiers now share the degenerate contract:
+    _assign_cells ties every cell to the lowest ids; assign_clusters
+    emits (lowest cluster id, NULL dist)."""
+    from ab_metadata_pusher_spark.operators.clustering import assign_clusters
+    from ab_metadata_pusher_spark.operators.similarity import _assign_cells
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.5])]
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, None), (12, [0.5]),
+         (13, [None, 1.0]), (14, [0.2, 0.9, 0.4])],
+        "vec_id bigint, embedding array<double>")
+
+    cells = {}
+    for shape in ("literal", "arrow"):
+        cells[shape] = sorted(
+            (r["vec_id"], r["cell"])
+            for r in _assign_cells(df, cents, "vec_id", "embedding",
+                                   nprobe=2, shape=shape).collect())
+    assert cells["literal"] == cells["arrow"]
+    # degenerate rows tie to the two lowest cells
+    assert [c for v, c in cells["arrow"] if v == 11] == [0, 1]
+    assert [c for v, c in cells["arrow"] if v == 13] == [0, 1]
+
+    clus = {}
+    for shape in ("literal", "arrow"):
+        clus[shape] = sorted(
+            (r["vec_id"], r["cluster"],
+             None if r["dist"] is None else round(r["dist"], 6))
+            for r in assign_clusters(df, cents, shape=shape).collect())
+    assert clus["literal"] == clus["arrow"]
+    by_id = {v: (c, d) for v, c, d in clus["arrow"]}
+    for degenerate in (11, 12, 13, 14):
+        assert by_id[degenerate] == (0, None)
+
+
 def test_lpa_alignments_agree(spark):
     """The broadcast and shuffled LPA alignments are one algorithm in
     two physical plans (r9: the r7-measured flip is now code, selected
@@ -499,6 +537,8 @@ def test_parquet_rowcount_matches_engine(spark, sf_dir, tmp_path):
     """The footer count (job-free, feeds nodeset_hint bounds at plan
     construction) equals the engine's count for both a single file and
     a multi-file directory."""
+    from pyspark.sql import functions as F
+
     from ab_metadata_pusher_spark.operators._shared import parquet_rowcount
 
     single = f"{sf_dir}/part.parquet"
@@ -508,3 +548,11 @@ def test_parquet_rowcount_matches_engine(spark, sf_dir, tmp_path):
     multi = str(tmp_path / "multi")
     spark.range(1234).repartition(3).write.parquet(multi)
     assert parquet_rowcount(multi) == 1234
+
+    # r9 ADVICE: hive-partitioned layouts keep files under key=value
+    # SUBDIRECTORIES — a top-level-only listing undercounted silently
+    nested = str(tmp_path / "nested")
+    (spark.range(500).withColumn("k", (F.col("id") % 4).cast("int"))
+     .write.partitionBy("k").parquet(nested))
+    assert parquet_rowcount(nested) == \
+        spark.read.parquet(nested).count() == 500

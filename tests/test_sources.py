@@ -858,6 +858,76 @@ def test_bigquery_storage_reads_list_columns(spark, sf_dir):
     assert got == exp and len(got) == 300
 
 
+def test_bigquery_storage_4xx_fails_fast(sf_dir, monkeypatch):
+    """r9 ADVICE: a 4xx client error (bad auth, missing stream) cannot
+    be healed by backoff — the reader must raise immediately instead of
+    paying max_attempts * exponential backoff per task.  5xx keeps the
+    retry schedule (the live 503 test above); 408/429 stay retryable."""
+    import urllib.error
+
+    import pytest
+
+    from ab_metadata_pusher_spark.sources import bigquery as bq
+    from ab_metadata_pusher_spark.sources.bigquery import (
+        BigQueryStorageSource, _read_stream_batches)
+
+    calls = []
+    srv = _storage_emulator(f"{sf_dir}/orders.parquet", n_streams=1,
+                            batch_rows=512, calls=calls,
+                            require_token="good-token")
+    sleeps = []
+    monkeypatch.setattr(bq.time, "sleep", sleeps.append)
+    try:
+        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+        src = BigQueryStorageSource(project="p", dataset="d",
+                                    table="orders")
+        session = src.create_read_session(endpoint, token="good-token",
+                                          max_stream_count=1)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            list(_read_stream_batches(
+                endpoint, session["streams"][0]["name"], "WRONG-token",
+                session["arrowSchema"]["serializedSchema"],
+                max_attempts=5))
+    finally:
+        srv.shutdown()
+    assert exc.value.code == 401
+    assert sleeps == []  # no backoff schedule was paid
+    assert len([c for c in calls if c[0] == "GET"]) == 1  # one attempt
+
+
+def test_bigquery_storage_exact_stream_placement(spark, sf_dir):
+    """r9 ADVICE: round-robin repartition could co-locate two streams
+    in one task (leaving another empty).  load_storage now rides
+    spark.range(N, numPartitions=N) — contiguous slices, row i IS
+    partition i — so every result partition holds EXACTLY its own
+    stream's rows."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.sources.bigquery import (
+        BigQueryStorageSource)
+
+    n_streams = 6
+    srv = _storage_emulator(f"{sf_dir}/orders.parquet",
+                            n_streams=n_streams, batch_rows=100,
+                            calls=[])
+    try:
+        src = BigQueryStorageSource(project="p", dataset="d",
+                                    table="orders")
+        df = src.load_storage(
+            spark, endpoint=f"http://127.0.0.1:{srv.server_address[1]}",
+            max_stream_count=n_streams)
+        assert df.rdd.getNumPartitions() == n_streams
+        per_part = {r["pid"]: r["n"] for r in
+                    (df.groupBy(F.spark_partition_id().alias("pid"))
+                     .agg(F.count("*").alias("n")).collect())}
+    finally:
+        srv.shutdown()
+    # every task read exactly one stream: all 6 partitions non-empty,
+    # sizes equal to the emulator's contiguous splits (ceil(1500/6)=250)
+    assert sorted(per_part) == list(range(n_streams))
+    assert all(n == 250 for n in per_part.values())
+
+
 def test_bigquery_storage_retries_truncated_body(sf_dir):
     """A mid-body truncation surfaces as http.client.IncompleteRead
     (an HTTPException, NOT a URLError/OSError) — the reader must retry
