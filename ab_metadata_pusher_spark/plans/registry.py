@@ -68,38 +68,59 @@ def _load_all() -> None:
 #: this for every prefix name).
 #: Everything not listed follows in registration order.
 #:
-#: ROTATION (round 9, freshness policy since r8): evidence is
+#: ROTATION (round 10, freshness policy since r8): evidence is
 #: cumulative and every oracle-backed query has been driver-green
-#: since r7, so the head keeps the 15-slot sentinel core, 3 RE-PROOF
-#: slots hold the IVF consumers whose driver confirmation is pending
-#: (similarity_ann_ivf / dedup_semantic / embedding_kmeans — touched
-#: again in r9 by the exploded-Lloyd flip and the _assign_cells norm
-#: inlining), and the 32 freshness slots refresh the OLDEST driver
-#: evidence: the entire remaining round-2 cohort (27 names) plus the
-#: 5 alphabetically-first of round 3.  Registration stays FROZEN at
-#: 239.  Displaced r8-cohort names move just below the window —
+#: since r7, so the head keeps the 15-slot sentinel core, 1 RE-PROOF
+#: slot holds graph_label_propagation (the one r9-touched query whose
+#: driver-normalized ratio, 1.15x, disagreed with the builder probe —
+#: r9 VERDICT ask #1), 1 slot first-scores agg_percentiles_guaranteed
+#: (the r10 oracle-backed replacement for the retired rows-only
+#: agg_approx_percentiles — registration stays FROZEN at 239), and the
+#: 33 freshness slots refresh the OLDEST driver evidence: the entire
+#: remaining round-3 cohort (28 names) plus the 5 alphabetically-first
+#: of round 4.  Displaced r9-window names move just below the window —
 #: still verified every run by tests/test_oracle_parity.py.  Use
 #: scripts/prefix_planner.py to plan/check rotations (it knows the
 #: re-proof slots are deliberate AND finishes by running
 #: tests/test_registry.py — the r8 lesson).
-#: Pre-validated r9: the whole 50-row window passes driver_sim
-#: --strict-types at sf0.01 AND sf0.1 (SCALE.md round-9 section).
+#: Pre-validated r10: the whole 50-row window passes driver_sim
+#: --strict-types at sf0.01 AND sf0.1 (SCALE.md round-10 section).
 DRIVER_PREFIX: tuple[str, ...] = (
-    # --- sentinel core (driver-green r2-r8, one per family) ---
+    # --- sentinel core (driver-green r2-r9, one per family) ---
     "metadata_catalog_columns", "metadata_tables", "metadata_nodes",
     "metadata_relations", "metadata_profile_columns", "agg_pricing_summary",
     "join_multiway_revenue", "window_topk_per_group", "setop_union_distinct",
     "rollup_time_buckets", "sessionize_events", "cdc_scd2_intervals",
     "stream_tumbling_counts", "dedup_minhash_lsh", "similarity_ann_lsh",
-    # --- re-proof slots (r9): the IVF-family driver confirmation is
-    # --- still pending (r7/r8 driver records ran slower than the
-    # --- builder's), and r9 flipped the Lloyd update back to the
-    # --- exploded shape + rebuilt _assign_cells with inlined centroid
-    # --- norms — keep these three consumers scored until the driver
-    # --- record confirms (r8 VERDICT ask #5, tie to #2) ---
+    # --- re-proof slot (r10): LPA's r9 driver-normalized 1.15x vs the
+    # --- builder probe's 0.77x needs settling in the driver's own
+    # --- session (r9 VERDICT ask #1) ---
+    "graph_label_propagation",
+    # --- first scoring (r10): the oracle-backed replacement for the
+    # --- retired agg_approx_percentiles (r9 VERDICT ask #7) ---
+    "agg_percentiles_guaranteed",
+    # --- freshness rotation (r10): refresh the oldest driver evidence —
+    # --- the entire remaining round-3 cohort (28 names) ... ---
+    "map_higher_order_funcs", "multimodal_binary_meta",
+    "multimodal_decode_audio", "multimodal_decode_features",
+    "multimodal_frame_sample", "multimodal_resize", "posexplode_outer_runs",
+    "posexplode_tokens", "scalar_conditional", "scalar_date_funcs",
+    "scalar_json_funcs", "scalar_math_funcs", "scalar_try_funcs",
+    "scalar_variant_funcs", "stream_dedup_watermark", "stream_funnel_steps",
+    "stream_ingest_dedup", "stream_ohlc", "stream_quality_filter",
+    "stream_session_windows", "stream_sliding_counts",
+    "stream_stateful_user_stats", "stream_static_join", "stream_stream_join",
+    "stream_topk_window", "udf_map_in_arrow", "udf_scalar_log1p",
+    "udtf_span_split",
+    # --- ... and the 5 alphabetically-first of the round-4 cohort ---
+    "agg_approx_count_distinct", "agg_hll_sketch_union",
+    "analytics_chi_square", "analytics_join_size_estimate",
+    "analytics_ks_drift",
+    # --- beyond the driver's 50-row window (ordering only): recent
+    # --- cohorts first, all still verified every run by
+    # --- tests/test_oracle_parity.py ---
+    # (displaced r9 window)
     "similarity_ann_ivf", "dedup_semantic", "embedding_kmeans",
-    # --- freshness rotation (r9): refresh the oldest driver evidence —
-    # --- the entire remaining round-2 cohort (27 names) ... ---
     "agg_percentiles", "decontaminate_ngram_overlap", "dedup_clusters",
     "dedup_exact", "dedup_simhash", "explode_word_counts", "graph_triangles",
     "join_anti", "join_asof_clicks", "join_range_bands",
@@ -109,12 +130,9 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "text_langid", "text_quality_scores", "timeseries_gap_fill",
     "udf_grouped_geomean", "unpivot_lineitem_measures", "window_lag_delta",
     "window_moving_avg", "window_rank_functions",
-    # --- ... and the 5 alphabetically-first of the round-3 cohort ---
     "agg_heavy_hitters_guaranteed", "array_funcs_embeddings",
     "dedup_substring_spans", "jsonl_corpus_ingest", "map_event_type_counts",
-    # --- beyond the driver's 50-row window (ordering only): recent
-    # --- cohorts first, all still verified every run by
-    # --- tests/test_oracle_parity.py ---
+    # (older cohorts)
     "similarity_pq", "sample_kcenter", "embedding_random_projection",
     "quality_label_consistency_ann", "metadata_graph_degree",
     "metadata_graph_two_hop", "metadata_graph_closure", "agg_cube",
@@ -136,7 +154,7 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "warc_corpus_ingest", "orc_corpus_ingest", "corpus_snapshot_diff",
     "corpus_build_pipeline", "corpus_token_budget",
     "multimodal_audio_fingerprint", "multimodal_decode_video",
-    "dedup_edit_distance", "graph_label_propagation",
+    "dedup_edit_distance",
     "sink_envelope_chunking", "graph_link_prediction_capped",
     "agg_countmin_sketch", "stream_countmin_cells", "metadata_fk_inference",
     "join_geo_proximity", "metadata_masked_view",
@@ -162,14 +180,12 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "quality_fk_violations", "quality_adaptive_threshold",
     "quality_quantile_normalize", "quality_mixture_kl",
     "similarity_ann_recall", "similarity_ivf_recall", "scalar_regexp_funcs",
-    "agg_approx_count_distinct", "agg_hll_sketch_union",
     "embedding_pca_variance", "multimodal_phash_pairs",
     "quality_label_consistency_recall", "graph_kcore",
     "graph_link_prediction", "graph_bfs_distance",
-    "entity_resolution_customers", "analytics_ks_drift",
-    "analytics_chi_square", "analytics_ols_normal_equations",
+    "entity_resolution_customers", "analytics_ols_normal_equations",
     "analytics_skyline_2d", "analytics_winsorize", "analytics_outliers_mad",
-    "analytics_join_size_estimate", "events_markov_transitions",
+    "events_markov_transitions",
     "events_rfm_segments", "events_trigram_paths", "orders_basket_lift",
     "dedup_ppjoin", "dedup_weighted_minhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "text_tfidf_top_terms",

@@ -1551,29 +1551,74 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
-@register("agg_approx_percentiles", covers=("G.agg.approx_percentile",))
-def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based quantiles (Greenwald-Khanna via approx_percentile,
-    relative error 0.001) per order priority — the one-pass mergeable
-    companion to agg_percentiles' exact sort-based formulation: at
-    100 TB the exact form needs a per-group sort of the whole column;
-    the sketch is map-side combinable and never materializes the sort.
+#: agg_percentiles_guaranteed: quantiles computed, GK rank-error budget
+#: (accuracy = 1/eps), and the bracket half-width in rank space.
+_PCTL_GUAR_PS = (0.5, 0.95, 0.99)
+_PCTL_GUAR_EPS = 0.01
 
-    No oracle (GK sketch cutpoints are engine-specific); rows-only from
-    the driver, while tests/test_sketches.py bounds every estimate
-    against the exact percentile at the configured accuracy.  Output is
-    FLAT (one double column per quantile, not the array form) so the
-    row stays canonicalizer-safe if it ever rotates into the scored
-    prefix."""
-    o = _t(spark, sf_dir, "orders")
-    qs = (o.groupBy("o_orderpriority")
-          .agg(F.percentile_approx(
-                   "o_totalprice", [0.5, 0.95, 0.99], 1000)
-               .alias("qs")))
-    return qs.select("o_orderpriority",
-                     F.col("qs")[0].alias("approx_p50"),
-                     F.col("qs")[1].alias("approx_p95"),
-                     F.col("qs")[2].alias("approx_p99"))
+
+@register(
+    "agg_percentiles_guaranteed",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.5)  AS p50,
+       quantile_disc(o_totalprice, 0.95) AS p95,
+       quantile_disc(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderpriority
+""",
+    covers=("G.agg.approx_percentile",),
+)
+def q_percentiles_guaranteed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles found through the GK sketch — the
+    sketch-proposes / exact-refines pattern (same model as
+    agg_heavy_hitters_guaranteed), replacing the r1-r9
+    ``agg_approx_percentiles`` whose raw GK cutpoints were
+    partition-layout-dependent and therefore un-orackleable (r9 VERDICT
+    ask #7).
+
+    Pass 1 (sketch): per group, ``percentile_approx`` at p±2ε
+    (accuracy 1/ε) proposes a value bracket [lo, hi] per quantile.
+    GK's rank guarantee — the returned value's rank is within ε·n of
+    the requested rank — means the bracket provably CONTAINS the value
+    at rank ⌈p·n⌉ whenever ε·n ≥ 1 (n ≥ 100 here; below that the
+    buffered sketch is exact anyway).  Pass 2 (exact refine): one more
+    scan counts rows strictly below ``lo`` and collects ONLY the
+    in-bracket rows (≈4ε·n of them, the memory bound), so the value at
+    exact rank ⌈p·n⌉ is ``sorted(in_bracket)[rank - below]``.  The
+    result is the exact discrete percentile — partition-independent,
+    hash-checkable against DuckDB's ``quantile_disc`` (empirically
+    rank = max(1, ceil(p*n)), probed at n=4 and n=5) — while the 100 TB
+    cost keeps the sketch's shape: two map-side-combinable passes, no
+    per-group full-column sort, per-group agg state O(ε·n) instead of
+    O(n).  Ties to the driver's value-hash gate because both engines
+    emit an ACTUAL data value (no interpolation arithmetic to drift).
+    """
+    ps, eps = _PCTL_GUAR_PS, _PCTL_GUAR_EPS
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").alias("x"))
+    plos = [max(0.0, p - 2 * eps) for p in ps]
+    phis = [min(1.0, p + 2 * eps) for p in ps]
+    br = (o.groupBy("o_orderpriority")
+          .agg(F.count("x").alias("n"),
+               F.percentile_approx("x", plos + phis,
+                                   int(round(1 / eps))).alias("qb")))
+    j = o.join(F.broadcast(br), "o_orderpriority")
+    aggs = [F.first("n").alias("n")]
+    for i in range(len(ps)):
+        lo, hi = F.col("qb")[i], F.col("qb")[i + len(ps)]
+        aggs.append(F.sum(F.when(F.col("x") < lo, 1).otherwise(0))
+                    .alias(f"below_{i}"))
+        aggs.append(F.sort_array(F.collect_list(
+            F.when(F.col("x").between(lo, hi), F.col("x"))))
+            .alias(f"inb_{i}"))
+    refined = j.groupBy("o_orderpriority").agg(*aggs)
+    out = [F.col("o_orderpriority")]
+    for i, (p, name) in enumerate(zip(ps, ("p50", "p95", "p99"))):
+        rank = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+        out.append(F.element_at(
+            F.col(f"inb_{i}"),
+            (rank - F.col(f"below_{i}")).cast("int")).alias(name))
+    return refined.select(*out)
 
 
 @register("agg_heavy_hitters", covers=("G.agg.heavy_hitters",))

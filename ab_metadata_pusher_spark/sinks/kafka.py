@@ -2,18 +2,39 @@
 (README.md:54, SURVEY.md §2.E E6), built on Spark's native kafka sink so
 SQS and Kafka are pluggable peers.
 
-The container has no Kafka broker or spark-sql-kafka package, so
-``write_envelopes`` *configures* the writer and only ``save()``s when
-asked; ``build_kafka_rows`` (the value-assembly plan) is fully testable
-offline.
+Two publish paths:
+
+* ``write_envelopes`` targets the official ``spark-sql-kafka`` sink
+  (``df.write.format("kafka")``) — the production path once the package
+  is on the classpath; the container has neither the package nor a
+  broker, so it only ``save()``s when asked.
+* ``publish_wire`` (r10) speaks the PUBLIC Kafka wire protocol itself —
+  Metadata v0 for partition discovery, Produce v3 carrying message-
+  format-v2 record batches (CRC32C-checksummed, varint-encoded
+  records), murmur2 key partitioning matching the default Java
+  producer — over a plain TCP socket from ``foreachPartition``, pure
+  stdlib.  This is the same live-protocol discipline as the SQS
+  HTTP endpoint, the statsd UDP listener, and the BigQuery REST/Storage
+  emulators: tests/test_sinks.py runs a local broker emulator that
+  decodes the frames, verifies the batch CRC, and acks.  The per-byte
+  Python encoding is NOT the 100 TB hot path (the official sink's JVM
+  producer is); it exists so the protocol contract is executable and
+  tested in-sandbox.
+
+``build_kafka_rows`` (the value-assembly plan) is shared by both and
+fully testable offline.
 """
 
 from __future__ import annotations
 
+import io
+import socket
+import struct
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_kafka_rows", "write_envelopes"]
+__all__ = ["build_kafka_rows", "write_envelopes", "publish_wire"]
 
 
 def build_kafka_rows(nodes: DataFrame, relations: DataFrame,

@@ -210,6 +210,49 @@ class BigQueryCatalogSource:
         return spark.createDataFrame(rows, spark_schema)
 
 
+def _storage_landing_type(t):
+    """Map one Arrow wire type to the type the landed DataFrame holds.
+
+    BIGNUMERIC arrives as ``decimal256(76, 38)`` — wider than Spark's
+    decimal(38) cap — so any decimal past 38 digits lands as STRING
+    (exact decimal text), the same no-silent-truncation rule as
+    ``load_rest``'s BIGNUMERIC mapping (note: the Arrow cast carries
+    the full wire scale, e.g. ``1.50…0`` with 38 fractional digits,
+    where the REST path carries the service's canonical short form).
+    RECORD/STRUCT and REPEATED fields are walked recursively so a
+    nested BIGNUMERIC is mapped too.  Everything else passes through
+    untouched.  Returns (arrow_type, changed: bool)."""
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t) and t.precision > 38:
+        return pa.string(), True
+    if pa.types.is_struct(t):
+        fields, changed = [], False
+        for f in t:
+            ft, ch = _storage_landing_type(f.type)
+            fields.append(pa.field(f.name, ft, f.nullable))
+            changed = changed or ch
+        return pa.struct(fields), changed
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        et, ch = _storage_landing_type(t.value_type)
+        mk = pa.large_list if pa.types.is_large_list(t) else pa.list_
+        return mk(et), ch
+    return t, False
+
+
+def _storage_landing_schema(arrow_schema):
+    """The post-decode Arrow schema for a read session (see
+    :func:`_storage_landing_type`).  Returns (schema, changed)."""
+    import pyarrow as pa
+
+    fields, changed = [], False
+    for f in arrow_schema:
+        ft, ch = _storage_landing_type(f.type)
+        fields.append(pa.field(f.name, ft, f.nullable))
+        changed = changed or ch
+    return pa.schema(fields), changed
+
+
 def _read_stream_batches(endpoint: str, stream: str, token: str | None,
                          schema_b64: str, offset: int = 0,
                          http_timeout_sec: float = 60.0,
@@ -367,7 +410,8 @@ class BigQueryStorageSource:
         schema_b64 = session["arrowSchema"]["serializedSchema"]
         arrow_schema = pa.ipc.read_schema(
             pa.py_buffer(base64.b64decode(schema_b64)))
-        spark_schema = from_arrow_schema(arrow_schema,
+        landing, needs_cast = _storage_landing_schema(arrow_schema)
+        spark_schema = from_arrow_schema(landing,
                                          prefer_timestamp_ntz=True)
         streams = [s["name"] for s in session.get("streams", [])]
         if not streams:  # empty table: session legitimately has 0 streams
@@ -375,16 +419,25 @@ class BigQueryStorageSource:
 
         # plain locals only — the closure ships to executor workers
         # (the stream list is O(streams) driver state, a few KiB)
-        _endpoint, _token, _timeout, _retries, _streams = (
-            endpoint, token, http_timeout_sec, max_attempts, list(streams))
+        _endpoint, _token, _timeout, _retries, _streams, _cast = (
+            endpoint, token, http_timeout_sec, max_attempts, list(streams),
+            needs_cast)
 
         def read_streams(parts: Iterator) -> Iterator:
+            import pyarrow as _pa
+            target = (_pa.ipc.read_schema(_pa.py_buffer(
+                base64.b64decode(schema_b64))) if _cast else None)
+            if target is not None:
+                target = _storage_landing_schema(target)[0]
             for pdf in parts:
                 for idx in pdf["id"]:
                     for batch in _read_stream_batches(
                             _endpoint, _streams[int(idx)], _token,
                             schema_b64, http_timeout_sec=_timeout,
                             max_attempts=_retries):
+                        if target is not None:
+                            batch = (_pa.Table.from_batches([batch])
+                                     .cast(target).combine_chunks())
                         yield batch.to_pandas()
 
         # EXACTLY one stream per task (r9 ADVICE: round-robin

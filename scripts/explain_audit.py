@@ -188,7 +188,7 @@ DEFAULT = [
     # round-4 audit-coverage sweep: every remaining batch query in the
     # registry (stream_* excluded — their explain is a memory-sink scan
     # and building them executes the stream)
-    "agg_approx_count_distinct", "agg_approx_percentiles",
+    "agg_approx_count_distinct", "agg_percentiles_guaranteed",
     "agg_count_distinct", "agg_cube", "agg_grouping_sets",
     "agg_heavy_hitters", "agg_histogram_equi_depth",
     "agg_hll_sketch_union", "agg_max_by", "agg_mode", "agg_percentiles",

@@ -25,10 +25,12 @@ kept deliberately distinct (r4 VERDICT ask #3 / ADVICE):
       regression stability; TRUTH is covered separately by
       ``tests/test_sketches.py`` (estimate within 2% of exact).
 
-(The remaining no-oracle registrations — ``agg_heavy_hitters``,
-``agg_approx_percentiles`` — are EXCLUDED on purpose: Misra-Gries
-counters and GK quantile summaries depend on partition boundaries, so
-their values are not reproducible across executor layouts.)
+(The remaining no-oracle registration — ``agg_heavy_hitters`` — is
+EXCLUDED on purpose: Misra-Gries counters depend on partition
+boundaries, so their values are not reproducible across executor
+layouts.  ``agg_approx_percentiles`` was retired in r10 for
+``agg_percentiles_guaranteed``, whose sketch-bracketed exact refine is
+layout-independent and oracle-backed in-registry.)
 
 Each oracle embeds one VALUES branch per scale factor, selected by the
 base table's row count, so the same string verifies at the test SF

@@ -37,15 +37,16 @@ from ab_metadata_pusher_spark.plans.registry import (  # noqa: E402
 #: be a first-time-scored query.
 SENTINELS = set(DRIVER_PREFIX[:15])
 
-#: Deliberate re-proof slots (round 9): the IVF-family driver
-#: confirmation is still pending (two rounds of builder-vs-driver
-#: disagreement) and r9 flipped the Lloyd update to the exploded shape
-#: + inlined centroid norms into _assign_cells — these three consumers
-#: stay scored until the driver record confirms.  The 32 freshness
-#: slots refresh the oldest driver evidence (all of r2, then the
-#: oldest of r3).
+#: Deliberate re-proof slots (round 10): graph_label_propagation is the
+#: one r9-touched query whose driver-normalized ratio (1.15x) disagreed
+#: with the builder probe (0.77x) — it stays scored until the driver
+#: record settles it (r9 VERDICT ask #1).  The IVF trio's two-round
+#: dispute CLOSED in the r9 driver record (normalized 0.39-0.73) and
+#: those slots returned to the freshness pool.  The 33 freshness slots
+#: refresh the oldest driver evidence (all of r3, then the oldest of
+#: r4); agg_percentiles_guaranteed takes the first-scoring slot.
 REPROOF = {
-    "similarity_ann_ivf", "dedup_semantic", "embedding_kmeans",
+    "graph_label_propagation",
 }
 
 #: The driver's correctness gate scores this many queries() entries per
@@ -94,20 +95,28 @@ def main() -> int:
     for n in pool:
         print(f"  {n}")
 
-    if pool:
-        # Never-scored queries exist: any prefix slot re-scoring an
-        # already-green non-sentinel is a wasted slot.
+    unscheduled_pool = [n for n in pool
+                        if n not in DRIVER_PREFIX[:SCORED_WINDOW]]
+    if unscheduled_pool:
+        # Never-scored queries exist AND are not in the window: any
+        # prefix slot re-scoring an already-green non-sentinel is a
+        # wasted slot.  (A pool entry already inside the window is fine
+        # — the remaining slots rightly hold freshness rotations.)
         wasted = [n for n in DRIVER_PREFIX[:SCORED_WINDOW]
                   if n in scored and n not in SENTINELS and n not in REPROOF]
+        print(f"UNSCHEDULED never-scored queries ({len(unscheduled_pool)}):")
+        for n in unscheduled_pool:
+            print(f"  {n}")
         if wasted:
             print(f"prefix slots re-scoring non-sentinel already-green "
-                  f"queries ({len(wasted)} — rotate these next round):")
+                  f"queries ({len(wasted)} — swap for the unscheduled "
+                  f"pool next round):")
             for n in wasted:
                 print(f"  {n}")
-        else:
-            print("prefix wastes no slots (every non-sentinel is "
-                  "first-time).")
         return 0 if args.skip_tests else _run_registry_tests()
+    if pool:
+        print("all never-scored queries are scheduled in the window; "
+              "remaining slots fall through to the freshness policy.")
 
     # Registry cleared (r7): the policy becomes re-proof + FRESHNESS —
     # rotation slots should hold the queries whose latest driver row is

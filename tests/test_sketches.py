@@ -33,26 +33,29 @@ def test_hll_sketch_column_is_mergeable_binary(spark, sf_dir):
     assert abs(total - exact) / exact < 0.02
 
 
-def test_approx_percentile_tracks_exact(spark, sf_dir):
-    """GK-sketch quantiles must land within 1% RELATIVE RANK of the
-    exact percentiles (accuracy=1000 -> eps 0.001 on rank; value check
-    done via the exact values at rank +/- 1% around each quantile)."""
+def test_percentiles_guaranteed_are_exact(spark, sf_dir):
+    """agg_percentiles_guaranteed (r10, replacing the rows-only
+    agg_approx_percentiles): the GK sketch only PROPOSES a
+    rank-guaranteed value bracket; the exact-refine pass must land the
+    EXACT discrete percentile — the value at rank max(1, ceil(p*n)) —
+    independent of partition layout."""
+    import math
+
     from pyspark.sql import functions as F
 
-    approx = {r["o_orderpriority"]:
-              (r["approx_p50"], r["approx_p95"], r["approx_p99"])
-              for r in queries()["agg_approx_percentiles"](spark, sf_dir)
-              .collect()}
+    got = {r["o_orderpriority"]: (r["p50"], r["p95"], r["p99"])
+           for r in queries()["agg_percentiles_guaranteed"](spark, sf_dir)
+           .collect()}
     o = load_table(spark, sf_dir, "orders")
-    for prio, est in approx.items():
+    assert len(got) == 5
+    for prio, est in got.items():
         vals = sorted(r["o_totalprice"] for r in
                       o.filter(F.col("o_orderpriority") == prio)
                       .select("o_totalprice").collect())
         n = len(vals)
         for q, e in zip((0.5, 0.95, 0.99), est):
-            lo = vals[max(0, int((q - 0.01) * n) - 1)]
-            hi = vals[min(n - 1, int((q + 0.01) * n))]
-            assert lo <= e <= hi, (prio, q, e, lo, hi)
+            rank = max(1, math.ceil(q * n))
+            assert e == vals[rank - 1], (prio, q, e, vals[rank - 1])
 
 
 def test_misra_gries_heavy_hitters_bounds(spark):
