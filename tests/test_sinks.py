@@ -507,3 +507,173 @@ def test_sqs_publish_live_http_endpoint_real_boto3(
         for b in dist_bodies)
     assert dist_recs == n_recs  # exactly once per record, per mode
     assert all(len(b.encode()) <= max_bytes for b in dist_bodies)
+
+
+# ---------------------------------------------------------------------------
+# E6 live wire: a local broker emulator speaking the Kafka protocol
+# (Metadata v0 + Produce v3 / message-format v2), the same in-sandbox
+# live-protocol discipline as the SQS HTTP endpoint and statsd UDP
+# listener (r9 VERDICT ask #6).
+# ---------------------------------------------------------------------------
+
+def _kafka_broker_emulator(topic, n_partitions):
+    """Decodes real frames: request header v1, Metadata v0 request ->
+    single-broker response advertising n_partitions; Produce v3 ->
+    unpacks the v2 record batch, VERIFIES magic + CRC-32C + varint
+    record framing, stores (partition, key, value), acks.  Returns
+    (server, received dict, batches list)."""
+    import io
+    import socketserver
+    import struct
+    import threading
+
+    from ab_metadata_pusher_spark.sinks.kafka import _crc32c, read_varint
+
+    received = {}   # partition -> [(key, value)]
+    batches = []    # per-produce record counts
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            while True:
+                head = self._recv(4)
+                if head is None:
+                    return
+                (size,) = struct.unpack(">i", head)
+                buf = io.BytesIO(self._recv(size))
+                api, ver, cid = struct.unpack(">hhi", buf.read(8))
+                (clen,) = struct.unpack(">h", buf.read(2))
+                if clen >= 0:
+                    buf.read(clen)
+                if api == 3:
+                    assert ver == 0
+                    self._reply(cid, self._metadata())
+                elif api == 0:
+                    assert ver == 3
+                    self._reply(cid, self._produce(buf))
+                else:
+                    raise AssertionError(f"unexpected api key {api}")
+
+        def _recv(self, n):
+            data = bytearray()
+            while len(data) < n:
+                part = self.request.recv(n - len(data))
+                if not part:
+                    return None if not data else (_ for _ in ()).throw(
+                        ConnectionError("truncated frame"))
+                data += part
+            return bytes(data)
+
+        def _reply(self, cid, body):
+            payload = struct.pack(">i", cid) + body
+            self.request.sendall(struct.pack(">i", len(payload)) + payload)
+
+        def _metadata(self):
+            host, port = self.server.server_address
+            def s(x):
+                raw = x.encode()
+                return struct.pack(">h", len(raw)) + raw
+            parts = b"".join(
+                struct.pack(">hiii", 0, p, 0, 1) + struct.pack(">i", 0)
+                + struct.pack(">ii", 1, 0)
+                for p in range(n_partitions))
+            return (struct.pack(">i", 1)                 # brokers
+                    + struct.pack(">i", 0) + s(host)
+                    + struct.pack(">i", port)
+                    + struct.pack(">i", 1)               # topics
+                    + struct.pack(">h", 0) + s(topic)
+                    + struct.pack(">i", n_partitions) + parts)
+
+        def _produce(self, buf):
+            import struct as _st
+            (tid_len,) = _st.unpack(">h", buf.read(2))
+            if tid_len >= 0:
+                buf.read(tid_len)
+            acks, timeout_ms, n_topics = _st.unpack(">hii", buf.read(10))
+            assert n_topics == 1
+            (tlen,) = _st.unpack(">h", buf.read(2))
+            t = buf.read(tlen).decode()
+            assert t == topic
+            (n_parts,) = _st.unpack(">i", buf.read(4))
+            assert n_parts == 1
+            part, set_len = _st.unpack(">ii", buf.read(8))
+            batch = io.BytesIO(buf.read(set_len))
+            base_off, batch_len, leader_epoch, magic, crc = _st.unpack(
+                ">qiibI", batch.read(21))
+            after = batch.read()
+            assert magic == 2, "message format v2 required"
+            assert _crc32c(after) == crc, "batch CRC-32C mismatch"
+            body = io.BytesIO(after)
+            (attrs, last_delta) = _st.unpack(">hi", body.read(6))
+            assert attrs == 0  # uncompressed, create-time
+            body.read(8 + 8 + 8 + 2 + 4)  # ts, ts, pid, epoch, baseseq
+            (n_recs,) = _st.unpack(">i", body.read(4))
+            assert last_delta == n_recs - 1
+            for _ in range(n_recs):
+                read_varint(body)            # record length
+                body.read(1)                 # record attributes
+                read_varint(body)            # timestamp delta
+                read_varint(body)            # offset delta
+                klen = read_varint(body)
+                key = None if klen < 0 else body.read(klen).decode()
+                vlen = read_varint(body)
+                value = body.read(vlen).decode()
+                nheaders = read_varint(body)
+                assert nheaders == 0
+                received.setdefault(part, []).append((key, value))
+            batches.append(n_recs)
+            # responses: [topic -> [partition, err, base_offset,
+            # log_append_time]], throttle_ms
+            return (struct.pack(">i", 1)
+                    + struct.pack(">h", tlen) + t.encode()
+                    + struct.pack(">i", 1)
+                    + struct.pack(">ihqq", part, 0, 0, -1)
+                    + struct.pack(">i", 0))
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, received, batches
+
+
+def test_crc32c_public_vector():
+    """The standard CRC-32C check vector (RFC 3720 appendix /
+    iSCSI): crc32c(b'123456789') == 0xE3069283 — pins the table-driven
+    implementation to the published polynomial, so the broker-side
+    verification in the live test is not self-referential."""
+    from ab_metadata_pusher_spark.sinks.kafka import _crc32c
+
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _crc32c(b"") == 0
+
+
+def test_kafka_publish_live_wire_protocol(spark, sf_dir):
+    """E6 end-to-end over live TCP: build_kafka_rows -> publish_wire ->
+    emulated broker.  Every record arrives exactly once with its key,
+    every record landed on the murmur2-default-partitioner partition,
+    and batches respect batch_max_records."""
+    from ab_metadata_pusher_spark.sinks.kafka import (
+        build_kafka_rows, partition_for_key, publish_wire)
+
+    nodes, relations = _graph(spark, sf_dir)
+    rows = build_kafka_rows(nodes, relations, tag="t1")
+    expect = {(r["key"], r["value"]) for r in rows.collect()}
+    assert len(expect) > 50
+
+    n_partitions = 4
+    srv, received, batches = _kafka_broker_emulator("md-topic", n_partitions)
+    try:
+        sent = publish_wire(
+            rows, f"127.0.0.1:{srv.server_address[1]}", "md-topic",
+            batch_max_records=16)
+    finally:
+        srv.shutdown()
+
+    got = [(k, v) for part, kvs in received.items() for k, v in kvs]
+    assert sorted(got) == sorted(expect)      # exactly once, keys intact
+    assert sent == len(expect)
+    for part, kvs in received.items():
+        for k, _ in kvs:
+            assert part == partition_for_key(k.encode(), n_partitions)
+    assert len(received) == len(
+        {partition_for_key(k.encode(), n_partitions) for k, _ in expect})
+    assert max(batches) <= 16 and len(batches) >= 2
