@@ -139,6 +139,11 @@ REGISTRY_BENCH = [
     # window under the freshness rotation — the bench gate becomes its
     # standing perf watchdog (tests/test_registry.py pins this).
     "graph_link_prediction_capped",
+    # round-10: the sketch-bracketed exact percentile (replaced the
+    # rows-only agg_approx_percentiles) — two aggregate passes whose
+    # cost profile should stay sketch-shaped, so it is perf-gated from
+    # its first round.
+    "agg_percentiles_guaranteed",
 ]
 
 

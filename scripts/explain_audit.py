@@ -4,6 +4,10 @@ whole-stage-codegen spans — and flag anti-patterns (cartesian products,
 nested-loop joins where an equi-join was expected).
 
 Usage: python scripts/explain_audit.py [query ...]
+       python scripts/explain_audit.py --write-plans ROUND
+           regenerate PLANS.md mechanically (header dated to ROUND) —
+           part of the closing checklist since r10 (the r9 verdict
+           caught a hand-maintained PLANS.md header going stale).
 """
 
 from __future__ import annotations
@@ -269,8 +273,33 @@ def count_global_sortwin(plan: str) -> int:
     return n
 
 
+_PLANS_HEADER = """# PLANS — physical-plan audit of every batch query (sf0.1)
+
+Generated by `python scripts/explain_audit.py --write-plans {round}` (round {round}). Columns:
+shuffle count, join strategies chosen, parquet scans with pushed filters;
+nested-loop joins outside the expected set (tiny/1-row broadcast sides) fail the audit;
+global_sortwin counts Sort/Window operators fed by an Exchange SinglePartition
+(single-task global sorts) — allowed only for the documented bounded frames in
+GLOBAL_SORTWIN_OK, any other occurrence fails the audit.
+Iterative operators (localCheckpoint loops) report CUMULATIVE counts:
+pre-checkpoint plan segments are captured via observability.capture_plan_segment
+and summed (iter_segments=N shows how many truncated segments were added back).
+Since round 7 the audit session pins MATERIALIZE_CONF=eager — the same mode
+bench.py times — so shared-stream materializations appear as checkpointed
+segments; the library's lazy-persist default has identical shuffle structure
+with InMemoryTableScan consumers instead.
+
+```
+"""
+
+
 def main() -> int:
     from ab_metadata_pusher_spark.operators._shared import MATERIALIZE_CONF
+
+    args = sys.argv[1:]
+    plans_round = None
+    if args and args[0] == "--write-plans":
+        plans_round, args = args[1], args[2:]
 
     spark = get_spark(app_name="explain-audit",
                       extra_conf={"spark.ui.enabled": "false",
@@ -283,8 +312,9 @@ def main() -> int:
     # the audit pins the shape the timed runs execute.
     spark.conf.set(MATERIALIZE_CONF, "eager")
     reg = queries()
-    names = sys.argv[1:] or DEFAULT
+    names = args or DEFAULT
     bad = 0
+    lines: list[str] = []
     for name in names:
         # Iterative operators truncate lineage with localCheckpoint while
         # the query BUILDS, so the final EXPLAIN alone under-counts their
@@ -313,10 +343,19 @@ def main() -> int:
             bad += 1
         seg = f" iter_segments={len(segments)}" if segments else ""
         gsw = f" global_sortwin={n_gsw}" if n_gsw else ""
-        print(f"{name:28s} shuffles={n_exchange} broadcast={n_bcast} "
-              f"sortmerge={n_smj} nestedloop={n_nl} pushed_scans={pushed}"
-              f"{gsw}{seg}{flag}")
-    print("AUDIT", "FAIL" if bad else "PASS")
+        line = (f"{name:28s} shuffles={n_exchange} broadcast={n_bcast} "
+                f"sortmerge={n_smj} nestedloop={n_nl} pushed_scans={pushed}"
+                f"{gsw}{seg}{flag}")
+        lines.append(line)
+        print(line)
+    verdict = "AUDIT " + ("FAIL" if bad else "PASS")
+    lines.append(verdict)
+    print(verdict)
+    if plans_round is not None and not bad:
+        out = REPO / "PLANS.md"
+        out.write_text(_PLANS_HEADER.format(round=plans_round)
+                       + "\n".join(lines) + "\n```\n")
+        print(f"wrote {out}")
     return 1 if bad else 0
 
 

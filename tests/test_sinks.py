@@ -677,3 +677,61 @@ def test_kafka_publish_live_wire_protocol(spark, sf_dir):
     assert len(received) == len(
         {partition_for_key(k.encode(), n_partitions) for k, _ in expect})
     assert max(batches) <= 16 and len(batches) >= 2
+
+
+@given(st.lists(st.integers(min_value=-(2 ** 62), max_value=2 ** 62 - 1),
+                min_size=1, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_kafka_varint_roundtrip(values):
+    """zigzag-varint encode/decode are inverses over the int64 range the
+    v2 record framing uses."""
+    import io as _io
+
+    from ab_metadata_pusher_spark.sinks.kafka import _varint, read_varint
+
+    buf = _io.BytesIO(b"".join(_varint(v) for v in values))
+    assert [read_varint(buf) for _ in values] == values
+    assert not buf.read()  # no trailing bytes
+
+
+@given(st.lists(
+    st.tuples(st.one_of(st.none(), st.binary(max_size=64)),
+              st.binary(max_size=256)),
+    min_size=1, max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_kafka_record_batch_roundtrip(records):
+    """encode_record_batch emits a decodable v2 batch: header fields,
+    CRC-32C, and every (key, value) — including null keys and empty
+    values — recover exactly."""
+    import io as _io
+    import struct as _st
+
+    from ab_metadata_pusher_spark.sinks.kafka import (
+        _crc32c, encode_record_batch, read_varint)
+
+    raw = _io.BytesIO(encode_record_batch(records))
+    base_off, batch_len = _st.unpack(">qi", raw.read(12))
+    rest = raw.read()
+    assert base_off == 0 and batch_len == len(rest)
+    body = _io.BytesIO(rest)
+    leader_epoch, magic, crc = _st.unpack(">ibI", body.read(9))
+    after = body.read()
+    assert magic == 2 and _crc32c(after) == crc
+    b = _io.BytesIO(after)
+    attrs, last_delta = _st.unpack(">hi", b.read(6))
+    b.read(30)  # timestamps, producer id/epoch, base sequence
+    (n,) = _st.unpack(">i", b.read(4))
+    assert attrs == 0 and n == len(records) and last_delta == n - 1
+    out = []
+    for _ in range(n):
+        read_varint(b)
+        b.read(1)
+        read_varint(b)
+        read_varint(b)
+        klen = read_varint(b)
+        key = None if klen < 0 else b.read(klen)
+        vlen = read_varint(b)
+        out.append((key, b.read(vlen)))
+        assert read_varint(b) == 0
+    assert not b.read()
+    assert out == records
