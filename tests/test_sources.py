@@ -929,38 +929,52 @@ def test_bigquery_storage_reads_struct_and_bignumeric(spark):
 def test_bigquery_storage_4xx_fails_fast(sf_dir, monkeypatch):
     """r9 ADVICE: a 4xx client error (bad auth, missing stream) cannot
     be healed by backoff — the reader must raise immediately instead of
-    paying max_attempts * exponential backoff per task.  5xx keeps the
-    retry schedule (the live 503 test above); 408/429 stay retryable."""
+    paying max_attempts * exponential backoff per task, while 408/429
+    and 5xx keep the retry schedule (5xx also proven over live HTTP by
+    the injected-503 test above).  Synthesized HTTPErrors, not a live
+    socket: the policy decision must be asserted without transport
+    nondeterminism (a transient connect error would legitimately add a
+    retry sleep and flake the zero-backoff assertion)."""
+    import base64 as _b64
     import urllib.error
 
+    import pyarrow as pa
     import pytest
 
     from ab_metadata_pusher_spark.sources import bigquery as bq
     from ab_metadata_pusher_spark.sources.bigquery import (
-        BigQueryStorageSource, _read_stream_batches)
+        _read_stream_batches)
 
-    calls = []
-    srv = _storage_emulator(f"{sf_dir}/orders.parquet", n_streams=1,
-                            batch_rows=512, calls=calls,
-                            require_token="good-token")
+    schema_b64 = _b64.b64encode(pa.schema(
+        [pa.field("x", pa.int64())]).serialize().to_pybytes()).decode()
     sleeps = []
     monkeypatch.setattr(bq.time, "sleep", sleeps.append)
-    try:
-        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
-        src = BigQueryStorageSource(project="p", dataset="d",
-                                    table="orders")
-        session = src.create_read_session(endpoint, token="good-token",
-                                          max_stream_count=1)
+
+    def run(code):
+        attempts = []
+
+        def fake_urlopen(req, timeout=None):
+            attempts.append(req.full_url)
+            raise urllib.error.HTTPError(req.full_url, code, "err",
+                                         {}, None)
+        monkeypatch.setattr(bq.urllib.request, "urlopen", fake_urlopen)
         with pytest.raises(urllib.error.HTTPError) as exc:
-            list(_read_stream_batches(
-                endpoint, session["streams"][0]["name"], "WRONG-token",
-                session["arrowSchema"]["serializedSchema"],
-                max_attempts=5))
-    finally:
-        srv.shutdown()
-    assert exc.value.code == 401
-    assert sleeps == []  # no backoff schedule was paid
-    assert len([c for c in calls if c[0] == "GET"]) == 1  # one attempt
+            list(_read_stream_batches("http://x", "s/0", None,
+                                      schema_b64, max_attempts=3,
+                                      retry_backoff_sec=0.01))
+        return exc.value.code, len(attempts)
+
+    # non-retryable 4xx: one attempt, zero sleeps
+    code, n = run(401)
+    assert (code, n) == (401, 1) and sleeps == []
+    code, n = run(404)
+    assert (code, n) == (404, 1) and sleeps == []
+    # 429 and 503 stay on the schedule: max_attempts tries, backoff paid
+    code, n = run(429)
+    assert (code, n) == (429, 3) and len(sleeps) == 2
+    sleeps.clear()
+    code, n = run(503)
+    assert (code, n) == (503, 3) and len(sleeps) == 2
 
 
 def test_bigquery_storage_exact_stream_placement(spark, sf_dir):
