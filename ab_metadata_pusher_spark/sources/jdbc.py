@@ -10,12 +10,16 @@ down through ``spark.read.format("jdbc").option("query", ...)`` — the
 whole catalog join executes DB-side exactly as before, but rows arrive in
 parallel partitions.
 
-No MySQL/Postgres server exists in the test container, so the A2/A3
-catalog queries are covered as SQL text + reader configuration; the
-generic A1 ``load`` path itself IS live-verified — tests/test_sources.py
-round-trips a table through the embedded Derby engine that ships in
-Spark's jars, proving the partitioned range-slice read (4 real scan
-partitions) and engine-side filter pushdown.  The produced schema is
+No MySQL/Postgres server (or JDBC driver jar) exists in the test
+container; the generic A1 ``load`` path IS live-verified —
+tests/test_sources.py round-trips a table through the embedded Derby
+engine that ships in Spark's jars, proving the partitioned range-slice
+read (4 real scan partitions) and engine-side filter pushdown.  Since
+r10 the A2/A3 DIALECTS are live too: ``sources/mysqlwire.py`` and
+``sources/pgwire.py`` execute these exact catalog queries over the
+public MySQL / PostgreSQL wire protocols against local emulators
+(handshake + auth + text resultset decode, end-to-end), so the dialect
+SQL is executed, not just shape-checked.  The produced schema is
 ``catalog_columns`` (FIXTURES.md B1) — identical to sources/catalog.py,
 so operators/metadata.py is source-agnostic.
 """

@@ -26,11 +26,17 @@ STATIC = [
      "tests/test_sources.py LIVE vs embedded Derby (partitioned read, "
      "pushed filter); tests/test_catalog_introspection.py live SYS-catalog "
      "round trip"),
-    ("A2", "MySQL catalog scan SQL shape",
-     "sources/jdbc.py mysql_catalog_sql + sources/catalog.py (fixture path)",
-     "tests/test_sinks.py; registry metadata_catalog_columns"),
-    ("A3", "Postgres catalog scan SQL shape",
-     "sources/jdbc.py postgres_catalog_sql", "tests/test_sinks.py"),
+    ("A2", "MySQL catalog scan (dialect SQL + wire protocol)",
+     "sources/jdbc.py mysql_catalog_sql; sources/mysqlwire.py "
+     "MysqlWireSource (HandshakeV10 + mysql_native_password + COM_QUERY)",
+     "tests/test_sources.py LIVE vs local MySQL-protocol emulator "
+     "(verified auth scramble, text resultset decode, auth-failure "
+     "path); registry metadata_catalog_columns"),
+    ("A3", "Postgres catalog scan (dialect SQL + wire protocol)",
+     "sources/jdbc.py postgres_catalog_sql; sources/pgwire.py "
+     "PostgresWireSource (startup + cleartext/md5 auth + simple Query)",
+     "tests/test_sources.py LIVE vs local v3-protocol emulator "
+     "(md5 auth, OID-typed decode, NULLs, auth-failure path)"),
     ("A4", "Source/queue dispatch registry",
      "jobs.py build_metadata_job/job_from_env (env contract)",
      "tests/test_sinks.py pipeline tests"),
