@@ -185,6 +185,19 @@ def main() -> None:
         f"Total: {len(qs)} registered queries, "
         f"{len(oracles)} with value-hash oracles.",
         "",
+        "The one registered query WITHOUT an oracle is "
+        "`agg_heavy_hitters` — raw Misra-Gries estimates depend on "
+        "partition layout and merge order by the algorithm's published "
+        "definition, so no cross-engine SQL can reproduce them; this is "
+        "a PERMANENT documented floor, not a gap (r9 VERDICT ask #7 "
+        "fallback).  Its exact-checkable companion "
+        "`agg_heavy_hitters_guaranteed` (sketch proposes, exact pass "
+        "verifies) is oracle-backed and driver-green, and both MG error "
+        "bounds are property-tested in tests/test_sketches.py.  The "
+        "analogous GK-percentile pair was retired/replaced in r10 by "
+        "`agg_percentiles_guaranteed` (sketch-bracketed exact refine), "
+        "which IS oracle-backed.",
+        "",
         "## Non-query surfaces",
         "",
         "| §2 id | operator | implementation | verified by |",
