@@ -1438,3 +1438,81 @@ def test_mysql_wire_bad_password_raises():
             src.query("SELECT 1")
     finally:
         srv.shutdown()
+
+
+def test_postgres_wire_tolerates_notices_and_long_values(spark):
+    """Protocol edges: NoticeResponse and ParameterStatus interleaved in
+    the query stream are consumed, and a value longer than one TCP
+    segment decodes intact (exercises the exact-length recv loop)."""
+    import socketserver
+    import struct
+    import threading
+
+    from ab_metadata_pusher_spark.sources.pgwire import PostgresWireSource
+
+    big = "x" * 100_000
+
+    class Handler(socketserver.BaseRequestHandler):
+        def _recv(self, n):
+            data = bytearray()
+            while len(data) < n:
+                part = self.request.recv(n - len(data))
+                if not part:
+                    raise ConnectionError("gone")
+                data += part
+            return bytes(data)
+
+        def _send(self, kind, body):
+            self.request.sendall(
+                kind + struct.pack(">i", len(body) + 4) + body)
+
+        def handle(self):
+            (length,) = struct.unpack(">i", self._recv(4))
+            self._recv(length - 4)
+            self._send(b"R", struct.pack(">i", 0))   # trust auth
+            self._send(b"Z", b"I")
+            kind = self._recv(1)
+            (qlen,) = struct.unpack(">i", self._recv(4))
+            self._recv(qlen - 4)
+            assert kind == b"Q"
+            # notices/parameter-status interleave legally with data
+            self._send(b"N", b"SNOTICE\x00Mjust so you know\x00\x00")
+            self._send(b"T", struct.pack(">h", 1) + b"v\x00"
+                       + struct.pack(">ihihih", 0, 0, 25, -1, -1, 0))
+            self._send(b"S", b"application_name\x00x\x00")
+            raw = big.encode()
+            self._send(b"D", struct.pack(">hi", 1, len(raw)) + raw)
+            self._send(b"N", b"SNOTICE\x00Magain\x00\x00")
+            self._send(b"C", b"SELECT 1\x00")
+            self._send(b"Z", b"I")
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = PostgresWireSource("127.0.0.1", srv.server_address[1],
+                                 user="u", database="d")
+        fields, rows = src.query("SELECT v")
+    finally:
+        srv.shutdown()
+    assert fields == [("v", 25)]
+    assert rows == [(big,)]
+
+
+def test_mysql_wire_lenenc_two_byte_strings():
+    """Values past the 251-byte single-byte length bound take the 0xfc
+    two-byte length encoding — round-trip one through the emulator."""
+    from ab_metadata_pusher_spark.sources.mysqlwire import MysqlWireSource
+
+    long_comment = "c" * 4000
+    rows = [("db", "def", "s", "t", long_comment, "col", "text",
+             None, 1, 0)]
+    seen = []
+    srv = _mysql_server_emulator("u", "", _MY_CATALOG_FIELDS, rows, seen)
+    try:
+        src = MysqlWireSource("127.0.0.1", srv.server_address[1],
+                              user="u", database="db", password="")
+        fields, got = src.query("SELECT 1")
+    finally:
+        srv.shutdown()
+    assert got[0][4] == long_comment and got[0][7] is None
