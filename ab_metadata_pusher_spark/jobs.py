@@ -77,11 +77,35 @@ def _catalog_extractor(db_type: str, conf: dict[str, Any]):
         host = conf.get("host", env("TARGET_DB_HOST", "localhost"))
         port = int(conf.get("port", env("TARGET_DB_PORT", str(default_port))))
         name = conf.get("db_name", env("TARGET_DB_NAME", db_type))
+        user = conf.get("user", env("TARGET_DB_USER", ""))
+        password = conf.get("password", env("TARGET_DB_PASSWORD", ""))
+        # TARGET_DB_PROTOCOL=wire (r10): run the SAME dialect catalog
+        # query over the native wire protocol (sources/mysqlwire.py /
+        # sources/pgwire.py) instead of Spark JDBC — the jar-free path,
+        # live-tested end-to-end against local protocol emulators.
+        # Catalog scans are bounded (driver-built contract); the JDBC
+        # path stays the default for clusters with driver jars.
+        if conf.get("protocol", env("TARGET_DB_PROTOCOL", "jdbc")) == "wire":
+            if db_type == "mysql":
+                from ab_metadata_pusher_spark.sources.mysqlwire import (
+                    MysqlWireSource,
+                )
+                wire = MysqlWireSource(host, port, user=user, database=name,
+                                       password=password)
+                suffix = conf.get("where_clause_suffix", "")
+                return lambda spark: wire.load_catalog(spark, suffix)
+            from ab_metadata_pusher_spark.sources.pgwire import (
+                PostgresWireSource,
+            )
+            pg = PostgresWireSource(host, port, user=user, database=name,
+                                    password=password)
+            schema = conf.get("schema", "public")
+            return lambda spark: pg.load_catalog(spark, schema)
         src = JdbcCatalogSource(
             url=f"jdbc:{scheme}://{host}:{port}/{name}",
             query=query,
-            user=conf.get("user", env("TARGET_DB_USER", "")),
-            password=conf.get("password", env("TARGET_DB_PASSWORD", "")))
+            user=user,
+            password=password)
         return src.load
 
     raise ValueError(f"unknown TARGET_DB_TYPE {db_type!r}")
@@ -119,15 +143,30 @@ def build_metadata_job(db_type: str, queue_type: str,
         def publish(nodes: DataFrame, relations: DataFrame):
             return publisher.publish_collected(nodes, relations, tag)
     elif queue_type == "kafka":
-        from ab_metadata_pusher_spark.sinks.kafka import write_envelopes
         tag = conf.get("publish_tag", env("JOB_PUBLISH_TAG", "dev"))
+        bootstrap = conf.get(
+            "bootstrap_servers", env("KAFKA_BOOTSTRAP_SERVERS", ""))
+        topic = conf.get("topic", env("KAFKA_TOPIC", "metadata"))
+        # KAFKA_MODE=wire (r10): publish over the raw Kafka protocol
+        # from foreachPartition (sinks/kafka.py publish_wire) — the
+        # jar-free path, live-tested against a local broker emulator.
+        # The spark-sql-kafka connector stays the default.
+        if conf.get("mode", env("KAFKA_MODE", "connector")) == "wire":
+            from ab_metadata_pusher_spark.sinks.kafka import (
+                build_kafka_rows, publish_wire,
+            )
 
-        def publish(nodes: DataFrame, relations: DataFrame):  # pragma: no cover
-            return write_envelopes(
-                nodes, relations, tag,
-                bootstrap_servers=conf.get(
-                    "bootstrap_servers", env("KAFKA_BOOTSTRAP_SERVERS", "")),
-                topic=conf.get("topic", env("KAFKA_TOPIC", "metadata")))
+            def publish(nodes: DataFrame, relations: DataFrame):
+                return publish_wire(build_kafka_rows(nodes, relations, tag),
+                                    bootstrap, topic)
+        else:
+            from ab_metadata_pusher_spark.sinks.kafka import write_envelopes
+
+            def publish(nodes: DataFrame,
+                        relations: DataFrame):  # pragma: no cover
+                return write_envelopes(nodes, relations, tag,
+                                       bootstrap_servers=bootstrap,
+                                       topic=topic)
     elif queue_type != "none":
         raise ValueError(f"unknown TARGET_MESSAGE_QUEUE_TYPE {queue_type!r}")
 

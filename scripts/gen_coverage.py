@@ -38,8 +38,12 @@ STATIC = [
      "tests/test_sources.py LIVE vs local v3-protocol emulator "
      "(md5 auth, OID-typed decode, NULLs, auth-failure path)"),
     ("A4", "Source/queue dispatch registry",
-     "jobs.py build_metadata_job/job_from_env (env contract)",
-     "tests/test_sinks.py pipeline tests"),
+     "jobs.py build_metadata_job/job_from_env (env contract; "
+     "TARGET_DB_PROTOCOL=wire and KAFKA_MODE=wire select the jar-free "
+     "native-protocol paths)",
+     "tests/test_sinks.py pipeline tests incl. the zero-jar end-to-end "
+     "flow: mysql-wire catalog -> metadata fold -> staging -> "
+     "kafka-wire publish, every hop a live local protocol emulator"),
     ("A5", "Directory listing -> distributed read",
      "sinks/staging.py read_legacy_nodes (Spark lists the dir)",
      "tests/test_sinks.py"),
@@ -100,8 +104,12 @@ STATIC = [
      "pipeline.py MetricsEmitter + StatsdEmitter (real UDP wire protocol)",
      "tests/test_observability.py LIVE UDP listener; "
      "tests/test_sinks.py CountingMetrics"),
-    ("E6", "Kafka publish (reference roadmap)",
-     "sinks/kafka.py", "tests/test_sinks.py test_kafka_rows"),
+    ("E6", "Kafka publish (reference roadmap; LIVE wire protocol in-sandbox)",
+     "sinks/kafka.py write_envelopes (spark-sql-kafka) + publish_wire "
+     "(Metadata v0 / Produce v3 / message-format v2, murmur2 placement)",
+     "tests/test_sinks.py LIVE vs local broker emulator (CRC-32C "
+     "verified batches, exactly-once + placement), hypothesis "
+     "varint/batch roundtrips, RFC 3720 CRC vector; zero-jar job flow"),
     ("E7", "Success/failure callbacks",
      "pipeline.py on_success/on_failure", "tests/test_sinks.py"),
     ("F1", "Job lifecycle (extract->stage->publish, metrics, re-raise)",

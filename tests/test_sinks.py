@@ -735,3 +735,82 @@ def test_kafka_record_batch_roundtrip(records):
         assert read_varint(b) == 0
     assert not b.read()
     assert out == records
+
+
+def test_job_mysql_wire_to_kafka_wire_end_to_end(spark, tmp_path):
+    """The reference's flagship flow with ZERO jars, every hop a real
+    protocol (r10): TARGET_DB_TYPE=mysql over the live MySQL wire
+    emulator -> table_metadata fold -> staged parquet -> Kafka publish
+    over the live broker emulator.  The dispatch registry resolves it
+    like shell/bootstrap.sh would from env-shaped conf."""
+    from ab_metadata_pusher_spark.jobs import build_metadata_job
+    from ab_metadata_pusher_spark.sources.jdbc import mysql_catalog_sql
+    from tests.test_sources import (
+        _MY_CATALOG_FIELDS, _MY_CATALOG_ROWS, _mysql_server_emulator)
+
+    seen_sql = []
+    db = _mysql_server_emulator("amundsen", "pw",
+                                _MY_CATALOG_FIELDS, _MY_CATALOG_ROWS,
+                                seen_sql)
+    broker, received, _batches = _kafka_broker_emulator("metadata", 3)
+    try:
+        pipe = build_metadata_job("mysql", "kafka", {
+            "protocol": "wire",
+            "host": "127.0.0.1", "port": db.server_address[1],
+            "db_name": "shopdb", "user": "amundsen", "password": "pw",
+            "where_clause_suffix": "c.table_schema = 'shop'",
+            "mode": "wire",
+            "bootstrap_servers":
+                f"127.0.0.1:{broker.server_address[1]}",
+            "topic": "metadata",
+            "publish_tag": "2026-08-15",
+            "staging_dir": str(tmp_path / "stage"),
+        })
+        result = pipe.run(spark)
+    finally:
+        db.shutdown()
+        broker.shutdown()
+
+    assert result.succeeded and result.staged and result.published
+    assert seen_sql == [mysql_catalog_sql("c.table_schema = 'shop'",
+                                          database="shopdb")]
+    values = [json.loads(v) for kvs in received.values() for _k, v in kvs]
+    kinds = {v["kind"] for v in values}
+    assert kinds == {"node", "relation"}
+    assert all(v["tag"] == "2026-08-15" for v in values)
+    # the staged parquet and the published records agree
+    staged_nodes = pipe.staging.read_nodes(spark).count()
+    staged_rels = pipe.staging.read_relations(spark).count()
+    assert len(values) == staged_nodes + staged_rels > 0
+    # catalog content flowed through: the orders table became a node
+    names = {v.get("name") for v in values if v["kind"] == "node"}
+    assert "orders" in names
+
+
+def test_job_postgres_wire_dispatch(spark, tmp_path):
+    """TARGET_DB_TYPE=postgres + TARGET_DB_PROTOCOL=wire resolves to the
+    v3-protocol source and stages the catalog (queue 'none')."""
+    from ab_metadata_pusher_spark.jobs import build_metadata_job
+    from tests.test_sources import (
+        _PG_CATALOG_FIELDS, _PG_CATALOG_ROWS, _pg_backend_emulator)
+
+    seen_sql = []
+    db = _pg_backend_emulator("amundsen", "pw", "md5",
+                              _PG_CATALOG_FIELDS, _PG_CATALOG_ROWS,
+                              seen_sql)
+    try:
+        pipe = build_metadata_job("postgres", "none", {
+            "protocol": "wire",
+            "host": "127.0.0.1", "port": db.server_address[1],
+            "db_name": "demo", "user": "amundsen", "password": "pw",
+            "schema": "shop",
+            "staging_dir": str(tmp_path / "stage"),
+        })
+        result = pipe.run(spark)
+    finally:
+        db.shutdown()
+    assert result.succeeded and result.staged
+    assert len(seen_sql) == 1 and "information_schema.columns" in seen_sql[0]
+    names = {r["name"] for r in pipe.staging.read_nodes(spark)
+             .filter("label = 'Table'").collect()}
+    assert names == {"orders", "orders_v"}
