@@ -156,3 +156,100 @@ def test_statsd_emitter_sends_real_udp_datagrams(spark, tmp_path):
 
     # fire-and-forget: an unroutable destination must not raise
     StatsdEmitter("127.0.0.1", 9).incr("x.y")
+
+
+# --- F7: logging bootstrap (reference config/logging_config.ini +
+# --- job/sample_mysql_aws_sqs_job.py:16-18) -------------------------------
+
+import contextlib
+import logging
+
+
+@contextlib.contextmanager
+def _preserved_root_logger():
+    """Snapshot/restore root handlers+level so logging tests never
+    disturb pytest's own capture handlers."""
+    root = logging.getLogger()
+    handlers, level = list(root.handlers), root.level
+    try:
+        yield root
+    finally:
+        root.handlers[:] = handlers
+        root.setLevel(level)
+
+
+def test_configure_logging_default_matches_reference_contract(capsys):
+    """No ini: root at INFO with ONE stdout handler using the
+    reference's format (asctime.msecs [LEVEL] module.func:line
+    (pid:thread) - msg), and re-running must not stack duplicates —
+    the reference re-runs fileConfig on every job import."""
+    from ab_metadata_pusher_spark.config import _HANDLER_TAG, configure_logging
+
+    with _preserved_root_logger() as root:
+        ret = configure_logging()
+        assert ret is root
+        assert root.level == logging.INFO
+        ours = [h for h in root.handlers if getattr(h, _HANDLER_TAG, False)]
+        assert len(ours) == 1
+
+        configure_logging()  # idempotent: replaced, not stacked
+        ours = [h for h in root.handlers if getattr(h, _HANDLER_TAG, False)]
+        assert len(ours) == 1
+
+        logging.getLogger("f7.probe").info("hello f7")
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        assert "[INFO]" in line and "- hello f7" in line
+        # module.funcName:lineno and (pid:threadName) are in the format
+        assert ":" in line and "(" in line
+
+        # DEBUG is below the reference's INFO floor: must not emit
+        logging.getLogger("f7.probe").debug("invisible")
+        assert "invisible" not in capsys.readouterr().out
+
+
+def test_configure_logging_loads_reference_shaped_ini(tmp_path, monkeypatch):
+    """An ini in the reference's exact shape (config/logging_config.ini:1-21)
+    loads via fileConfig; pre-existing module loggers stay enabled
+    (disable_existing_loggers=False — the ini default True would kill
+    every Spark/py4j logger created before bootstrap)."""
+    from ab_metadata_pusher_spark.config import configure_logging
+
+    ini = tmp_path / "logging_config.ini"
+    ini.write_text("""\
+[loggers]
+keys=root
+
+[handlers]
+keys=stream_handler
+
+[formatters]
+keys=formatter
+
+[logger_root]
+level=INFO
+handlers=stream_handler
+
+[handler_stream_handler]
+class=StreamHandler
+level=INFO
+formatter=formatter
+args=(sys.stdout,)
+
+[formatter_formatter]
+format=%(asctime)s [%(levelname)s] %(message)s
+""")
+    with _preserved_root_logger() as root:
+        survivor = logging.getLogger("created.before.bootstrap")
+        survivor.disabled = False
+
+        configure_logging(ini)
+        assert root.level == logging.INFO
+        assert any(isinstance(h, logging.StreamHandler) for h in root.handlers)
+        assert survivor.disabled is False
+
+    # env-var contract (F6 idiom applied to F7): $LOGGING_CONFIG_FILE
+    with _preserved_root_logger() as root:
+        root.setLevel(logging.WARNING)
+        monkeypatch.setenv("LOGGING_CONFIG_FILE", str(ini))
+        configure_logging()
+        assert root.level == logging.INFO
