@@ -133,8 +133,10 @@ STATIC = [
     ("F8", "Checkpointed exactly-once restart (file stream resume)",
      "(Spark built-in; engine usage proven end-to-end)",
      "tests/test_streaming.py test_checkpoint_restart_resumes_without_reprocessing"),
-    ("F7", "Logging config",
-     "pipeline.py stdlib logging (driver code)", "—"),
+    ("F7", "Logging config (ini fileConfig parity + programmatic default)",
+     "config.py configure_logging",
+     "tests/test_observability.py (live fileConfig ini, idempotent "
+     "re-bootstrap, $LOGGING_CONFIG_FILE env contract)"),
     ("D8", "MERGE-style upsert into partitioned parquet (moved-key-safe "
            "rewrite set, dynamic partition overwrite)",
      "sinks/merge.py merge_upsert",

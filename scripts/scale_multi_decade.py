@@ -71,10 +71,16 @@ def main() -> None:
             b().write.format("noop").mode("overwrite").save()  # warm
             best = math.inf
             for _ in range(args.reps):
+                # a prior query's (or rep's) persisted frames otherwise
+                # survive into this measurement: an x100 LPA persist
+                # evicting blocks under an x1 kcore run measured 25.7 s
+                # for a 3.5 s query — cache pressure, not the plan
+                spark.catalog.clearCache()
                 t0 = time.time()
                 b().write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             times.append(best)
+        spark.catalog.clearCache()
         steps = " ".join(
             f"e={math.log10(hi / lo):+.2f}"
             for lo, hi in zip(times, times[1:]))
