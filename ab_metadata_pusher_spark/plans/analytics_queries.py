@@ -450,9 +450,21 @@ def _triangles_run(spark: SparkSession, pairs: DataFrame,
         e2 = adj2.select("a", F.explode("nbrs").alias("b"))
     else:
         adj2, e2 = adj, e
-    tri = (e2.join(adj2.select(F.col("a"), F.col("nbrs").alias("na")), "a")
-           .join(adj2.select(F.col("a").alias("b"),
-                             F.col("nbrs").alias("nb")), "b")
+    # SHUFFLE_HASH on the adjacency (build) sides: the probe side is
+    # |E| rows carrying BOTH sorted-neighbor arrays (~0.5 KB/row), and
+    # a sort-merge join must sort that payload — at the third measured
+    # decade (x100 of sf0.1, ~55M edges) the sort spills and the query
+    # goes superlinear: 270.7 s SMJ vs 46.8 s shuffle-hash, outputs
+    # equal (scripts/triangle_scale_probe.py; x1 cost +0.1 s, noise).
+    # Hash join streams the probe side unsorted; the build side is the
+    # adjacency itself (Σdeg longs / #partitions per task), which any
+    # partition sizing that survives the sort also fits.  Broadcast
+    # measured marginally faster still (42.6 s) but is a |V|-bound
+    # memory bomb at 100 TB; shuffle-hash keeps the bound per-task.
+    na2 = adj2.select(F.col("a"), F.col("nbrs").alias("na"))
+    nb2 = adj2.select(F.col("a").alias("b"), F.col("nbrs").alias("nb"))
+    tri = (e2.join(na2.hint("shuffle_hash"), "a")
+           .join(nb2.hint("shuffle_hash"), "b")
            .agg(F.sum(F.size(F.array_intersect("na", "nb")))
                 .alias("n_triangles")))
     return nodes.crossJoin(n_edges).crossJoin(tri)
@@ -576,8 +588,32 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _LPA_ITERS = 3
-#: loop shuffle width — see the r4 A/B in q_graph_label_propagation
+#: loop shuffle width FLOOR — the r4 fixture-scale A/B in
+#: q_graph_label_propagation (8 under-parallelizes, 32 pays near-empty
+#: scheduling at sf0.1's ~1.1M symmetrized edge rows)
 _LPA_SHUFFLE_W = 16
+#: edge rows per loop partition: 1.1M/16 — the measured r4 floor
+#: restated as a density, so the width GROWS with the edge set instead
+#: of staying a fixture constant.  The r10 multi-decade study caught
+#: the constant: at x100 of sf0.1 (~110M rows) width 16 ran the loop
+#: on half the 32-core box — 161.5 s vs 95.0/82.6/77.0 s at widths
+#: 32/64/128, outputs hash-equal (scripts/lpa_width_probe.py).
+_LOOP_EDGE_ROWS_PER_PART = 70_000
+#: width ceiling as a multiple of cluster parallelism: past ~4 tasks
+#: per core the probe's gains flatten (82.6 -> 77.0 s from 2x to 4x)
+#: and more waves only add scheduling; on a real cluster this scales
+#: with the executor count, which is the property the constant lacked.
+_LOOP_WIDTH_CORE_FACTOR = 4
+
+
+def _loop_width(n_rows: int, parallelism: int) -> int:
+    """Shuffle width for an iterative edge-loop: one partition per
+    ``_LOOP_EDGE_ROWS_PER_PART`` edge rows, floored at the fixture
+    A/B's ``_LPA_SHUFFLE_W`` and capped at
+    ``_LOOP_WIDTH_CORE_FACTOR``x the cluster's default parallelism."""
+    by_rows = -(-n_rows // _LOOP_EDGE_ROWS_PER_PART)
+    return max(_LPA_SHUFFLE_W,
+               min(by_rows, _LOOP_WIDTH_CORE_FACTOR * parallelism))
 #: Alignment flip for the LPA loop (r7 probe -> r9 code): broadcasting
 #: the |V|-row label frame keeps every round exchange-free and WON at
 #: every in-container size the probe could reach (shuffled/broadcast =
@@ -683,21 +719,29 @@ def _lpa_run(spark: SparkSession, e0: DataFrame, iters: int,
     # 8 under-parallelizes the first |E|-sized (v,lab) reduce.
     conf_key = "spark.sql.shuffle.partitions"
     prev_conf = spark.conf.get(conf_key)
-    # try/finally: a mid-loop failure (executor OOM, cancelled stage) must
-    # not leak the pinned width or the persisted edges into the rest of
-    # the session — same discipline as connected_components.
-    spark.conf.set(conf_key, str(_LPA_SHUFFLE_W))
     pinned: list[DataFrame] = []
     try:
         # ONE width for the whole loop: the up-front edge partitioning
         # (the alignment every round's aggregations inherit) and the
         # conf-pinned residual shuffles (the initial distinct) must
         # agree, or the round aggs re-exchange to the conf width.  The
-        # initial distinct is checkpointed so the |V| count below (and
-        # round 1's build side) never recompute it; the pre-repartition
-        # edges pin so the co-occur join computes once, not twice.
+        # width itself is DATA-SIZED (_loop_width): the count below
+        # materializes the persist the initial distinct would have
+        # materialized anyway — LPA acts at construction by design
+        # (eager checkpoints), so this adds one cached-scan job, not a
+        # new execution obligation.  The initial distinct is
+        # checkpointed so the |V| count (and round 1's build side)
+        # never recompute it; the pre-repartition edges pin so the
+        # co-occur join computes once, not twice.
         edges = edges.persist()
         pinned.append(edges)
+        width = _loop_width(edges.count(),
+                            spark.sparkContext.defaultParallelism)
+        # try/finally: a mid-loop failure (executor OOM, cancelled
+        # stage) must not leak the pinned width or the persisted edges
+        # into the rest of the session — same discipline as
+        # connected_components.
+        spark.conf.set(conf_key, str(width))
         labels = (edges.select(F.col("a").alias("v"),
                                F.col("a").alias("lab"))
                   .distinct().localCheckpoint(eager=True))
@@ -707,7 +751,7 @@ def _lpa_run(spark: SparkSession, e0: DataFrame, iters: int,
                      if n_v * _LPA_LABEL_ROW_BYTES
                      <= _LPA_BROADCAST_MAX_BYTES else "shuffle")
         edges = edges.repartition(
-            _LPA_SHUFFLE_W, "a" if align == "broadcast" else "b").persist()
+            width, "a" if align == "broadcast" else "b").persist()
         pinned.append(edges)
         hint = F.broadcast if align == "broadcast" else (lambda df: df)
         for _ in range(iters):
@@ -1055,12 +1099,18 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf_key = "spark.sql.shuffle.partitions"
     prev_conf = spark.conf.get(conf_key)
     # try/finally: restore the session shuffle width even if a peel round
-    # dies mid-loop (same leak the LPA loop guards against).  Width 16
-    # matches the LPA loop's r4 A/B (8 under-parallelizes the edge-sized
-    # reduces; kcore warm at sf0.1: 3.13s@8 -> 2.91s@16).
-    spark.conf.set(conf_key, "16")
+    # dies mid-loop (same leak the LPA loop guards against).  The loop
+    # width is data-sized via _loop_width (floor 16 = the r4 fixture
+    # A/B: 8 under-parallelizes the edge-sized reduces, kcore warm at
+    # sf0.1: 3.13s@8 -> 2.91s@16; the r10 multi-decade study showed
+    # fixture constants strangle the third decade — see the LPA probe).
+    # The edge BUILD runs before the pin at the session width, which is
+    # the user's cluster-sized setting — only the peel rounds need the
+    # |E|-proportional width.
     try:
         edges = edges.localCheckpoint(eager=True)
+        spark.conf.set(conf_key, str(_loop_width(
+            edges.count(), spark.sparkContext.defaultParallelism)))
         prev_nodes = -1
         for _ in range(_KCORE_ROUNDS):
             incid = edges.select(F.col("a").alias("s")).unionByName(

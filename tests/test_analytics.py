@@ -286,6 +286,26 @@ def test_lpa_alignments_agree(spark):
     assert len(res["auto"]) > 0
 
 
+def test_loop_width_scales_with_edges_and_caps_at_cores():
+    """The iterative-loop shuffle width is a data rule, not a fixture
+    constant (r10 multi-decade study: width 16 at x100 ran LPA on half
+    the box — 161.5 s vs 77.0 s at the 4x-cores cap, outputs equal,
+    scripts/lpa_width_probe.py).  Floor = the r4 fixture A/B; density =
+    that floor restated per edge row; cap = 4x default parallelism."""
+    from ab_metadata_pusher_spark.plans.analytics_queries import (
+        _loop_width,
+    )
+    # fixture scale: sf0.1's ~1.1M symmetrized rows stay at the r4 floor
+    assert _loop_width(1_100_000, 32) == 16
+    assert _loop_width(100, 32) == 16           # tiny graphs: floor
+    # the measured x100 decade: ~110M rows on a 32-core box -> the cap
+    assert _loop_width(110_000_000, 32) == 128
+    # between floor and cap the width tracks edge density
+    assert _loop_width(2_800_000, 1024) == 40
+    # the cap scales with the cluster, not the fixture machine
+    assert _loop_width(110_000_000, 1000) == 1572
+
+
 def test_assign_clusters_tiers_agree(spark, monkeypatch):
     """assign_clusters mirrors _assign_cells' two tiers (same crossover
     constant): identical (id, cluster) picks and round-6 dists on

@@ -88,6 +88,22 @@ def test_link_prediction_expansion_is_parallel_and_cached(spark, sf_dir):
     release_materialized(spark)
 
 
+def test_triangle_intersect_joins_are_shuffle_hash(spark, sf_dir):
+    """The two adjacency joins feeding array_intersect must plan as
+    ShuffledHashJoin, never sort-merge: the probe side is |E| rows
+    carrying both sorted-neighbor arrays, and sorting that payload is
+    what sent graph_triangles superlinear at the third measured decade
+    (x100 of sf0.1: 270.7 s SMJ vs 46.8 s shuffle-hash, outputs equal —
+    scripts/triangle_scale_probe.py, SCALE.md round-10 entry)."""
+    from ab_metadata_pusher_spark.operators._shared import (
+        release_materialized,
+    )
+    plan = _plan(_q(spark, sf_dir, "graph_triangles"))
+    release_materialized(spark)
+    assert plan.count("ShuffledHashJoin") >= 2, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
 def test_converted_plan_queries_are_lazy_at_construction(spark, sf_dir):
     """Every plan-level materialization converted from a hard-coded
     eager localCheckpoint to the shared selector (r6 VERDICT ask #4)
