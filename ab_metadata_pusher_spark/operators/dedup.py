@@ -267,7 +267,15 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
     """
     sh = _kept_shingles(df, n, max_df, materialize)
     a = sh.alias("a")
-    b = sh.alias("b")
+    # SHUFFLE_HASH on the build alias: sort-merge would sort BOTH
+    # ~|Σ shingles|-row sides by the fat string key before emitting the
+    # Σ df² candidate rows, and those sorts spill at scale — the r10
+    # multi-decade study measured the identical containment join at
+    # 99.9 s SMJ vs 36.6 s shuffle-hash on the x100 replicas, outputs
+    # hash-equal (/tmp probe recorded in SCALE.md round-10).  Hash join
+    # streams the probe side; the per-task build is the kept-shingle
+    # slice, which shrinks with shuffle width on a real cluster.
+    b = sh.alias("b").hint("shuffle_hash")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.sid") < F.col("b.sid")))
@@ -313,7 +321,9 @@ def containment_pairs(df: DataFrame, threshold: float, n: int = 3,
     # + window pipeline (Catalyst shares no subplans).  The counts —
     # hence scores — are identical to the lazy form.
     kept = _kept_shingles(df, n, max_df, materialize)
-    a, b = kept.alias("a"), kept.alias("b")
+    # shuffle-hash for the same reason as jaccard_pairs (same join):
+    # the r10 x100 A/B — 99.9 s SMJ vs 36.6 s hash, outputs equal
+    a, b = kept.alias("a"), kept.alias("b").hint("shuffle_hash")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.sid") < F.col("b.sid")))
