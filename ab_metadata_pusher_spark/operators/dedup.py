@@ -275,6 +275,9 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
     # hash-equal (/tmp probe recorded in SCALE.md round-10).  Hash join
     # streams the probe side; the per-task build is the kept-shingle
     # slice, which shrinks with shuffle width on a real cluster.
+    # WIDTH ASSUMPTION: unlike SMJ the hash build cannot spill — the
+    # deployment's shuffle width must keep |kept shingles|/width within
+    # a task (session.py documents this next to the default width).
     b = sh.alias("b").hint("shuffle_hash")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

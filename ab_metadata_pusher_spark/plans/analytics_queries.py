@@ -1109,8 +1109,13 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |E|-proportional width.
     try:
         edges = edges.localCheckpoint(eager=True)
+        # 2x: edges holds a<b pairs but every peel round streams the
+        # SYMMETRIZED incidence (the unionByName below is 2|E| rows) —
+        # the 70k-rows/partition density was calibrated on LPA's
+        # symmetrized stream, so feed it the same row count here or the
+        # loop sizes ~2x narrower than calibrated (r10 ADVICE)
         spark.conf.set(conf_key, str(_loop_width(
-            edges.count(), spark.sparkContext.defaultParallelism)))
+            2 * edges.count(), spark.sparkContext.defaultParallelism)))
         prev_nodes = -1
         for _ in range(_KCORE_ROUNDS):
             incid = edges.select(F.col("a").alias("s")).unionByName(

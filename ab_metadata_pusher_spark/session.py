@@ -34,6 +34,14 @@ DEFAULT_CONFIG: dict[str, str] = {
     # i.e. for the FIRST session in the process — and ignored with a
     # warning on a real cluster where spark-submit owns the setting.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # WIDTH ASSUMPTION (r10 ADVICE): the shuffle-hash hints in
+    # operators/dedup.py (shingle self-join) and the triangle intersect
+    # joins bound their per-task hash build by 1/width of the build
+    # relation — unlike SMJ they cannot spill the build.  32 is sized
+    # for the local harness; a cluster deployment must raise this (or
+    # let AQE coalesce DOWN from a high setting, never up) so that
+    # |kept shingles| / width fits an executor task.  The iterative
+    # graph loops size their own width from data (_loop_width).
     "spark.sql.shuffle.partitions": "32",
     # Keep timestamp semantics deterministic across driver/oracle.
     "spark.sql.session.timeZone": "UTC",

@@ -43,28 +43,35 @@ def main() -> None:
                                   "spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    for d in dirs:
-        sigs = {}
-        for w in widths:
-            # force the candidate width through the (now data-sized)
-            # rule — the shipped _loop_width picks by edge count
-            AQ._loop_width = lambda n_rows, parallelism, _w=w: _w
-            spark.catalog.clearCache()
-            AQ.q_graph_label_propagation(spark, d).write.format("noop") \
-                .mode("overwrite").save()  # warm
-            best, sig = float("inf"), None
-            for _ in range(args.reps):
+    # monkeypatch is module-wide: anything sharing AQ._loop_width (kcore
+    # peels with it too) would silently inherit the last forced width —
+    # restore the shipped rule even if a sweep rep dies (r10 ADVICE)
+    shipped_loop_width = AQ._loop_width
+    try:
+        for d in dirs:
+            sigs = {}
+            for w in widths:
+                # force the candidate width through the (now data-sized)
+                # rule — the shipped _loop_width picks by edge count
+                AQ._loop_width = lambda n_rows, parallelism, _w=w: _w
                 spark.catalog.clearCache()
-                t0 = time.time()
-                df = AQ.q_graph_label_propagation(spark, d)
-                sig = df.selectExpr(
-                    "count(*) AS n",
-                    "sum(hash(node, community)) AS h").first()
-                best = min(best, time.time() - t0)
-            sigs[w] = (sig["n"], sig["h"])
-            print(f"{Path(d).name:6s} w={w:<4d} {best:8.2f}s  "
-                  f"rows={sig['n']} hash={sig['h']}", flush=True)
-        assert len(set(sigs.values())) == 1, f"widths disagree: {sigs}"
+                AQ.q_graph_label_propagation(spark, d).write.format("noop") \
+                    .mode("overwrite").save()  # warm
+                best, sig = float("inf"), None
+                for _ in range(args.reps):
+                    spark.catalog.clearCache()
+                    t0 = time.time()
+                    df = AQ.q_graph_label_propagation(spark, d)
+                    sig = df.selectExpr(
+                        "count(*) AS n",
+                        "sum(hash(node, community)) AS h").first()
+                    best = min(best, time.time() - t0)
+                sigs[w] = (sig["n"], sig["h"])
+                print(f"{Path(d).name:6s} w={w:<4d} {best:8.2f}s  "
+                      f"rows={sig['n']} hash={sig['h']}", flush=True)
+            assert len(set(sigs.values())) == 1, f"widths disagree: {sigs}"
+    finally:
+        AQ._loop_width = shipped_loop_width
 
 
 if __name__ == "__main__":
