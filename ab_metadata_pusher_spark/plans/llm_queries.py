@@ -3946,7 +3946,14 @@ def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_signatures), component equi-join on (j, token) whose output
     tracks true matches — never n².  Pairs agreeing on >= r of k
     components survive."""
-    corpus = _doc_corpus(spark, sf_dir)
+    return wmh_pairs(_doc_corpus(spark, sf_dir))
+
+
+def wmh_pairs(corpus: DataFrame) -> DataFrame:
+    """Weighted-MinHash near-dup core over any (doc_id, text) corpus —
+    shared by the oracle-gated registry query (bounded ``_doc_corpus``)
+    and the bench's unbounded full-table head (r10 VERDICT ask #2:
+    decade data needs the uncapped shape)."""
     toks = corpus.select(F.col("doc_id").alias("sid"),
                          F.explode(X.tokens("text")).alias("w"))
     tf = (toks.groupBy("sid", "w")

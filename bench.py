@@ -180,7 +180,31 @@ def _unbounded_llm(spark, sf_dir):
         "dedup_clusters_full": lambda: _clusters_full(docs),
         "dedup_containment_full": lambda: D.containment_pairs(
             docs, 0.8, max_df=100, materialize="eager"),
+        # round-11: the label-noise screen over the FULL embeddings
+        # table (the registry form gates at vec_id < 500 for the
+        # oracle; this is the corpus-scale shape the r10 verdict wanted
+        # decade data for — LSH-bucketed kNN self-join + majority vote)
+        "quality_label_full": lambda: _quality_label_full(emb),
+        # round-11: weighted minhash over the FULL documents table (the
+        # registry form bounds _doc_corpus at 300 docs for the oracle)
+        "dedup_weighted_minhash_full": lambda: _wmh_full(docs),
     }
+
+
+def _wmh_full(docs):
+    """Unbounded weighted-MinHash pairs (plans/llm_queries.py wmh_pairs
+    without the oracle gate's doc_id bound)."""
+    from ab_metadata_pusher_spark.plans.llm_queries import wmh_pairs
+    return wmh_pairs(docs.select("doc_id", "text"))
+
+
+def _quality_label_full(emb):
+    """Unbounded ANN label-consistency screen: 5-NN by hyperplane-LSH
+    bucket self-join over every vector, each label checked against its
+    neighbor majority (plans/llm_queries.py q_quality_label_consistency_ann
+    without the correctness gate's vec_id cap)."""
+    from ab_metadata_pusher_spark.plans.llm_queries import _qlc_flags
+    return _qlc_flags(emb, S.ann_lsh_knn_self(emb, k=5))
 
 
 def _clusters_full(docs):
@@ -302,6 +326,13 @@ def build_summary_lines(timings: dict[str, float], errors: dict[str, str],
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # headline-set membership changes, noted inside the record itself
+        # (r10 VERDICT process nit: totals across rounds are not directly
+        # comparable when the set grows; the per-query gate handles it)
+        "membership_note": (
+            "r11: +quality_label_full, +dedup_weighted_minhash_full "
+            "(unbounded full-table forms of the two bounded oracle heads, "
+            "added for decade-scale coverage)"),
     }
     if splits:
         detail["splits"] = splits

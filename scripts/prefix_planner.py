@@ -37,16 +37,18 @@ from ab_metadata_pusher_spark.plans.registry import (  # noqa: E402
 #: be a first-time-scored query.
 SENTINELS = set(DRIVER_PREFIX[:15])
 
-#: Deliberate re-proof slots (round 10): graph_label_propagation is the
-#: one r9-touched query whose driver-normalized ratio (1.15x) disagreed
-#: with the builder probe (0.77x) — it stays scored until the driver
-#: record settles it (r9 VERDICT ask #1).  The IVF trio's two-round
-#: dispute CLOSED in the r9 driver record (normalized 0.39-0.73) and
-#: those slots returned to the freshness pool.  The 33 freshness slots
-#: refresh the oldest driver evidence (all of r3, then the oldest of
-#: r4); agg_percentiles_guaranteed takes the first-scoring slot.
+#: Deliberate re-proof slots (round 11): the three r10 below-gate
+#: normalized drifts — none was deliberately touched in r10, all are
+#: single-sample, and the LPA precedent (r9 drift -> r10 re-proof slot
+#: -> driver-normalized 1.06x, closed) says the driver's own session
+#: settles such disputes (r10 VERDICT ask #1).  LPA itself closed in
+#: the r10 record and returned to the pool.  The 32 freshness slots
+#: refresh the oldest driver evidence (all of r4 minus the two
+#: window-banned heavy forms, then the oldest of r5).
 REPROOF = {
-    "graph_label_propagation",
+    "quality_label_consistency_ann",
+    "orders_basket_lift",
+    "dedup_substring_spans",
 }
 
 #: The driver's correctness gate scores this many queries() entries per
@@ -54,6 +56,12 @@ REPROOF = {
 #: this position are ordering, not scored slots — they must not count
 #: as "wasted".
 SCORED_WINDOW = 50
+
+#: Heavy forms banned from the scored window by policy (their capped /
+#: trained counterparts are scored instead; tests/test_registry.py
+#: test_scored_window_excludes_bench_excluded_heavy_forms pins this).
+#: They must never be reported as stale freshness candidates.
+WINDOW_BANNED = {"graph_link_prediction", "text_bpe_train"}
 
 
 def main() -> int:
@@ -126,7 +134,8 @@ def main() -> int:
     window = [n for n in DRIVER_PREFIX[:SCORED_WINDOW]
               if n not in SENTINELS and n not in REPROOF]
     outside = [n for n in oracle_backed
-               if n not in DRIVER_PREFIX[:SCORED_WINDOW]]
+               if n not in DRIVER_PREFIX[:SCORED_WINDOW]
+               and n not in WINDOW_BANNED]
     newest_in = max((latest.get(n, 0) for n in window), default=0)
     older_out = sorted(n for n in outside
                        if latest.get(n, 99) < newest_in)
