@@ -30,7 +30,8 @@ from ab_metadata_pusher_spark.operators._shared import (
 
 __all__ = ["dot", "l2_norm", "cosine", "cosine_prenorm",
            "topk_cosine_bruteforce",
-           "hyperplanes", "ann_lsh_topk", "ann_lsh_knn_self",
+           "hyperplanes", "lsh_planes_for", "ann_lsh_topk",
+           "ann_lsh_knn_self",
            "embedding_near_dup_pairs",
            "embedding_near_dup_pairs_lsh", "ivf_centroids",
            "ivf_centroid_list", "ann_ivf_topk",
@@ -95,6 +96,42 @@ def topk_cosine_bruteforce(corpus: DataFrame, queries: DataFrame,
         .select("query_id", "neighbor_id",
                 F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
     )
+
+
+#: Target expected bucket occupancy for the SELF-join LSH operators.
+#: Candidates per table ~ sum over buckets of n_b², so a FIXED plane
+#: count is quadratic in corpus size — the r11 multi-decade study
+#: caught exactly this: quality_label_full with the fixture constant
+#: (3 planes = 8 buckets) ground >12 min at x100 (200k vectors ->
+#: ~25k-vector buckets -> ~3e10 candidate pairs across 6 tables).
+#: Sizing planes so expected occupancy stays ~constant makes candidate
+#: volume ~ n * occupancy — linear.
+_LSH_BUCKET_TARGET = 256
+#: int bucket ids are bit-packed: 24 planes = 16M buckets, far past any
+#: in-container size and safely under the int bit width.
+_LSH_PLANES_CAP = 24
+
+
+def lsh_planes_for(n_vectors: int | None, floor: int,
+                   target: int = _LSH_BUCKET_TARGET) -> int:
+    """Data-sized hyperplane count for a bucket SELF-join: enough
+    planes that expected occupancy n/2^p stays ~``target``, floored at
+    the fixture-calibrated recall A/B's plane count (small corpora keep
+    the exact behavior every oracle and recall gate pinned).
+
+    Recall calculus for growing p: a pair at angle θ collides per table
+    w.p. (1-θ/π)^p, so close neighbors (the top-k that matter for kNN
+    screens and near-dup verify) decay slowly — s=0.95 at p: 3->10
+    gives per-table 0.86->0.60, and 6 tables keep union recall > 0.99.
+    Distant pairs are what the extra planes shed, which is the point.
+    Callers pass ``n_vectors`` from parquet footer counts
+    (operators/_shared.parquet_rowcount — no job at construction)."""
+    import math
+
+    if not n_vectors or n_vectors <= target:
+        return floor
+    return min(_LSH_PLANES_CAP,
+               max(floor, math.ceil(math.log2(n_vectors / target))))
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
@@ -186,8 +223,8 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, *,
 
 
 def ann_lsh_knn_self(corpus: DataFrame, k: int = 5, *,
-                     n_planes: int = 3, n_tables: int = 6,
-                     dim: int = 64,
+                     n_planes: int | None = None, n_tables: int = 6,
+                     dim: int = 64, n_vectors: int | None = None,
                      materialize: str | None = None) -> DataFrame:
     """Approximate k-NN of EVERY corpus vector against the corpus itself
     (all-vs-all), via multi-table hyperplane-bucket SELF-joins.
@@ -201,9 +238,14 @@ def ann_lsh_knn_self(corpus: DataFrame, k: int = 5, *,
     same blocking as embedding_near_dup_pairs_lsh), and only distinct
     candidates pay the exact-cosine rank.  Everything is bucket
     equi-joins shuffling on (table, bucket): per-bucket work is
-    (corpus/2^planes)² per table — sub-quadratic, fully distributed,
-    no broadcast, no crossJoin.  Output schema matches
-    ``topk_cosine_bruteforce`` so recall is directly measurable.
+    (corpus/2^planes)² per table — which is why ``n_planes`` must NOT
+    be a constant at scale.  ``n_planes=None`` (default) sizes it from
+    ``n_vectors`` via :func:`lsh_planes_for` (floor 3 = the r4 recall
+    A/B, so bounded oracle corpora keep the exact pinned buckets;
+    callers pass a parquet footer count — no job at construction).
+    Without either, the floor applies — correct only for gate-bounded
+    corpora.  Output schema matches ``topk_cosine_bruteforce`` so
+    recall is directly measurable.
 
     Materialization contract: the bucket-keyed stream is referenced by
     BOTH self-join sides (Catalyst shares no subplans — the lazy form
@@ -216,6 +258,8 @@ def ann_lsh_knn_self(corpus: DataFrame, k: int = 5, *,
         materialize_shared as _materialize_shared,
     )
 
+    if n_planes is None:
+        n_planes = lsh_planes_for(n_vectors, floor=3)
     all_planes = hyperplanes(n_tables * n_planes, dim)
     tables = [all_planes[t * n_planes:(t + 1) * n_planes]
               for t in range(n_tables)]
@@ -279,8 +323,10 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
 
 
 def embedding_near_dup_pairs_lsh(corpus: DataFrame, threshold: float,
-                                 n_planes: int = 6, n_tables: int = 4,
-                                 dim: int = 64) -> DataFrame:
+                                 n_planes: int | None = None,
+                                 n_tables: int = 4,
+                                 dim: int = 64,
+                                 n_vectors: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked by multi-table hyperplane
     LSH — the 100 TB shape (no reliance on a label/partition column).
 
@@ -289,8 +335,13 @@ def embedding_near_dup_pairs_lsh(corpus: DataFrame, threshold: float,
     table (recall 1-(1-(1-θ/π)^p)^L, tunable), and only candidates pay
     the exact-cosine verify.  Plan: explode to (table, bucket) keys ->
     one hash equi-join -> distinct pairs -> verify.  Candidates per
-    vector ~ n_tables * corpus / 2^n_planes, never corpus².
+    vector ~ n_tables * corpus / 2^n_planes — linear only if the plane
+    count GROWS with the corpus: ``n_planes=None`` (default) sizes it
+    from ``n_vectors`` via :func:`lsh_planes_for` (floor 6 = the pinned
+    oracle shape for gate-bounded corpora).
     """
+    if n_planes is None:
+        n_planes = lsh_planes_for(n_vectors, floor=6)
     all_planes = hyperplanes(n_tables * n_planes, dim)
     tables = [all_planes[t * n_planes:(t + 1) * n_planes]
               for t in range(n_tables)]

@@ -184,7 +184,8 @@ def _unbounded_llm(spark, sf_dir):
         # table (the registry form gates at vec_id < 500 for the
         # oracle; this is the corpus-scale shape the r10 verdict wanted
         # decade data for — LSH-bucketed kNN self-join + majority vote)
-        "quality_label_full": lambda: _quality_label_full(emb),
+        "quality_label_full": lambda: _quality_label_full(
+            emb, f"{sf_dir}/embeddings.parquet"),
         # round-11: weighted minhash over the FULL documents table (the
         # registry form bounds _doc_corpus at 300 docs for the oracle)
         "dedup_weighted_minhash_full": lambda: _wmh_full(docs),
@@ -198,13 +199,18 @@ def _wmh_full(docs):
     return wmh_pairs(docs.select("doc_id", "text"))
 
 
-def _quality_label_full(emb):
+def _quality_label_full(emb, emb_path):
     """Unbounded ANN label-consistency screen: 5-NN by hyperplane-LSH
     bucket self-join over every vector, each label checked against its
     neighbor majority (plans/llm_queries.py q_quality_label_consistency_ann
-    without the correctness gate's vec_id cap)."""
+    without the correctness gate's vec_id cap).  The plane count is
+    data-sized from the parquet footer count (lsh_planes_for) — the r11
+    decade study caught the fixture-constant plane count going quadratic
+    at x100."""
+    from ab_metadata_pusher_spark.operators._shared import parquet_rowcount
     from ab_metadata_pusher_spark.plans.llm_queries import _qlc_flags
-    return _qlc_flags(emb, S.ann_lsh_knn_self(emb, k=5))
+    return _qlc_flags(emb, S.ann_lsh_knn_self(
+        emb, k=5, n_vectors=parquet_rowcount(emb_path)))
 
 
 def _clusters_full(docs):

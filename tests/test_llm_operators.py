@@ -997,3 +997,44 @@ def test_pagerank_alignments_agree(spark, monkeypatch):
     shuffled = sorted((r["node_key"], r["pagerank"])
                       for r in pagerank(rels).collect())
     assert base == shuffled and len(base) == 4
+
+
+def test_lsh_planes_data_sized():
+    """The SELF-join LSH operators must size their plane count from the
+    corpus: a fixed plane count makes per-bucket candidate volume
+    (n/2^p)^2 — quadratic (the r11 decade study measured the fixture
+    constant grinding >12 min at x100).  The floor preserves every
+    gate-bounded oracle corpus bit-for-bit."""
+    from ab_metadata_pusher_spark.operators.similarity import lsh_planes_for
+
+    assert lsh_planes_for(None, floor=3) == 3
+    assert lsh_planes_for(500, floor=3) == 3       # oracle gate slice
+    assert lsh_planes_for(2_000, floor=3) == 3     # sf0.1 fixture
+    assert lsh_planes_for(20_000, floor=3) == 7    # x10 replicas
+    assert lsh_planes_for(200_000, floor=3) == 10  # x100 replicas
+    assert lsh_planes_for(10**12, floor=3) == 24   # int-bit-width cap
+    assert lsh_planes_for(500, floor=6) == 6       # near-dup floor
+
+
+def test_knn_self_sized_planes_same_shape(spark):
+    """Sized planes change only the bucket granularity: the plan stays
+    bucket equi-joins (no nested loop), and output schema/rank contract
+    is unchanged."""
+    from pyspark.sql import functions as F
+
+    from ab_metadata_pusher_spark.operators._shared import (
+        release_materialized,
+    )
+    from ab_metadata_pusher_spark.operators.similarity import (
+        ann_lsh_knn_self,
+    )
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = ann_lsh_knn_self(emb, k=3, n_vectors=50_000)  # forces p=8
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    rows = out.limit(5).collect()
+    release_materialized(spark)
+    assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    assert all(r["rank"] <= 3 for r in rows)
