@@ -3890,6 +3890,11 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WMH_K = 16
 _WMH_R = 8  # components that must agree
+#: Stop-token gate for the signature race (same contract and value as
+#: _JACCARD_MAX_DF): tokens in more than this many docs are excluded
+#: BEFORE tf/signature on BOTH engines — every candidate bucket is
+#: <= max_df docs by construction (r11 defect 5, SCALE.md).
+_WMH_MAX_DF = 100
 
 
 def _wmh_sql() -> str:
@@ -3904,11 +3909,23 @@ def _wmh_sql() -> str:
         for j in range(_WMH_K))
     return ("WITH " + _CORPUS_CTE + f""",
 toks AS (
-  SELECT doc_id AS sid, unnest({_TOKS}) AS w FROM corpus
+  -- tf-weighted SHINGLES (not unigrams): every occurrence kept (no
+  -- DISTINCT — the weight IS the repeat count); mirrors shingle_array
+  SELECT doc_id AS sid,
+         unnest([array_to_string(list_slice(t, i, i + 2), ' ')
+                 for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS w
+  FROM (SELECT doc_id, {_TOKS} AS t FROM corpus)
 ),
-tf AS (
+tf0 AS (
   SELECT sid, w, {h} AS h, CAST(count(*) AS BIGINT) AS tf
   FROM toks GROUP BY sid, w
+),
+tf AS (
+  -- df gate mirrors the Spark side: tf0 rows are distinct (sid, w),
+  -- so a window count over w is the document frequency
+  SELECT sid, w, h, tf FROM (
+    SELECT *, count(*) OVER (PARTITION BY w) AS df FROM tf0)
+  WHERE df <= {_WMH_MAX_DF}
 ),
 sig AS (
   SELECT sid,
@@ -3931,15 +3948,15 @@ HAVING count(*) >= {_WMH_R}
           covers=("G.dedup.weighted_minhash",))
 def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED MinHash near-dup pairs: plain MinHash treats a document
-    as a token SET, so tf-skewed documents (one phrase repeated 100x)
+    as a shingle SET, so tf-skewed documents (one phrase repeated 100x)
     collide with anything sharing their vocabulary; weighting by term
     frequency estimates the weighted Jaccard sum(min tf)/sum(max tf)
-    instead.  Each of k components samples one token with probability
-    proportional to its tf via the exponential-race trick
-    (argmin over tokens of -ln(u_j(token)) / tf — u_j from the shared
-    md5+LCG coefficients, so the draw is deterministic and the oracle
-    replays it exactly); two docs agree on a component with probability
-    equal to their weighted Jaccard.
+    instead.  Each of k components samples one df-gated 3-gram shingle
+    with probability proportional to its tf via the exponential-race
+    trick (argmin over shingles of -ln(u_j(shingle)) / tf — u_j from the
+    shared md5+LCG coefficients, so the draw is deterministic and the
+    oracle replays it exactly); two docs agree on a component with
+    probability equal to their weighted Jaccard.
 
     Spark shape: tf table (one (sid, token) groupBy), k min-aggregates
     in ONE map-side-combined pass (same plan as unweighted
@@ -3953,11 +3970,35 @@ def wmh_pairs(corpus: DataFrame) -> DataFrame:
     """Weighted-MinHash near-dup core over any (doc_id, text) corpus —
     shared by the oracle-gated registry query (bounded ``_doc_corpus``)
     and the bench's unbounded full-table head (r10 VERDICT ask #2:
-    decade data needs the uncapped shape)."""
-    toks = corpus.select(F.col("doc_id").alias("sid"),
-                         F.explode(X.tokens("text")).alias("w"))
+    decade data needs the uncapped shape).
+
+    The race runs over tf-weighted 3-token SHINGLES, DF-GATED at
+    ``_WMH_MAX_DF`` (the stop-shingle contract of ``jaccard_pairs``) —
+    both choices are scale fixes found by the r11 decade study, not
+    style: the race's per-term key depends only on (term, tf), so a
+    corpus-wide common term wins a component for most of the corpus at
+    once.  Over raw unigrams the x1 audit measured ONE (component,
+    token) bucket holding 3,898 of 5,000 docs — 186M candidate pairs at
+    x1, and the x100 replica spilled the disk to death; the fixture's
+    31-token vocabulary means NO unigram can ever pass a df gate, while
+    3-gram shingles are discriminative (27k distinct, median df 9).
+    Gating makes every candidate bucket <= max_df docs BY CONSTRUCTION
+    — candidates <= max_df * Σdf, linear — and is also the right
+    MEASURE: similarity driven by stopword mass is the false-positive
+    mode CCNet-style pipelines strip first.
+    """
+    toks = corpus.select(
+        F.col("doc_id").alias("sid"),
+        F.explode(X.shingle_array(X.tokens("text"))).alias("w"))
+    # tf rows are distinct (sid, w): a window count over w IS the
+    # document frequency — one pass, no extra join (same single-stream
+    # df gate as _kept_shingles)
+    w_df = Window.partitionBy("w")
     tf = (toks.groupBy("sid", "w")
           .agg(F.count(F.lit(1)).alias("tf"))
+          .withColumn("df", F.count(F.lit(1)).over(w_df))
+          .filter(F.col("df") <= _WMH_MAX_DF)
+          .drop("df")
           .withColumn("h", F.pmod(md5_long(F.col("w")), F.lit(MERSENNE_P))))
     aggs = []
     for j, (a, b) in enumerate(minhash_coeffs(_WMH_K)):

@@ -127,8 +127,12 @@ def shapes(spark: SparkSession, slices_dir: Path) -> dict:
     return {
         "stream_tumbling_counts": lambda: (
             E.tumbling_counts(slices_stream(spark, slices_dir)), 8, "update"),
+        # session windows forbid update mode: append emits closed
+        # sessions past the watermark — the resident-query mode whose
+        # state bound this probe measures (the registry's correctness
+        # form uses complete, which by definition keeps all state)
         "stream_session_windows": lambda: (
-            E.session_windows(slices_stream(spark, slices_dir)), 8, "update"),
+            E.session_windows(slices_stream(spark, slices_dir)), 8, "append"),
         "stream_dedup_watermark": lambda: (
             E.dedup_within_watermark(slices_stream(spark, slices_dir)),
             8, "append"),
