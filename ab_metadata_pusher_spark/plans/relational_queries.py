@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ab_metadata_pusher_spark.operators._shared import materialize_shared
+from ab_metadata_pusher_spark.operators._shared import (
+    materialize_shared, spread_if_narrow,
+)
 from ab_metadata_pusher_spark.plans.registry import register
 from ab_metadata_pusher_spark.plans.generated_oracles import (
     PINNED_ORACLES,
@@ -2070,7 +2072,7 @@ def q_agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files and skips this).  Materialize the 256-row sketch once — the
     # broadcast for the probe join and the true-count comparison would
     # otherwise each rebuild it.
-    spread = li.repartition(spark.sparkContext.defaultParallelism)
+    spread = spread_if_narrow(li)
     cells = materialize_shared(countmin_build(spread, "l_partkey"))
     probes = spark.range(1, 9).select(F.col("id").alias("l_partkey"))
     est = countmin_estimate(cells, probes, "l_partkey")
@@ -2123,11 +2125,8 @@ def q_analytics_join_size_estimate(spark: SparkSession,
     compared to sampling.  Cells come from the same md5-slice family as
     agg_countmin_sketch, so the oracle rebuilds them exactly."""
     from ab_metadata_pusher_spark.operators.sketches import countmin_build
-    par = spark.sparkContext.defaultParallelism
-    li = (_t(spark, sf_dir, "lineitem").select("l_orderkey")
-          .repartition(par))
-    o = (_t(spark, sf_dir, "orders").select("o_orderkey")
-         .repartition(par))
+    li = spread_if_narrow(_t(spark, sf_dir, "lineitem").select("l_orderkey"))
+    o = spread_if_narrow(_t(spark, sf_dir, "orders").select("o_orderkey"))
     ca = countmin_build(li, "l_orderkey")
     cb = countmin_build(o, "o_orderkey")
     ip = (ca.join(cb.withColumnRenamed("cnt", "cnt_b"), ["r", "c"])

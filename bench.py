@@ -157,10 +157,13 @@ def _unbounded_llm(spark, sf_dir):
     parallelism and is counted inside the measured time (4x on the
     hash-heavy operators, measured).
     """
-    par = spark.sparkContext.defaultParallelism
+    from ab_metadata_pusher_spark.operators._shared import spread_if_narrow
     docs_raw = load_table(spark, sf_dir, "documents")
-    docs = docs_raw.repartition(par)
-    emb = load_table(spark, sf_dir, "embeddings").repartition(par)
+    # conditional: a multi-file (real-corpus-shaped) input already scans
+    # wide, and the blanket repartition is a pure-cost full shuffle there
+    # (r11 decade study: Count-Min 1.5x slower with it at x100)
+    docs = spread_if_narrow(docs_raw)
+    emb = spread_if_narrow(load_table(spark, sf_dir, "embeddings"))
     return {
         # one md5 per doc — repartition costs more than it parallelizes
         "dedup_exact_full": lambda: D.exact_dedup_keep_min(docs_raw),

@@ -190,3 +190,23 @@ def test_converted_plan_queries_are_lazy_at_construction(spark, sf_dir):
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
         release_materialized(spark)
+
+
+def test_spread_if_narrow_skips_wide_scans(spark, sf_dir):
+    """The fixture-shape spread must be CONDITIONAL: a single-file scan
+    gets the round-robin widening, a frame already at cluster width
+    must pass through untouched (the r11 decade study measured the
+    blanket repartition as a 1.5x pure-cost full shuffle on a 32-file
+    x100 input)."""
+    from ab_metadata_pusher_spark.operators._shared import spread_if_narrow
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_partkey")
+    narrow = spread_if_narrow(li)
+    assert "RoundRobinPartitioning" in _plan(narrow), (
+        "single-file fixture scan should be widened")
+    par = spark.sparkContext.defaultParallelism
+    pre_spread = li.repartition(2 * par)
+    # already wide: passed through untouched (same DataFrame object —
+    # the AQE-formatted plan string double-counts exchanges, so object
+    # identity is the reliable no-new-shuffle assertion)
+    assert spread_if_narrow(pre_spread) is pre_spread
