@@ -34,8 +34,8 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_prenorm",
            "ann_lsh_knn_self",
            "embedding_near_dup_pairs",
            "embedding_near_dup_pairs_lsh", "ivf_centroids",
-           "ivf_centroid_list", "ann_ivf_topk",
-           "semantic_dedup_pairs"]
+           "ivf_centroid_list", "ivf_cells_for", "ann_ivf_topk",
+           "ann_ivf_knn_self", "semantic_dedup_pairs"]
 
 
 def _dbl(col: Column) -> Column:
@@ -633,6 +633,97 @@ def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     cosine_prenorm(F.col("q_emb"), F.col("c_emb"),
                                    F.col("q_norm"), F.col("c_norm")))
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+#: Target expected cell occupancy for the corpus-sized kNN-self cell
+#: count: candidates per query = nprobe * occupancy — bounded and
+#: linear in corpus size when cells grow with the corpus.
+_IVF_KNN_CELL_TARGET = 512
+#: Learned-cell count ceiling: 4096 x dim doubles is the upper end of
+#: what the Arrow assignment tier was probed at (ivf_cells_probe).
+_IVF_KNN_CELLS_CAP = 4096
+
+
+def ivf_cells_for(n_vectors: int | None, floor: int = 8,
+                  target: int = _IVF_KNN_CELL_TARGET) -> int:
+    """Data-sized IVF cell count: enough learned cells that expected
+    occupancy stays ~``target`` (floored at the oracle-gated queries'
+    pinned 8, capped at the probed Arrow-tier ceiling)."""
+    if not n_vectors or n_vectors <= floor * target:
+        return floor
+    return min(_IVF_KNN_CELLS_CAP, max(floor, n_vectors // target))
+
+
+def ann_ivf_knn_self(corpus: DataFrame, k: int = 5, *,
+                     n_cells: int | None = None, nprobe: int | None = None,
+                     iters: int = 2,
+                     n_vectors: int | None = None) -> DataFrame:
+    """Approximate k-NN of EVERY corpus vector against the corpus via
+    LEARNED IVF cells — the corpus-scale kNN-self shape for embedding
+    spaces whose neighbors are geometric clusters, not hyperplane-sign
+    patterns.
+
+    Chosen over ``ann_lsh_knn_self`` for the scale path by MEASUREMENT
+    (r11, scripts/knn_recall_probe.py): this corpus's true 5-NN sit at
+    cosine ~0.42 (65°, s=0.64), where hyperplane collision probability
+    s^p collapses — the sized+capped LSH self measured recall@5 = 0.08
+    at x10 while IVF probing reached ~4x the recall at the same
+    candidate budget (data-learned cells follow the actual cluster
+    structure; random hyperplanes cannot).  The oracle-gated registry
+    queries keep the pinned LSH form.
+
+    Plan: centroids are learned driver-side (``ivf_centroid_list`` —
+    deterministic, k x dim, the ``ml.clustering.KMeans`` contract), the
+    build side takes each vector's ONE nearest cell, the query side its
+    ``nprobe`` nearest (both MAP-ONLY against inlined/Arrow-tier
+    centroid literals), and one cell equi-join produces candidates —
+    nprobe * occupancy per query, linear when ``n_cells`` grows with
+    the corpus (``ivf_cells_for``; callers pass a parquet footer
+    count).  A (query, neighbor) pair can appear at most once — the
+    build vector lives in exactly one cell — so no distinct pass is
+    needed (the LSH form pays one).  Output schema matches
+    ``topk_cosine_bruteforce`` so recall is directly measurable."""
+    if n_cells is None:
+        n_cells = ivf_cells_for(n_vectors)
+    if nprobe is None:
+        # FIXED probe count, deliberately: candidates per query =
+        # nprobe * occupancy stays constant, total work linear.  A
+        # probed-cell FRACTION would hold recall steady across decades
+        # (measured: 0.46 vs 0.33 at x100) but its candidates are
+        # nprobe*occ = n/const per query — total n²/const, the exact
+        # quadratic this operator exists to avoid (the first draft made
+        # that mistake and ground >20 min at x100).  On this synthetic
+        # near-isotropic fixture (true 5-NN at cosine ~0.42) recall
+        # decays with scale at fixed candidates — an information limit,
+        # not a plan defect; real embedding corpora cluster, and cells
+        # track those clusters.  Raise nprobe per recall target when
+        # the corpus supports it.
+        nprobe = 8
+    cents = ivf_centroid_list(corpus, n_cells=n_cells, iters=iters)
+    build = _assign_cells(
+        corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("c_emb"),
+                      l2_norm(F.col("embedding")).alias("c_norm")),
+        cents, "neighbor_id", "c_emb", nprobe=1)
+    query = _assign_cells(
+        corpus.select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_emb"),
+                      l2_norm(F.col("embedding")).alias("q_norm")),
+        cents, "query_id", "q_emb", nprobe=nprobe)
+    scored = (
+        query.join(build, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim",
+                    cosine_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                   F.col("q_norm"), F.col("c_norm"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (

@@ -203,16 +203,19 @@ def _wmh_full(docs):
 
 
 def _quality_label_full(emb, emb_path):
-    """Unbounded ANN label-consistency screen: 5-NN by hyperplane-LSH
-    bucket self-join over every vector, each label checked against its
-    neighbor majority (plans/llm_queries.py q_quality_label_consistency_ann
-    without the correctness gate's vec_id cap).  The plane count is
-    data-sized from the parquet footer count (lsh_planes_for) — the r11
-    decade study caught the fixture-constant plane count going quadratic
-    at x100."""
+    """Unbounded ANN label-consistency screen: 5-NN by learned-IVF-cell
+    self-join over every vector, each label checked against its neighbor
+    majority (the corpus-scale form of plans/llm_queries.py
+    q_quality_label_consistency_ann, which keeps the oracle-pinned LSH
+    shape on its bounded slice).  IVF over LSH here is a MEASURED
+    choice (scripts/knn_recall_probe.py, SCALE.md r11): on this
+    embedding geometry (true 5-NN at cosine ~0.42) data-learned cells
+    reach 4-7x the recall of sized+capped hyperplane buckets at the
+    same candidate budget.  Cell count and probe fraction are data-sized
+    from the parquet footer count."""
     from ab_metadata_pusher_spark.operators._shared import parquet_rowcount
     from ab_metadata_pusher_spark.plans.llm_queries import _qlc_flags
-    return _qlc_flags(emb, S.ann_lsh_knn_self(
+    return _qlc_flags(emb, S.ann_ivf_knn_self(
         emb, k=5, n_vectors=parquet_rowcount(emb_path)))
 
 

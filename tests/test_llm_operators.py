@@ -1038,3 +1038,35 @@ def test_knn_self_sized_planes_same_shape(spark):
     release_materialized(spark)
     assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
     assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_ivf_cells_data_sized():
+    """IVF cell count must grow with the corpus so per-query candidates
+    (nprobe x occupancy) stay bounded — the same fixture-constant trap
+    as the LSH plane count, plugged the same way."""
+    from ab_metadata_pusher_spark.operators.similarity import ivf_cells_for
+
+    assert ivf_cells_for(None) == 8
+    assert ivf_cells_for(2_000) == 8       # gate/fixture scale: floor
+    assert ivf_cells_for(20_000) == 39     # x10 replicas
+    assert ivf_cells_for(200_000) == 390   # x100 replicas
+    assert ivf_cells_for(10**10) == 4096   # Arrow-tier probed ceiling
+
+
+def test_ivf_knn_self_contract(spark):
+    """ann_ivf_knn_self: bruteforce-compatible schema, no self pairs,
+    ranks within k, deterministic across runs (seeded k-means, pinned
+    tie-breaks)."""
+    from ab_metadata_pusher_spark.operators.similarity import (
+        ann_ivf_knn_self,
+    )
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = ann_ivf_knn_self(emb, k=3, n_vectors=50)
+    assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in ann_ivf_knn_self(
+        emb, k=3, n_vectors=50).collect())
+    assert a == b and a
+    assert all(r[0] != r[1] and r[3] <= 3 for r in a)
