@@ -16,6 +16,14 @@ now code instead of checklist prose:
   uncommitted drift).  The judge can run this at HEAD: exit 0 proves
   the last verification stack covered exactly the shipped product
   tree.
+* ``--stack --round N`` — (r11 VERDICT ask #1: make the gate
+  BINDING) runs the entire closing verification stack itself —
+  pytest, bench.py, the driver_sim scored window strict at sf0.01
+  AND sf0.1, plain_driver_check, explain_audit --write-plans N —
+  and records ONLY if every stage exits 0.  Verify-and-record is
+  one command, so a last-minute product commit can no longer slip
+  between a manually-run stack and the record (the r11 failure
+  mode: the final IVF commit landed after the recorded stack).
 
 The snapshot is content-addressed (tree/blob hashes), so commit
 reordering, message edits, and non-product commits (docs, scripts,
@@ -48,21 +56,71 @@ def _snapshot() -> dict[str, str]:
     return {path: _git("rev-parse", f"HEAD:{path}") for path in PRODUCT}
 
 
-def main() -> int:
-    record_mode = "--record" in sys.argv[1:]
+def _record() -> int:
     dirty = _dirty_product_paths()
+    if dirty:  # re-check: the stack takes ~1 h; product must not drift
+        print("REFUSING to record: uncommitted product changes —")
+        print("\n".join(dirty))
+        return 1
+    snap = {"hashes": _snapshot(), "recorded_at": _git("rev-parse", "HEAD")}
+    RECORD.write_text(json.dumps(snap, indent=2) + "\n")
+    print(f"recorded product tree hashes at {snap['recorded_at'][:9]} "
+          f"-> {RECORD.name}")
+    print("commit this file as the LAST commit touching the product.")
+    return 0
+
+
+def _run_stack(round_n: int) -> int:
+    """Run the full closing verification stack; 0 only if ALL pass."""
+    from ab_metadata_pusher_spark.plans.registry import (  # noqa: PLC0415
+        DRIVER_PREFIX,
+    )
+    window = list(DRIVER_PREFIX[:50])
+    py = sys.executable
+    stages: list[tuple[str, list[str]]] = [
+        ("pytest", [py, "-m", "pytest", "tests/", "-q"]),
+        ("bench", [py, "bench.py"]),
+        ("driver_sim sf0.01 strict",
+         [py, "scripts/driver_sim.py", "--strict-types", *window]),
+        ("driver_sim sf0.1 strict",
+         [py, "scripts/driver_sim.py", "--strict-types",
+          "--sf-dir", "/root/testdata/sf0.1", *window]),
+        ("plain_driver_check", [py, "scripts/plain_driver_check.py"]),
+        ("explain_audit",
+         [py, "scripts/explain_audit.py", "--write-plans", str(round_n)]),
+    ]
+    for name, cmd in stages:
+        print(f"== stack stage: {name}", flush=True)
+        rc = subprocess.run(cmd, cwd=REPO).returncode
+        if rc != 0:
+            print(f"STACK STAGE FAILED ({name}, rc={rc}) — not recording.")
+            return rc
+    print("== stack green — recording.")
+    return _record()
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    record_mode = "--record" in argv
+    stack_mode = "--stack" in argv
+    dirty = _dirty_product_paths()
+    if stack_mode:
+        if dirty:
+            print("REFUSING stack: uncommitted product changes —")
+            print("\n".join(dirty))
+            return 1
+        if "--round" not in argv:
+            print("--stack requires --round N (for explain_audit)")
+            return 1
+        round_n = int(argv[argv.index("--round") + 1])
+        sys.path.insert(0, str(REPO))
+        return _run_stack(round_n)
     if record_mode:
         if dirty:
             print("REFUSING to record: uncommitted product changes —")
             print("\n".join(dirty))
             return 1
-        snap = {"hashes": _snapshot(), "recorded_at": _git(
-            "rev-parse", "HEAD")}
-        RECORD.write_text(json.dumps(snap, indent=2) + "\n")
-        print(f"recorded product tree hashes at {snap['recorded_at'][:9]} "
-              f"-> {RECORD.name}")
-        print("commit this file as the LAST commit touching the product.")
-        return 0
+        return _record()
 
     if not RECORD.exists():
         print(f"{RECORD.name} missing — run --record at close.")
