@@ -25,7 +25,7 @@ from ab_metadata_pusher_spark.observability import capture_plan_segment
 __all__ = [
     "double_array_lit",
     "MATERIALIZE_CONF", "materialize_shared", "release_materialized",
-    "spread_if_narrow",
+    "spread_if_narrow", "hash_build_guard",
 ]
 
 logger = logging.getLogger(__name__)
@@ -173,9 +173,30 @@ def nodeset_hint(n_rows: int, row_bytes: int = 16):
     return lambda df: df
 
 
+#: Logical nodes under which probing ``df.rdd`` is pure driver-side
+#: planning.  Anything else (Join/Aggregate/Window/...) plans an
+#: exchange, and under AQE ``.rdd`` on a plan containing exchanges
+#: EAGERLY EXECUTES the upstream shuffle stages — a hidden job at
+#: plan-construction time (r11 ADVICE).
+_SPREAD_SAFE_NODES = frozenset({
+    "Relation", "LogicalRDD", "Project", "Filter", "SubqueryAlias",
+    "GlobalLimit", "LocalLimit", "Sample", "View",
+})
+
+
 def spread_if_narrow(df: DataFrame) -> DataFrame:
     """Round-robin the frame to cluster width ONLY when its scan cannot
     split that wide on its own.
+
+    SCAN-ROOTED FRAMES ONLY (r11 ADVICE): the width probe is
+    ``rdd.getNumPartitions()``, which is driver-side planning for a
+    scan (+ projections/filters) but under AQE eagerly RUNS the
+    upstream shuffle stages of any plan containing exchanges.  Rather
+    than trust every future caller with that contract, the helper
+    checks the analyzed plan's node kinds itself and returns the frame
+    UNTOUCHED (no probe, no repartition) when any shuffle-capable node
+    is present — a post-shuffle frame is already cluster-wide, so the
+    spread would be pure cost anyway.
 
     The single-file fixture tables scan into ~3 partitions, which
     serializes pre-shuffle expression work (per-row md5, cosine math)
@@ -183,11 +204,68 @@ def spread_if_narrow(df: DataFrame) -> DataFrame:
     that became a pure-cost full-data shuffle once the input was a real
     multi-file dataset: the r11 decade study measured the Count-Min
     build at x100 (32-file input) 1.5x slower WITH the repartition
-    (13.9 s vs 9.3 s).  ``rdd.getNumPartitions()`` on a scan plan is
-    driver-side planning, not a job."""
+    (13.9 s vs 9.3 s)."""
+    plan = df._jdf.queryExecution().analyzed()
+    node = plan
+    while True:
+        name = node.nodeName()
+        if "Relation" in name or name in _SPREAD_SAFE_NODES:
+            pass  # scan-safe
+        else:
+            return df  # shuffle-capable node: no probe, no spread
+        n = node.children().size() if hasattr(node, "children") else 0
+        if n == 0:
+            break
+        if n > 1:
+            return df  # multi-child (join/union): not scan-rooted
+        node = node.children().apply(0)
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+
+
+#: Per-task budget for a NON-SPILLABLE shuffle-hash build relation.
+#: Sized well under a multi-GiB executor task's share: past this the
+#: build-side hash table risks OOM instead of spilling (SMJ spills;
+#: shuffled-hash cannot).
+HASH_BUILD_TASK_BUDGET_BYTES = 2 << 30
+
+
+def hash_build_guard(df: DataFrame, what: str,
+                     budget_bytes: int = HASH_BUILD_TASK_BUDGET_BYTES
+                     ) -> DataFrame:
+    """Audible width check for a frame about to be a SHUFFLE_HASH build
+    side (r11 ADVICE: the 'width keeps the build within a task'
+    assumption lived only in comments — session.py:44 — with no runtime
+    signal when a deployment breaks it).
+
+    Uses Catalyst's own optimized-plan size estimate divided by the
+    session shuffle width — pure driver-side planning, no job (the
+    optimizer run is milliseconds; the lazy-construction contract in
+    tests/test_plan_shapes.py holds).  Estimates inherit file-scan
+    sizes through filters, so they are rough — the guard therefore only
+    WARNS (with the width/budget arithmetic spelled out) and never
+    rewrites the plan: the hint sites measured 2.7x faster than SMJ at
+    x100 and stay chosen; a deployment seeing the warning raises
+    ``spark.sql.shuffle.partitions`` (AQE coalesces DOWN, never up).
+
+    Returns ``df`` unchanged."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+        width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        per_task = size // max(width, 1)
+        if per_task > budget_bytes:
+            logger.warning(
+                "%s: estimated shuffle-hash build ~%.1f GiB / %d shuffle "
+                "partitions = %.1f GiB per task (> %.1f GiB budget) — the "
+                "hash build cannot spill; raise spark.sql.shuffle."
+                "partitions so the per-task build slice fits memory.",
+                what, size / 2**30, width, per_task / 2**30,
+                budget_bytes / 2**30)
+    except Exception:  # estimate unavailable: never block the plan
+        pass
+    return df
 
 
 def parquet_rowcount(path: str) -> int:

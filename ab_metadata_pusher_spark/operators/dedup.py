@@ -31,6 +31,7 @@ from ab_metadata_pusher_spark.functions.hashing import (
 from ab_metadata_pusher_spark.operators._shared import (
     MATERIALIZE_CONF,
     _materialize_mode,  # noqa: F401  (re-export: unit tests target it here)
+    hash_build_guard,
     materialize_shared as _materialize_shared,
     release_materialized,
 )
@@ -277,8 +278,10 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
     # slice, which shrinks with shuffle width on a real cluster.
     # WIDTH ASSUMPTION: unlike SMJ the hash build cannot spill — the
     # deployment's shuffle width must keep |kept shingles|/width within
-    # a task (session.py documents this next to the default width).
-    b = sh.alias("b").hint("shuffle_hash")
+    # a task (session.py documents this next to the default width;
+    # hash_build_guard makes a breach audible at plan time).
+    b = hash_build_guard(sh, "jaccard_pairs kept-shingle build") \
+        .alias("b").hint("shuffle_hash")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.sid") < F.col("b.sid")))
@@ -326,7 +329,9 @@ def containment_pairs(df: DataFrame, threshold: float, n: int = 3,
     kept = _kept_shingles(df, n, max_df, materialize)
     # shuffle-hash for the same reason as jaccard_pairs (same join):
     # the r10 x100 A/B — 99.9 s SMJ vs 36.6 s hash, outputs equal
-    a, b = kept.alias("a"), kept.alias("b").hint("shuffle_hash")
+    a = kept.alias("a")
+    b = hash_build_guard(kept, "containment_pairs kept-shingle build") \
+        .alias("b").hint("shuffle_hash")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.sid") < F.col("b.sid")))

@@ -707,6 +707,22 @@ def ann_ivf_knn_self(corpus: DataFrame, k: int = 5, *,
         # track those clusters.  Raise nprobe per recall target when
         # the corpus supports it.
         nprobe = 8
+    if nprobe >= n_cells and n_vectors is None:
+        # r11 ADVICE: with the floor cell count (and default nprobe=8)
+        # every query probes EVERY cell — candidate scoring silently
+        # degrades to exact n² on a large corpus passed without
+        # n_vectors.  Warn loudly rather than clamp: results stay
+        # bit-stable for existing callers (probing all cells is exact,
+        # correct at fixture scale), but the scale contract — pass
+        # n_vectors (a parquet footer count) or a data-sized n_cells —
+        # is now audible instead of a silent quadratic.
+        import logging
+        logging.getLogger(__name__).warning(
+            "ann_ivf_knn_self: nprobe=%d >= n_cells=%d with n_vectors "
+            "unknown — every query probes every cell (exact n^2 "
+            "candidate scoring). Pass n_vectors (parquet footer count) "
+            "or a data-sized n_cells for the linear scale path.",
+            nprobe, n_cells)
     cents = ivf_centroid_list(corpus, n_cells=n_cells, iters=iters)
     build = _assign_cells(
         corpus.select(F.col("vec_id").alias("neighbor_id"),
@@ -735,7 +751,8 @@ def ann_ivf_knn_self(corpus: DataFrame, k: int = 5, *,
 
 
 def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
-                         n_cells: int = 8, iters: int = 2) -> DataFrame:
+                         n_cells: int | None = 8, iters: int = 2,
+                         n_vectors: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-dup pairs found by
     clustering the embedding space and comparing ONLY within each
     cluster — the trick that makes embedding dedup tractable at corpus
@@ -748,7 +765,18 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
     replays the exact run; assignment is 1-nearest-cell.  Emits
     (vec_a < vec_b, shared cell, cosine) for pairs at or above
     ``threshold`` — survivor selection (keep min id per near-dup
-    cluster) composes downstream exactly as for MinHash pairs."""
+    cluster) composes downstream exactly as for MinHash pairs.
+
+    ``n_cells=None`` sizes the cell count from ``n_vectors`` via
+    :func:`ivf_cells_for` (r12): with a FIXED cell count Σ|cell|² is
+    n²/k — quadratic in the corpus — while cells that grow with the
+    corpus hold expected occupancy (and so per-cell pair work)
+    constant, making Σ|cell|² ≈ occupancy · n.  The oracle-gated
+    registry query keeps its pinned 8 cells on the bounded corpus; the
+    bench's unbounded full-table head passes the parquet footer
+    count."""
+    if n_cells is None:
+        n_cells = ivf_cells_for(n_vectors)
     cents = ivf_centroid_list(corpus, n_cells=n_cells, iters=iters)
     assigned = _assign_cells(
         corpus.select("vec_id", "embedding"), cents,

@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 from ab_metadata_pusher_spark.observability import capture_plan_segment
 from ab_metadata_pusher_spark.operators._shared import (
-    materialize_shared, nodeset_hint, parquet_rowcount, _materialize_mode,
+    hash_build_guard, materialize_shared, nodeset_hint, parquet_rowcount,
+    _materialize_mode,
 )
 from ab_metadata_pusher_spark.operators import text as X
 from ab_metadata_pusher_spark.plans.registry import register
@@ -463,8 +464,10 @@ def _triangles_run(spark: SparkSession, pairs: DataFrame,
     # memory bomb at 100 TB; shuffle-hash keeps the bound per-task.
     na2 = adj2.select(F.col("a"), F.col("nbrs").alias("na"))
     nb2 = adj2.select(F.col("a").alias("b"), F.col("nbrs").alias("nb"))
-    tri = (e2.join(na2.hint("shuffle_hash"), "a")
-           .join(nb2.hint("shuffle_hash"), "b")
+    tri = (e2.join(hash_build_guard(na2, "graph_triangles adjacency")
+                   .hint("shuffle_hash"), "a")
+           .join(hash_build_guard(nb2, "graph_triangles adjacency")
+                 .hint("shuffle_hash"), "b")
            .agg(F.sum(F.size(F.array_intersect("na", "nb")))
                 .alias("n_triangles")))
     return nodes.crossJoin(n_edges).crossJoin(tri)

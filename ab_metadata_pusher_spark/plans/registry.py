@@ -68,81 +68,89 @@ def _load_all() -> None:
 #: this for every prefix name).
 #: Everything not listed follows in registration order.
 #:
-#: ROTATION (round 11, freshness policy since r8): evidence is
+#: ROTATION (round 12, freshness policy since r8): evidence is
 #: cumulative and every oracle-backed query has been driver-green
-#: since r7, so the head keeps the 15-slot sentinel core, 3 RE-PROOF
-#: slots hold the r10 below-gate normalized drifts
-#: (quality_label_consistency_ann 1.19x, orders_basket_lift 1.29x,
-#: dedup_substring_spans 1.17x — r10 VERDICT ask #1: settle them in
-#: the driver's own session the way LPA's r9 drift was settled), and
-#: the 32 freshness slots refresh the OLDEST driver evidence: the
-#: whole remaining round-4 cohort (25 names — orders_basket_lift
-#: doubles as a re-proof slot; graph_link_prediction and
-#: text_bpe_train are window-banned heavy forms) plus the 7
-#: alphabetically-first of round 5.  Displaced r10-window names move
-#: just below the window — still verified every run by
-#: tests/test_oracle_parity.py.  Use scripts/prefix_planner.py to
-#: plan/check rotations (it knows the re-proof slots are deliberate
-#: AND finishes by running tests/test_registry.py — the r8 lesson).
-#: Pre-validated r11: the whole 50-row window passes driver_sim
-#: --strict-types at sf0.01 AND sf0.1 (SCALE.md round-11 section).
+#: since r7, so the head keeps the 15-slot sentinel core and gives all
+#: 35 remaining slots to the OLDEST driver evidence: the whole
+#: round-5-evidence cohort (24 names) plus the 11 alphabetically-first
+#: of round 6.  The r11 re-proof slots closed green in the driver's
+#: own r11 session (r10 drift trio settled — VERDICT r11) and return
+#: to ordering-only positions just below the window, still verified
+#: every run by tests/test_oracle_parity.py, as are all displaced
+#: r11-window names.  graph_link_prediction and text_bpe_train stay
+#: window-banned (heavy forms; their capped/trained counterparts are
+#: scored).  Use scripts/prefix_planner.py to plan/check rotations (it
+#: finishes by running tests/test_registry.py — the r8 lesson).
+#: Pre-validated r12: the whole 50-row window passes driver_sim
+#: --strict-types at sf0.01 AND sf0.1 (SCALE.md round-12 section).
 DRIVER_PREFIX: tuple[str, ...] = (
-    # --- sentinel core (driver-green r2-r10, one per family) ---
+    # --- sentinel core (driver-green r2-r11, one per family) ---
     "metadata_catalog_columns", "metadata_tables", "metadata_nodes",
-    "metadata_relations", "metadata_profile_columns", "agg_pricing_summary",
-    "join_multiway_revenue", "window_topk_per_group", "setop_union_distinct",
-    "rollup_time_buckets", "sessionize_events", "cdc_scd2_intervals",
-    "stream_tumbling_counts", "dedup_minhash_lsh", "similarity_ann_lsh",
-    # --- re-proof slots (r11): the three r10 below-gate normalized
-    # --- drifts, scored in the driver's own session (VERDICT ask #1) ---
+    "metadata_relations", "metadata_profile_columns",
+    "agg_pricing_summary", "join_multiway_revenue",
+    "window_topk_per_group", "setop_union_distinct", "rollup_time_buckets",
+    "sessionize_events", "cdc_scd2_intervals", "stream_tumbling_counts",
+    "dedup_minhash_lsh", "similarity_ann_lsh",
+    # --- freshness rotation (r12): the whole round-5-evidence
+    # --- cohort (24 names) ... ---
+    "quality_quantile_normalize", "sample_domain_mixture",
+    "sample_epoch_mixture", "sample_global_shuffle",
+    "sample_length_curriculum", "sample_stratified", "sample_temperature",
+    "sample_weighted", "similarity_ann_recall", "similarity_ivf_recall",
+    "text_bigrams", "text_boilerplate_lines", "text_bpe_apply",
+    "text_bpe_pair_counts", "text_char_entropy", "text_html_strip",
+    "text_inverted_index", "text_lm_score", "text_ngram_novelty",
+    "text_pii_redact", "text_quality_classifier", "text_repetition",
+    "text_unicode_nfc", "text_vocab",
+    # --- ... and the 11 oldest of the round-6 cohort ---
+    "agg_filtered", "dedup_chunks", "dedup_incremental", "dedup_keep_best",
+    "dedup_minhash_verified", "dedup_paragraph_rewrite",
+    "dedup_suffix_prefix", "dedup_url_canonical", "join_asof_tolerance",
+    "join_geo_proximity", "join_interval_overlap",
+    # --- beyond the driver's 50-row window (ordering only) ---
     "quality_label_consistency_ann", "orders_basket_lift",
-    "dedup_substring_spans",
-    # --- freshness rotation (r11): the whole remaining round-4 cohort
-    # --- (25 names) ... ---
-    "analytics_ols_normal_equations", "analytics_outliers_mad",
-    "analytics_skyline_2d", "analytics_winsorize",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_ppjoin",
-    "dedup_simhash_pairs", "dedup_weighted_minhash", "embedding_covariance",
-    "embedding_pca_variance", "entity_resolution_customers",
-    "events_markov_transitions", "events_rfm_segments",
-    "events_trigram_paths", "graph_bfs_distance", "graph_kcore",
-    "multimodal_phash_pairs", "quality_label_consistency_recall",
-    "sample_dsir", "scalar_regexp_funcs", "text_bigram_lm", "text_bm25",
-    "text_tfidf_top_terms", "text_token_counts",
-    # --- ... and the 7 alphabetically-first of the round-5 cohort ---
-    "dedup_bloom_incremental",
+    "dedup_substring_spans", "analytics_ols_normal_equations",
+    "analytics_outliers_mad", "analytics_skyline_2d",
+    "analytics_winsorize", "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "dedup_ppjoin", "dedup_simhash_pairs", "dedup_weighted_minhash",
+    "embedding_covariance", "embedding_pca_variance",
+    "entity_resolution_customers", "events_markov_transitions",
+    "events_rfm_segments", "events_trigram_paths", "graph_bfs_distance",
+    "graph_kcore", "multimodal_phash_pairs",
+    "quality_label_consistency_recall", "sample_dsir",
+    "scalar_regexp_funcs", "text_bigram_lm", "text_bm25",
+    "text_tfidf_top_terms", "text_token_counts", "dedup_bloom_incremental",
     "dedup_containment", "dedup_incremental_minhash",
     "quality_adaptive_threshold", "quality_expectations",
     "quality_fk_violations", "quality_mixture_kl",
-    # --- beyond the driver's 50-row window (ordering only): recent
-    # --- cohorts first, all still verified every run by
-    # --- tests/test_oracle_parity.py ---
     "graph_label_propagation", "agg_percentiles_guaranteed",
     "map_higher_order_funcs", "multimodal_binary_meta",
     "multimodal_decode_audio", "multimodal_decode_features",
-    "multimodal_frame_sample", "multimodal_resize", "posexplode_outer_runs",
-    "posexplode_tokens", "scalar_conditional", "scalar_date_funcs",
-    "scalar_json_funcs", "scalar_math_funcs", "scalar_try_funcs",
-    "scalar_variant_funcs", "stream_dedup_watermark", "stream_funnel_steps",
-    "stream_ingest_dedup", "stream_ohlc", "stream_quality_filter",
-    "stream_session_windows", "stream_sliding_counts",
-    "stream_stateful_user_stats", "stream_static_join", "stream_stream_join",
-    "stream_topk_window", "udf_map_in_arrow", "udf_scalar_log1p",
-    "udtf_span_split", "agg_approx_count_distinct", "agg_hll_sketch_union",
+    "multimodal_frame_sample", "multimodal_resize",
+    "posexplode_outer_runs", "posexplode_tokens", "scalar_conditional",
+    "scalar_date_funcs", "scalar_json_funcs", "scalar_math_funcs",
+    "scalar_try_funcs", "scalar_variant_funcs", "stream_dedup_watermark",
+    "stream_funnel_steps", "stream_ingest_dedup", "stream_ohlc",
+    "stream_quality_filter", "stream_session_windows",
+    "stream_sliding_counts", "stream_stateful_user_stats",
+    "stream_static_join", "stream_stream_join", "stream_topk_window",
+    "udf_map_in_arrow", "udf_scalar_log1p", "udtf_span_split",
+    "agg_approx_count_distinct", "agg_hll_sketch_union",
     "analytics_chi_square", "analytics_join_size_estimate",
     "analytics_ks_drift", "similarity_ann_ivf", "dedup_semantic",
     "embedding_kmeans", "agg_percentiles", "decontaminate_ngram_overlap",
-    "dedup_clusters", "dedup_exact", "dedup_simhash", "explode_word_counts",
-    "graph_triangles", "join_anti", "join_asof_clicks", "join_range_bands",
-    "join_salted_revenue", "pack_sequences", "pivot_event_types",
-    "sample_hash_split", "scalar_string_funcs", "setop_intersect",
-    "similarity_topk_cosine", "subquery_above_avg", "text_fingerprint",
-    "text_langid", "text_quality_scores", "timeseries_gap_fill",
-    "udf_grouped_geomean", "unpivot_lineitem_measures", "window_lag_delta",
-    "window_moving_avg", "window_rank_functions",
-    "agg_heavy_hitters_guaranteed", "array_funcs_embeddings",
-    "jsonl_corpus_ingest", "map_event_type_counts", "similarity_pq",
-    "sample_kcenter", "embedding_random_projection", "metadata_graph_degree",
+    "dedup_clusters", "dedup_exact", "dedup_simhash",
+    "explode_word_counts", "graph_triangles", "join_anti",
+    "join_asof_clicks", "join_range_bands", "join_salted_revenue",
+    "pack_sequences", "pivot_event_types", "sample_hash_split",
+    "scalar_string_funcs", "setop_intersect", "similarity_topk_cosine",
+    "subquery_above_avg", "text_fingerprint", "text_langid",
+    "text_quality_scores", "timeseries_gap_fill", "udf_grouped_geomean",
+    "unpivot_lineitem_measures", "window_lag_delta", "window_moving_avg",
+    "window_rank_functions", "agg_heavy_hitters_guaranteed",
+    "array_funcs_embeddings", "jsonl_corpus_ingest",
+    "map_event_type_counts", "similarity_pq", "sample_kcenter",
+    "embedding_random_projection", "metadata_graph_degree",
     "metadata_graph_two_hop", "metadata_graph_closure", "agg_cube",
     "agg_count_distinct", "agg_max_by", "window_running_total",
     "topk_global", "distinct_pairs", "setop_except",
@@ -164,26 +172,15 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "multimodal_audio_fingerprint", "multimodal_decode_video",
     "dedup_edit_distance", "sink_envelope_chunking",
     "graph_link_prediction_capped", "agg_countmin_sketch",
-    "stream_countmin_cells", "metadata_fk_inference", "join_geo_proximity",
+    "stream_countmin_cells", "metadata_fk_inference",
     "metadata_masked_view", "timeseries_seasonal_decompose",
     "timeseries_anomaly_zscore", "timeseries_downsample_lttb",
-    "timeseries_interpolate", "join_asof_tolerance", "join_temporal_dim",
-    "join_interval_overlap", "dedup_suffix_prefix", "dedup_url_canonical",
-    "dedup_chunks", "dedup_keep_best", "dedup_minhash_verified",
-    "dedup_incremental", "dedup_paragraph_rewrite", "quality_ppl_buckets",
+    "timeseries_interpolate", "join_temporal_dim", "quality_ppl_buckets",
     "window_gap_islands", "window_ema_bounded", "window_ignore_nulls",
     "window_moving_median", "window_distribution_funcs",
     "window_running_distinct", "window_range_1h", "subquery_not_in",
     "subquery_correlated_exists", "subquery_correlated_scalar",
-    "agg_filtered", "text_repetition", "text_pii_redact", "text_html_strip",
-    "text_unicode_nfc", "text_bpe_pair_counts", "text_bpe_apply",
-    "text_bigrams", "text_lm_score", "text_vocab", "text_char_entropy",
-    "text_inverted_index", "text_quality_classifier", "text_ngram_novelty",
-    "text_boilerplate_lines", "sample_global_shuffle", "sample_stratified",
-    "sample_domain_mixture", "sample_length_curriculum",
-    "sample_temperature", "sample_weighted", "sample_epoch_mixture",
-    "quality_quantile_normalize", "similarity_ann_recall",
-    "similarity_ivf_recall", "graph_link_prediction", "text_bpe_train",
+    "graph_link_prediction", "text_bpe_train",
 )
 
 

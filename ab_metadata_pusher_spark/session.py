@@ -41,7 +41,11 @@ DEFAULT_CONFIG: dict[str, str] = {
     # for the local harness; a cluster deployment must raise this (or
     # let AQE coalesce DOWN from a high setting, never up) so that
     # |kept shingles| / width fits an executor task.  The iterative
-    # graph loops size their own width from data (_loop_width).
+    # graph loops size their own width from data (_loop_width).  Since
+    # r12 this assumption is CHECKED at plan time: every shuffle-hash
+    # build side passes through operators/_shared.hash_build_guard,
+    # which warns (Catalyst size estimate / width vs a 2 GiB per-task
+    # budget) when a deployment's width breaks it.
     "spark.sql.shuffle.partitions": "32",
     # Keep timestamp semantics deterministic across driver/oracle.
     "spark.sql.session.timeZone": "UTC",

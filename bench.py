@@ -192,7 +192,33 @@ def _unbounded_llm(spark, sf_dir):
         # round-11: weighted minhash over the FULL documents table (the
         # registry form bounds _doc_corpus at 300 docs for the oracle)
         "dedup_weighted_minhash_full": lambda: _wmh_full(docs),
+        # round-12: SemDeDup over the FULL embeddings table with
+        # DATA-SIZED cells (the registry form's bounded corpus keeps the
+        # oracle-pinned 8 cells; at corpus scale fixed cells make
+        # Sigma|cell|^2 quadratic — ivf_cells_for holds occupancy, and
+        # so per-cell pair work, constant)
+        "dedup_semantic_full": lambda: _semantic_full(
+            emb, f"{sf_dir}/embeddings.parquet"),
     }
+
+
+def _semantic_full(emb, emb_path):
+    """Unbounded SemDeDup: full embeddings table + the same
+    deterministic perturbed copies the registry form plants (so true
+    near-dup pairs exist to find), cells DATA-SIZED from the doubled
+    corpus's footer count — with the oracle head's fixed 8 cells,
+    within-cell pair volume is Sigma|cell|^2 = n^2/8, quadratic."""
+    from ab_metadata_pusher_spark.operators._shared import parquet_rowcount
+    pert = emb.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x * 1.01 + 0.005).cast("float"))
+         .alias("embedding"),
+        F.col("label"))
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(pert)
+    return S.semantic_dedup_pairs(
+        corpus, 0.9, n_cells=None,
+        n_vectors=2 * parquet_rowcount(emb_path))
 
 
 def _wmh_full(docs):
@@ -211,12 +237,18 @@ def _quality_label_full(emb, emb_path):
     choice (scripts/knn_recall_probe.py, SCALE.md r11): on this
     embedding geometry (true 5-NN at cosine ~0.42) data-learned cells
     reach 4-7x the recall of sized+capped hyperplane buckets at the
-    same candidate budget.  Cell count and probe fraction are data-sized
-    from the parquet footer count."""
+    same candidate budget.  Cell count is data-sized from the parquet
+    footer count; ``SPARK_GRAFT_IVF_NPROBE`` (default 8) is the
+    recall/cost dial a deployment with a recall target turns — the
+    measured nprobe in {8,16,32} x {x10,x100} curve is in SCALE.md
+    round-12 (r11 VERDICT ask #3: recall rises with nprobe at exactly
+    proportional candidate cost; candidates stay nprobe * occupancy
+    per query, linear in corpus at any fixed setting)."""
     from ab_metadata_pusher_spark.operators._shared import parquet_rowcount
     from ab_metadata_pusher_spark.plans.llm_queries import _qlc_flags
+    nprobe = int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", "8"))
     return _qlc_flags(emb, S.ann_ivf_knn_self(
-        emb, k=5, n_vectors=parquet_rowcount(emb_path)))
+        emb, k=5, nprobe=nprobe, n_vectors=parquet_rowcount(emb_path)))
 
 
 def _clusters_full(docs):
@@ -344,7 +376,10 @@ def build_summary_lines(timings: dict[str, float], errors: dict[str, str],
         "membership_note": (
             "r11: +quality_label_full, +dedup_weighted_minhash_full "
             "(unbounded full-table forms of the two bounded oracle heads, "
-            "added for decade-scale coverage)"),
+            "added for decade-scale coverage); r12: +dedup_semantic_full "
+            "(unbounded SemDeDup with data-sized cells — the bounded "
+            "oracle head's fixed 8 cells are Sigma|cell|^2 = n^2/8, "
+            "quadratic, at corpus scale)"),
     }
     if splits:
         detail["splits"] = splits

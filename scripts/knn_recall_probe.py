@@ -47,6 +47,12 @@ def main() -> None:
     ap.add_argument("--uncapped", action="store_true",
                     help="also measure the sized-planes variant WITHOUT "
                          "the bucket cap (slow at x100)")
+    ap.add_argument("--nprobes", default="",
+                    help="comma list of EXTRA ivf nprobe values to sweep "
+                         "(r11 VERDICT ask #3: the recall/cost curve), "
+                         "e.g. --nprobes 16,32")
+    ap.add_argument("--skip-lsh", action="store_true",
+                    help="ivf-only sweep (skip the LSH baselines)")
     args = ap.parse_args()
     dirs = [str(REPO / d) if not d.startswith("/") else d
             for d in args.dirs.split(",")]
@@ -65,6 +71,10 @@ def main() -> None:
                  .select("query_id", "neighbor_id"))
         exact_pairs = {(r["query_id"], r["neighbor_id"])
                        for r in exact.collect()}
+        if not exact_pairs:  # empty table / stride yielded no probes
+            print(f"{Path(d).name:5s} n={n:,}: no exact probe pairs — "
+                  "skipping (empty embeddings or stride too wide)")
+            continue
 
         def recall(nn_df, label: str) -> None:
             t0 = time.time()
@@ -81,13 +91,18 @@ def main() -> None:
                   f"{hits / len(exact_pairs):.3f}  ({time.time() - t0:.1f}s)",
                   flush=True)
 
-        recall(ann_lsh_knn_self(emb, k=K, n_vectors=n), "lsh sized+capped")
-        if args.uncapped:
-            recall(ann_lsh_knn_self(
-                emb, k=K, n_planes=lsh_planes_for(n, floor=3)),
-                "lsh sized, UNCAPPED")
-        recall(ann_ivf_knn_self(emb, k=K, n_vectors=n),
-               f"ivf cells={ivf_cells_for(n)} probe=8")
+        if not args.skip_lsh:
+            recall(ann_lsh_knn_self(emb, k=K, n_vectors=n),
+                   "lsh sized+capped")
+            if args.uncapped:
+                recall(ann_lsh_knn_self(
+                    emb, k=K, n_planes=lsh_planes_for(n, floor=3)),
+                    "lsh sized, UNCAPPED")
+        cells = ivf_cells_for(n)
+        sweep = [8] + [int(x) for x in args.nprobes.split(",") if x]
+        for np_ in sweep:
+            recall(ann_ivf_knn_self(emb, k=K, n_vectors=n, nprobe=np_),
+                   f"ivf cells={cells} probe={np_}")
 
 
 if __name__ == "__main__":

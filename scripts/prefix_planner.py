@@ -37,19 +37,14 @@ from ab_metadata_pusher_spark.plans.registry import (  # noqa: E402
 #: be a first-time-scored query.
 SENTINELS = set(DRIVER_PREFIX[:15])
 
-#: Deliberate re-proof slots (round 11): the three r10 below-gate
-#: normalized drifts — none was deliberately touched in r10, all are
-#: single-sample, and the LPA precedent (r9 drift -> r10 re-proof slot
-#: -> driver-normalized 1.06x, closed) says the driver's own session
-#: settles such disputes (r10 VERDICT ask #1).  LPA itself closed in
-#: the r10 record and returned to the pool.  The 32 freshness slots
-#: refresh the oldest driver evidence (all of r4 minus the two
-#: window-banned heavy forms, then the oldest of r5).
-REPROOF = {
-    "quality_label_consistency_ann",
-    "orders_basket_lift",
-    "dedup_substring_spans",
-}
+#: Deliberate re-proof slots: below-gate normalized drifts scheduled
+#: for settling in the driver's own session (the LPA precedent: r9
+#: drift -> r10 re-proof slot -> driver-normalized 1.06x, closed).
+#: r11's trio (quality_label_consistency_ann, orders_basket_lift,
+#: dedup_substring_spans) all closed green in the r11 driver record —
+#: r12 carries no open drift, so the set is empty and all 35
+#: non-sentinel slots are freshness.
+REPROOF: set[str] = set()
 
 #: The driver's correctness gate scores this many queries() entries per
 #: round (observed width of every CORRECTNESS_r* record).  Names beyond

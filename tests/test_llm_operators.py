@@ -664,6 +664,36 @@ def test_mllib_minhash_recall_vs_native_exact_jaccard(spark, sf_dir):
             assert abs(exact[p] - sim) < 1e-3, (p, exact[p], sim)
 
 
+def test_weighted_minhash_recovers_exact_near_dups(spark, sf_dir):
+    """r11 VERDICT ask #5 (semantic check of the r11 rebuild): the
+    df-gated tf-weighted 3-gram race changed the MEASURE, and the
+    oracle moved with it — correctness was proven only relative to the
+    new definition.  This gate proves the new measure still catches
+    the near-dups the operator exists for: every exact-Jaccard >= 0.6
+    pair (the MinHash family's ground truth, computed by the exact
+    ``jaccard_pairs`` over the same df-gated shingles) must be
+    recovered by the shipped 8-of-16-component threshold (measured
+    1.000 at sf0.01 AND sf0.1; floor leaves slack for fixture drift
+    only).  What the df gate excludes — similarity carried ONLY by
+    corpus-wide df>100 boilerplate shingles — is excluded from both
+    sides identically, so it cannot cost recall here by construction
+    (SCALE.md round-12)."""
+    from ab_metadata_pusher_spark.operators import dedup as D
+    from ab_metadata_pusher_spark.plans.llm_queries import (
+        _doc_corpus, wmh_pairs,
+    )
+
+    corpus = _doc_corpus(spark, sf_dir)
+    exact = {(r.sid_a, r.sid_b)
+             for r in D.jaccard_pairs(corpus, 0.6).collect()}
+    assert exact, "fixture produced no exact near-dup pairs"
+    got = {(r.sid_a, r.sid_b) for r in wmh_pairs(corpus).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, (
+        f"weighted-MinHash recall {recall:.3f} of {len(exact)} exact "
+        "near-dup pairs — the rebuilt measure lost true near-dups")
+
+
 def test_label_consistency_ann_recall_gate(spark, sf_dir):
     """The ANN-backed label-noise screen must stay close to the exact
     form: neighbor recall@5 and suspect-flag agreement gates (measured
@@ -1070,3 +1100,62 @@ def test_ivf_knn_self_contract(spark):
         emb, k=3, n_vectors=50).collect())
     assert a == b and a
     assert all(r[0] != r[1] and r[3] <= 3 for r in a)
+
+
+def test_ivf_knn_self_candidate_volume_tracks_nprobe(spark, sf_dir):
+    """r11 VERDICT ask #3: nprobe is the recall/cost dial, so its cost
+    side must be PINNED — the candidate join's volume is exactly
+    Σ_query Σ_probed-cells occupancy, bounded by n * nprobe * max-cell
+    occupancy, and each query probes at most nprobe distinct cells.
+    Rebuilt here from the same public pieces the operator composes
+    (one-cell build assignment x nprobe query assignment, one cell
+    equi-join) so a refactor that silently inflates the candidate set
+    (e.g. a lost distinct, a widened probe) fails."""
+    from pyspark.sql import functions as F
+    from ab_metadata_pusher_spark.operators.similarity import (
+        _assign_cells, ivf_cells_for, ivf_centroid_list,
+    )
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_cells, nprobe = ivf_cells_for(n), 4
+    cents = ivf_centroid_list(emb, n_cells=n_cells)
+    build = _assign_cells(emb.select("vec_id", "embedding"), cents,
+                          "vec_id", "embedding", nprobe=1)
+    query = _assign_cells(
+        emb.select(F.col("vec_id").alias("qid"), "embedding"), cents,
+        "qid", "embedding", nprobe=nprobe)
+    occ = {r["cell"]: r["c"] for r in
+           build.groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
+           .collect()}
+    candidates = query.join(build, "cell").count()
+    per_query_cells = (query.groupBy("qid")
+                       .agg(F.countDistinct("cell").alias("nc")))
+    assert per_query_cells.agg(F.max("nc")).first()[0] <= nprobe
+    expected = sum(occ[r["cell"]] for r in query.collect())
+    assert candidates == expected
+    assert candidates <= n * nprobe * max(occ.values())
+
+
+def test_ivf_knn_self_warns_when_probing_every_cell(spark, caplog):
+    """r11 ADVICE: floor cell count + nprobe >= n_cells + unknown
+    n_vectors silently degrades to exact n² candidate scoring — the
+    guard must make that audible (and stay silent on the sized path)."""
+    import logging
+
+    from ab_metadata_pusher_spark.operators.similarity import (
+        ann_ivf_knn_self,
+    )
+    from ab_metadata_pusher_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    logger = "ab_metadata_pusher_spark.operators.similarity"
+    with caplog.at_level(logging.WARNING, logger=logger):
+        caplog.clear()
+        ann_ivf_knn_self(emb, k=3)  # defaults: floor cells, nprobe 8
+        assert any("probes every cell" in r.message
+                   for r in caplog.records)
+        caplog.clear()
+        ann_ivf_knn_self(emb, k=3, n_vectors=50)
+        assert not caplog.records

@@ -210,3 +210,45 @@ def test_spread_if_narrow_skips_wide_scans(spark, sf_dir):
     # the AQE-formatted plan string double-counts exchanges, so object
     # identity is the reliable no-new-shuffle assertion)
     assert spread_if_narrow(pre_spread) is pre_spread
+
+
+def test_spread_if_narrow_never_probes_post_shuffle_plans(spark, sf_dir):
+    """r11 ADVICE: ``.rdd`` on a plan containing exchanges eagerly runs
+    the upstream shuffle stages under AQE, so the helper's width probe
+    must be reserved for scan-rooted frames.  Post-shuffle frames (agg,
+    join, repartition roots) must come back UNTOUCHED — object identity,
+    no probe, no hidden job."""
+    from ab_metadata_pusher_spark.operators._shared import spread_if_narrow
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = li.groupBy("l_orderkey").count()
+    assert spread_if_narrow(agg) is agg
+    joined = li.join(li.select("l_orderkey").distinct(), "l_orderkey")
+    assert spread_if_narrow(joined) is joined
+    # scan + projection/filter stays eligible (and actually spreads)
+    scan = li.select("l_partkey").filter("l_partkey >= 0")
+    assert spread_if_narrow(scan) is not scan
+
+
+def test_hash_build_guard_warns_past_budget_and_never_rewrites(
+        spark, sf_dir, caplog):
+    """The non-spillable shuffle-hash width assumption (session.py) is
+    now audible: past the per-task budget the guard logs the width
+    arithmetic; within budget it is silent.  Either way the frame is
+    returned unchanged (the warning is advice, not a plan rewrite)."""
+    import logging
+
+    from ab_metadata_pusher_spark.operators._shared import hash_build_guard
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with caplog.at_level(logging.WARNING,
+                         logger="ab_metadata_pusher_spark.operators._shared"):
+        caplog.clear()
+        out = hash_build_guard(li, "test-build", budget_bytes=1)
+        assert out is li
+        assert any("test-build" in r.message and "cannot spill" in r.message
+                   for r in caplog.records)
+        caplog.clear()
+        out = hash_build_guard(li, "test-build-ok")
+        assert out is li
+        assert not caplog.records
