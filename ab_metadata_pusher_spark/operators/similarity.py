@@ -20,6 +20,8 @@ practice.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -27,6 +29,8 @@ from pyspark.sql import Window
 from ab_metadata_pusher_spark.operators._shared import (
     double_array_lit, double_sql,
 )
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["dot", "l2_norm", "cosine", "cosine_prenorm",
            "topk_cosine_bruteforce",
@@ -716,8 +720,7 @@ def ann_ivf_knn_self(corpus: DataFrame, k: int = 5, *,
         # correct at fixture scale), but the scale contract — pass
         # n_vectors (a parquet footer count) or a data-sized n_cells —
         # is now audible instead of a silent quadratic.
-        import logging
-        logging.getLogger(__name__).warning(
+        logger.warning(
             "ann_ivf_knn_self: nprobe=%d >= n_cells=%d with n_vectors "
             "unknown — every query probes every cell (exact n^2 "
             "candidate scoring). Pass n_vectors (parquet footer count) "
