@@ -279,9 +279,10 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
     # WIDTH ASSUMPTION: unlike SMJ the hash build cannot spill — the
     # deployment's shuffle width must keep |kept shingles|/width within
     # a task (session.py documents this next to the default width;
-    # hash_build_guard makes a breach audible at plan time).
+    # hash_build_guard applies the hint and makes a breach audible
+    # at plan time — or drops it under SPARK_GRAFT_HASH_BUILD=strict).
     b = hash_build_guard(sh, "jaccard_pairs kept-shingle build") \
-        .alias("b").hint("shuffle_hash")
+        .alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.sid") < F.col("b.sid")))
@@ -331,7 +332,7 @@ def containment_pairs(df: DataFrame, threshold: float, n: int = 3,
     # the r10 x100 A/B — 99.9 s SMJ vs 36.6 s hash, outputs equal
     a = kept.alias("a")
     b = hash_build_guard(kept, "containment_pairs kept-shingle build") \
-        .alias("b").hint("shuffle_hash")
+        .alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.sid") < F.col("b.sid")))

@@ -464,10 +464,8 @@ def _triangles_run(spark: SparkSession, pairs: DataFrame,
     # memory bomb at 100 TB; shuffle-hash keeps the bound per-task.
     na2 = adj2.select(F.col("a"), F.col("nbrs").alias("na"))
     nb2 = adj2.select(F.col("a").alias("b"), F.col("nbrs").alias("nb"))
-    tri = (e2.join(hash_build_guard(na2, "graph_triangles adjacency")
-                   .hint("shuffle_hash"), "a")
-           .join(hash_build_guard(nb2, "graph_triangles adjacency")
-                 .hint("shuffle_hash"), "b")
+    tri = (e2.join(hash_build_guard(na2, "graph_triangles adjacency"), "a")
+           .join(hash_build_guard(nb2, "graph_triangles adjacency"), "b")
            .agg(F.sum(F.size(F.array_intersect("na", "nb")))
                 .alias("n_triangles")))
     return nodes.crossJoin(n_edges).crossJoin(tri)

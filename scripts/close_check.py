@@ -71,7 +71,15 @@ def _record() -> int:
 
 
 def _run_stack(round_n: int) -> int:
-    """Run the full closing verification stack; 0 only if ALL pass."""
+    """Run the full closing verification stack; 0 only if ALL pass.
+
+    The product tree hashes are PINNED before stage 1 (r12 ADVICE): the
+    stack takes ~1 h, and _record()'s dirty-only recheck cannot see a
+    product COMMIT landing mid-stack — the record would then bless the
+    new tree even though earlier stages ran the old one (the exact r11
+    slip the gate exists to prevent).  Any drift between the pinned and
+    final hashes refuses the record."""
+    pinned = _snapshot()
     from ab_metadata_pusher_spark.plans.registry import (  # noqa: PLC0415
         DRIVER_PREFIX,
     )
@@ -95,6 +103,14 @@ def _run_stack(round_n: int) -> int:
         if rc != 0:
             print(f"STACK STAGE FAILED ({name}, rc={rc}) — not recording.")
             return rc
+    now = _snapshot()
+    drifted = [p for p in PRODUCT if pinned[p] != now[p]]
+    if drifted:
+        print("REFUSING to record: product tree changed mid-stack —")
+        for p in drifted:
+            print(f"  {p}: {pinned[p][:9]} -> {now[p][:9]}")
+        print("re-run --stack on the final tree.")
+        return 1
     print("== stack green — recording.")
     return _record()
 
@@ -112,7 +128,12 @@ def main() -> int:
         if "--round" not in argv:
             print("--stack requires --round N (for explain_audit)")
             return 1
-        round_n = int(argv[argv.index("--round") + 1])
+        try:  # r12 ADVICE: a missing/non-numeric value crashed with an
+            # unhandled IndexError/ValueError instead of the usage line
+            round_n = int(argv[argv.index("--round") + 1])
+        except (IndexError, ValueError):
+            print("--stack requires --round N (for explain_audit)")
+            return 1
         sys.path.insert(0, str(REPO))
         return _run_stack(round_n)
     if record_mode:

@@ -230,25 +230,94 @@ def test_spread_if_narrow_never_probes_post_shuffle_plans(spark, sf_dir):
     assert spread_if_narrow(scan) is not scan
 
 
-def test_hash_build_guard_warns_past_budget_and_never_rewrites(
+def test_hash_build_guard_warns_past_budget_and_keeps_hint(
         spark, sf_dir, caplog):
-    """The non-spillable shuffle-hash width assumption (session.py) is
-    now audible: past the per-task budget the guard logs the width
-    arithmetic; within budget it is silent.  Either way the frame is
-    returned unchanged (the warning is advice, not a plan rewrite)."""
+    """Default (warn) mode: past the per-task budget the guard logs the
+    width arithmetic but KEEPS the shuffle_hash hint (the measured 2.7x
+    SHJ win stays the default plan); within budget it is silent.  The
+    returned frame always carries the hint — callers no longer apply it
+    themselves (r12 VERDICT ask #3 refactor)."""
     import logging
 
     from ab_metadata_pusher_spark.operators._shared import hash_build_guard
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keyed = li.select("l_orderkey").distinct()
     with caplog.at_level(logging.WARNING,
                          logger="ab_metadata_pusher_spark.operators._shared"):
         caplog.clear()
         out = hash_build_guard(li, "test-build", budget_bytes=1)
-        assert out is li
         assert any("test-build" in r.message and "cannot spill" in r.message
                    for r in caplog.records)
+        joins = _join_blocks(_plan(keyed.join(out, "l_orderkey")))
+        assert joins and all(op == "ShuffledHashJoin" for op, _ in joins), \
+            joins
         caplog.clear()
         out = hash_build_guard(li, "test-build-ok")
-        assert out is li
+        assert not caplog.records
+        joins = _join_blocks(_plan(keyed.join(out, "l_orderkey")))
+        assert joins and all(op == "ShuffledHashJoin" for op, _ in joins), \
+            joins
+
+
+def test_hash_build_guard_strict_flips_shj_to_smj(
+        spark, sf_dir, caplog, monkeypatch):
+    """SPARK_GRAFT_HASH_BUILD=strict (r12 VERDICT ask #3): past budget
+    the guard DROPS the shuffle_hash hint so Catalyst falls back to
+    spillable sort-merge — a deployment that misses the warn-mode log
+    line no longer OOMs the non-spillable hash build.  Same operator,
+    same inputs: the shingle self-join plans SHJ under warn and SMJ
+    under strict with the budget exceeded, and the RESULT is
+    unchanged (hint choice is physical only)."""
+    import logging
+
+    from ab_metadata_pusher_spark.operators import _shared
+    from ab_metadata_pusher_spark.operators._shared import (
+        release_materialized,
+    )
+
+    def shingle_ops():
+        plan = _plan(_q(spark, sf_dir, "dedup_ngram_jaccard"))
+        release_materialized(spark)
+        return [op for op, b in _join_blocks(plan)
+                if "shingle#" in b.split("Join type:")[0]]
+
+    def rows():
+        out = sorted(map(tuple,
+                         _q(spark, sf_dir, "dedup_ngram_jaccard").collect()))
+        release_materialized(spark)
+        return out
+
+    monkeypatch.setattr(_shared, "HASH_BUILD_TASK_BUDGET_BYTES", 1)
+    monkeypatch.setenv("SPARK_GRAFT_HASH_BUILD", "warn")
+    assert shingle_ops() == ["ShuffledHashJoin"]
+    warn_rows = rows()
+
+    monkeypatch.setenv("SPARK_GRAFT_HASH_BUILD", "strict")
+    logger = "ab_metadata_pusher_spark.operators._shared"
+    # on the tiny fixture Catalyst broadcasts the unhinted side; pin
+    # auto-broadcast off so the scale-shaped fallback (spillable SMJ,
+    # what a 100 TB build side would get) is the one asserted
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with caplog.at_level(logging.WARNING, logger=logger):
+            caplog.clear()
+            assert shingle_ops() == ["SortMergeJoin"]
+            assert any("dropping the shuffle_hash hint" in r.message
+                       for r in caplog.records)
+        assert rows() == warn_rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+
+    # under budget, strict keeps the measured-faster hash join
+    monkeypatch.setattr(_shared, "HASH_BUILD_TASK_BUDGET_BYTES", 2 << 30)
+    assert shingle_ops() == ["ShuffledHashJoin"]
+
+    # off skips the estimate entirely and keeps the hint
+    monkeypatch.setattr(_shared, "HASH_BUILD_TASK_BUDGET_BYTES", 1)
+    monkeypatch.setenv("SPARK_GRAFT_HASH_BUILD", "off")
+    with caplog.at_level(logging.WARNING, logger=logger):
+        caplog.clear()
+        assert shingle_ops() == ["ShuffledHashJoin"]
         assert not caplog.records
