@@ -68,31 +68,49 @@ def _load_all() -> None:
 #: this for every prefix name).
 #: Everything not listed follows in registration order.
 #:
-#: ROTATION (round 12, freshness policy since r8): evidence is
+#: ROTATION (round 13, freshness policy since r8): evidence is
 #: cumulative and every oracle-backed query has been driver-green
 #: since r7, so the head keeps the 15-slot sentinel core and gives all
 #: 35 remaining slots to the OLDEST driver evidence: the whole
-#: round-5-evidence cohort (24 names) plus the 11 alphabetically-first
-#: of round 6.  The r11 re-proof slots closed green in the driver's
-#: own r11 session (r10 drift trio settled — VERDICT r11) and return
-#: to ordering-only positions just below the window, still verified
-#: every run by tests/test_oracle_parity.py, as are all displaced
-#: r11-window names.  graph_link_prediction and text_bpe_train stay
-#: window-banned (heavy forms; their capped/trained counterparts are
-#: scored).  Use scripts/prefix_planner.py to plan/check rotations (it
-#: finishes by running tests/test_registry.py — the r8 lesson).
-#: Pre-validated r12: the whole 50-row window passes driver_sim
-#: --strict-types at sf0.01 AND sf0.1 (SCALE.md round-12 section).
+#: round-6 remainder (19 names — the r12 window took the 11
+#: alphabetically-first of r6) plus the 16 alphabetically-first of
+#: round 7.  All displaced r12-window names return to ordering-only
+#: positions just below the window, still verified every run by
+#: tests/test_oracle_parity.py.  graph_link_prediction and
+#: text_bpe_train stay window-banned (heavy forms; their
+#: capped/trained counterparts are scored).  Use
+#: scripts/prefix_planner.py to plan/check rotations (it finishes by
+#: running tests/test_registry.py — the r8 lesson).
+#: Pre-validated r13: the whole 50-row window passes driver_sim
+#: --strict-types at sf0.01 AND sf0.1 (SCALE.md round-13 section).
 DRIVER_PREFIX: tuple[str, ...] = (
-    # --- sentinel core (driver-green r2-r11, one per family) ---
+    # --- sentinel core (driver-green r2-r12, one per family) ---
     "metadata_catalog_columns", "metadata_tables", "metadata_nodes",
     "metadata_relations", "metadata_profile_columns",
     "agg_pricing_summary", "join_multiway_revenue",
     "window_topk_per_group", "setop_union_distinct", "rollup_time_buckets",
     "sessionize_events", "cdc_scd2_intervals", "stream_tumbling_counts",
     "dedup_minhash_lsh", "similarity_ann_lsh",
-    # --- freshness rotation (r12): the whole round-5-evidence
-    # --- cohort (24 names) ... ---
+    # --- freshness rotation (r13): the round-6-evidence
+    # --- remainder (19 names) ... ---
+    "join_temporal_dim", "metadata_fk_inference", "metadata_masked_view",
+    "quality_ppl_buckets", "stream_countmin_cells",
+    "subquery_correlated_exists", "subquery_correlated_scalar",
+    "subquery_not_in", "timeseries_anomaly_zscore",
+    "timeseries_downsample_lttb", "timeseries_interpolate",
+    "timeseries_seasonal_decompose", "window_distribution_funcs",
+    "window_ema_bounded", "window_gap_islands", "window_ignore_nulls",
+    "window_moving_median", "window_range_1h", "window_running_distinct",
+    # --- ... and the 16 alphabetically-first of the round-7 cohort ---
+    "agg_countmin_sketch", "agg_having_in", "agg_histogram",
+    "agg_histogram_equi_depth", "agg_string_concat", "agg_weighted_avg",
+    "cdc_join_view_delta", "cdc_latest_snapshot", "cohort_retention",
+    "corpus_build_pipeline", "corpus_snapshot_diff", "corpus_token_budget",
+    "csv_corpus_ingest", "dedup_edit_distance", "funnel_steps",
+    "graph_link_prediction_capped",
+    # --- beyond the driver's 50-row window (ordering only) ---
+    # displaced r12 window (r5 cohort + 11 oldest of r6), freshest
+    # evidence in the registry:
     "quality_quantile_normalize", "sample_domain_mixture",
     "sample_epoch_mixture", "sample_global_shuffle",
     "sample_length_curriculum", "sample_stratified", "sample_temperature",
@@ -102,12 +120,10 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "text_inverted_index", "text_lm_score", "text_ngram_novelty",
     "text_pii_redact", "text_quality_classifier", "text_repetition",
     "text_unicode_nfc", "text_vocab",
-    # --- ... and the 11 oldest of the round-6 cohort ---
     "agg_filtered", "dedup_chunks", "dedup_incremental", "dedup_keep_best",
     "dedup_minhash_verified", "dedup_paragraph_rewrite",
     "dedup_suffix_prefix", "dedup_url_canonical", "join_asof_tolerance",
     "join_geo_proximity", "join_interval_overlap",
-    # --- beyond the driver's 50-row window (ordering only) ---
     "quality_label_consistency_ann", "orders_basket_lift",
     "dedup_substring_spans", "analytics_ols_normal_equations",
     "analytics_outliers_mad", "analytics_skyline_2d",
@@ -160,26 +176,19 @@ DRIVER_PREFIX: tuple[str, ...] = (
     "metadata_tables_filtered", "metadata_graph_components",
     "metadata_snapshot_diff", "metadata_graph_pagerank", "agg_rollup",
     "agg_grouping_sets", "join_left_outer_orders", "join_semi",
-    "agg_weighted_avg", "agg_histogram_equi_depth", "agg_histogram",
-    "agg_string_concat", "agg_having_in", "join_range_binned",
+    "join_range_binned",
     "join_disjunctive_pred", "join_asof_cogrouped", "setop_union_evolve",
-    "setop_symmetric_diff", "pivot_multi_agg", "cdc_latest_snapshot",
-    "cdc_join_view_delta", "sessionize_builtin_window", "rollup_ohlc",
-    "rollup_incremental_merge", "funnel_steps", "cohort_retention",
-    "layout_zorder_stats", "csv_corpus_ingest", "xml_corpus_ingest",
-    "warc_corpus_ingest", "orc_corpus_ingest", "corpus_snapshot_diff",
-    "corpus_build_pipeline", "corpus_token_budget",
+    "setop_symmetric_diff", "pivot_multi_agg", 
+    "sessionize_builtin_window", "rollup_ohlc",
+    "rollup_incremental_merge", 
+    "layout_zorder_stats", "xml_corpus_ingest",
+    "warc_corpus_ingest", "orc_corpus_ingest", 
     "multimodal_audio_fingerprint", "multimodal_decode_video",
-    "dedup_edit_distance", "sink_envelope_chunking",
-    "graph_link_prediction_capped", "agg_countmin_sketch",
-    "stream_countmin_cells", "metadata_fk_inference",
-    "metadata_masked_view", "timeseries_seasonal_decompose",
-    "timeseries_anomaly_zscore", "timeseries_downsample_lttb",
-    "timeseries_interpolate", "join_temporal_dim", "quality_ppl_buckets",
-    "window_gap_islands", "window_ema_bounded", "window_ignore_nulls",
-    "window_moving_median", "window_distribution_funcs",
-    "window_running_distinct", "window_range_1h", "subquery_not_in",
-    "subquery_correlated_exists", "subquery_correlated_scalar",
+    "sink_envelope_chunking",
+    
+    
+    
+    
     "graph_link_prediction", "text_bpe_train",
 )
 
