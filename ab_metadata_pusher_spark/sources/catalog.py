@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ab_metadata_pusher_spark.sources.fixtures import FIXTURE_TABLES, load_table
+from ab_metadata_pusher_spark.sources.fixtures import (
+    FIXTURE_TABLES, load_table, parquet_footer_path,
+)
 
 __all__ = [
     "catalog_columns", "TABLE_DESCRIPTIONS", "COLUMN_DESCRIPTIONS",
@@ -106,7 +108,10 @@ def catalog_columns(spark: SparkSession, sf_dir: str,
 
     rows = []
     for table in tables:
-        schema = pq.read_schema(f"{sf_dir}/{table}.parquet")
+        # directory-shaped tables (every production table) introspect
+        # via one member footer; single files pass through
+        schema = pq.read_schema(
+            parquet_footer_path(f"{sf_dir}/{table}.parquet"))
         for i, field in enumerate(schema, start=1):
             rows.append((
                 CATALOG_DATABASE,

@@ -11,7 +11,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["FIXTURE_TABLES", "load_table", "load_tables"]
+__all__ = ["FIXTURE_TABLES", "load_table", "load_tables",
+           "parquet_footer_path"]
+
+
+def parquet_footer_path(path: str) -> str:
+    """Resolve a table path to ONE parquet footer for driver-side
+    schema introspection.
+
+    A production-scale table is a DIRECTORY of part files (Spark's own
+    write layout) — ``pq.read_schema`` on the directory raises, which
+    made every footer-introspecting head fail on multi-file inputs
+    (found by the r13 decade study: ``metadata_nodes`` died on the
+    x1 replica dir).  All members share the schema by the dataset
+    write contract, so introspecting the lexicographically-first
+    ``.parquet`` member (recursive — hive ``key=value`` subdirs
+    included) is deterministic and stays a pure metadata read.
+    Single-file paths pass through unchanged."""
+    import os
+
+    if not os.path.isdir(path):
+        return path
+    for d, _dirs, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(d, f)
+    raise FileNotFoundError(f"no .parquet member under {path}")
 
 #: The driver's table set (TESTDATA.md) in a stable, deterministic order.
 FIXTURE_TABLES: tuple[str, ...] = (
@@ -30,9 +55,9 @@ def _long_ts_divisor(sf_dir: str) -> int:
     """
     try:
         import pyarrow.parquet as pq
-        path = f"{sf_dir}/events.parquet"
+        path = parquet_footer_path(f"{sf_dir}/events.parquet")
         unit = str(pq.read_schema(path).field("ts").type)
-    except Exception:  # multi-file dir / no pyarrow: assume nanos (r1)
+    except Exception:  # no pyarrow / unreadable footer: assume nanos (r1)
         return 1000
     # negative divisor = multiply into micros
     by_unit = {"timestamp[ns]": 1000, "timestamp[us]": 1,

@@ -18,6 +18,40 @@ def test_arrow_types_match_spark_loader(spark, sf_dir):
                 f"{table}.{name}: arrow said {cc[(table, i)]}, "
                 f"spark loader says {(name.lower(), dtype)}")
 
+def test_catalog_introspects_directory_shaped_tables(spark, sf_dir,
+                                                     tmp_path):
+    """A production-scale table is a DIRECTORY of part files (Spark's
+    own write layout); footer introspection must resolve one member
+    footer instead of raising on the directory (r13 decade-study find:
+    metadata_nodes died on every multi-file replica dir).  The derived
+    catalog rows must be identical to the single-file form."""
+    import shutil
+
+    from ab_metadata_pusher_spark.sources.fixtures import (
+        parquet_footer_path,
+    )
+
+    # hive-partitioned layout: the member sits one key=value level down
+    nested = tmp_path / "region.parquet" / "ds=2024-01-01"
+    nested.mkdir(parents=True)
+    shutil.copy(f"{sf_dir}/region.parquet", nested / "part-00000.parquet")
+
+    via_dir = catalog_columns(spark, str(tmp_path),
+                              tables=("region",)).collect()
+    via_file = catalog_columns(spark, sf_dir, tables=("region",)).collect()
+    assert via_dir == via_file and via_dir
+
+    assert parquet_footer_path(f"{sf_dir}/region.parquet") \
+        == f"{sf_dir}/region.parquet"
+    empty = tmp_path / "empty.parquet"
+    empty.mkdir()
+    try:
+        parquet_footer_path(str(empty))
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+
+
 def test_sql_session_runs_adhoc_tpch_style_query(spark, sf_dir, duck):
     """The declarative surface: open_session registers every fixture
     table; arbitrary Spark SQL over the views must match DuckDB on the
