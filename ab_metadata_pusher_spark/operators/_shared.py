@@ -282,9 +282,10 @@ def hash_build_guard(df: DataFrame, what: str,
     the build shuffle DOWN to fewer partitions, so the real per-task
     slice can exceed the budget while the guard stays quiet — the
     budget is deliberately conservative (2 GiB against multi-GiB task
-    shares) to absorb that; deployments pinning
-    ``spark.sql.adaptive.coalescePartitions.minPartitionNum`` get the
-    exact bound back."""
+    shares) to absorb that.  When the deployment pins
+    ``spark.sql.adaptive.coalescePartitions.minPartitionNum``, the
+    guard divides by that floor instead (the worst-case post-coalesce
+    width), making the bound exact rather than optimistic."""
     import os
 
     if budget_bytes is None:  # resolved at CALL time so tests and
@@ -300,7 +301,15 @@ def hash_build_guard(df: DataFrame, what: str,
     try:
         size = int(df._jdf.queryExecution().optimizedPlan()
                    .stats().sizeInBytes())
-        width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        conf = df.sparkSession.conf
+        width = int(conf.get("spark.sql.shuffle.partitions"))
+        # AQE coalesce can shrink the build shuffle below the configured
+        # width; when the deployment pins the coalesce floor, use it —
+        # the worst-case per-task slice is then exact, not optimistic
+        mn = conf.get("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+                      None)
+        if mn is not None and str(mn).isdigit() and int(mn) > 0:
+            width = min(width, int(mn))
         per_task = size // max(width, 1)
         if per_task > budget_bytes:
             action = ("dropping the shuffle_hash hint (falling back to "

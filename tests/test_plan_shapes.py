@@ -260,6 +260,59 @@ def test_hash_build_guard_warns_past_budget_and_keeps_hint(
             joins
 
 
+def test_spread_if_narrow_bails_on_subquery_expressions(spark, sf_dir):
+    """r12 ADVICE: a Filter/Project can HOST a shuffling subquery
+    expression (IN / scalar subquery) that the child-only node walk
+    never visits — probing ``.rdd`` there eagerly runs the subquery's
+    exchange stages.  Such frames must come back untouched (object
+    identity: no probe, no spread)."""
+    from ab_metadata_pusher_spark.operators._shared import spread_if_narrow
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_spread_li")
+    hosted = spark.sql("""
+        SELECT l_partkey FROM _spread_li
+        WHERE l_orderkey IN (SELECT max(l_orderkey) FROM _spread_li)""")
+    assert spread_if_narrow(hosted) is hosted
+    scalar = spark.sql("""
+        SELECT l_partkey,
+               (SELECT avg(l_quantity) FROM _spread_li) AS a
+        FROM _spread_li""")
+    assert spread_if_narrow(scalar) is scalar
+
+
+def test_hash_build_guard_uses_pinned_coalesce_floor(spark, sf_dir,
+                                                     caplog):
+    """When the deployment pins spark.sql.adaptive.coalescePartitions.
+    minPartitionNum, the guard divides by that worst-case post-coalesce
+    width instead of the configured shuffle width — the same build that
+    fits per-task at width 32 breaches the budget at a pinned floor of
+    1, and the guard must say so."""
+    import logging
+
+    from ab_metadata_pusher_spark.operators._shared import hash_build_guard
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    size = int(li._jdf.queryExecution().optimizedPlan()
+               .stats().sizeInBytes())
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert width > 1
+    budget = size // width + 1  # fits at full width, breaches at 1
+    key = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
+    logger = "ab_metadata_pusher_spark.operators._shared"
+    with caplog.at_level(logging.WARNING, logger=logger):
+        caplog.clear()
+        hash_build_guard(li, "floor-unpinned", budget_bytes=budget)
+        assert not caplog.records
+        spark.conf.set(key, "1")
+        try:
+            hash_build_guard(li, "floor-pinned", budget_bytes=budget)
+        finally:
+            spark.conf.unset(key)
+        assert any("floor-pinned" in r.message and "/ 1 shuffle" in r.message
+                   for r in caplog.records)
+
+
 def test_hash_build_guard_strict_flips_shj_to_smj(
         spark, sf_dir, caplog, monkeypatch):
     """SPARK_GRAFT_HASH_BUILD=strict (r12 VERDICT ask #3): past budget
