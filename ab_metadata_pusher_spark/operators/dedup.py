@@ -143,17 +143,32 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         labels = vertices.select(F.col("id"), F.col("id").alias("label"))
         prev_sum = None
         for i in range(max_iter):
-            prop = (both.alias("e")
-                    .join(labels.alias("l"), F.col("e.src") == F.col("l.id"))
-                    .select(F.col("e.dst").alias("id"), F.col("l.label")))
+            if i == 0:
+                # Fused first round (r13): the initial labels are the
+                # identity map label(v) = v, so the propagation join
+                # contributes exactly one (dst, src) row per symmetrized
+                # edge — project the edge list directly instead of
+                # joining a |V|-row build side onto it.
+                prop = both.select(F.col("dst").alias("id"),
+                                   F.col("src").alias("label"))
+            else:
+                prop = (both.alias("e")
+                        .join(labels.alias("l"),
+                              F.col("e.src") == F.col("l.id"))
+                        .select(F.col("e.dst").alias("id"),
+                                F.col("l.label")))
             new = (prop.unionByName(labels)
                    .groupBy("id").agg(F.min("label").alias("label")))
             if (i + 1) % checkpoint_every == 0:
                 # Truncate lineage: without this, each iteration's plan
                 # nests the previous one and optimizer/lineage cost grows
                 # with iteration count — the scale-killer for long loops.
+                # LAZY checkpoint (r13): the plan is truncated to a
+                # LogicalRDD immediately, but materialization rides the
+                # convergence aggregate below — one job per checkpoint
+                # round instead of two.
                 capture_plan_segment(new)
-                new = new.localCheckpoint(eager=True)
+                new = new.localCheckpoint(eager=False)
             else:
                 new.persist()
             cur_sum = new.agg(F.sum("label")).collect()[0][0]

@@ -691,11 +691,18 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     slower at |V|=20k.)  The oracle unrolls the same fixed iteration
     count as CTE stages."""
     e0 = _cooccur_edges(spark, sf_dir)
-    return _lpa_run(spark, e0, _LPA_ITERS)
+    # |V| <= |part|: a parquet-footer read prices the broadcast-vs-
+    # shuffle alignment with NO Spark job (r13 — the job this hint
+    # replaces was the initial identity-label distinct+count, removed
+    # by the fused first round below).
+    from ab_metadata_pusher_spark.operators._shared import parquet_rowcount
+    return _lpa_run(spark, e0, _LPA_ITERS,
+                    n_vertices_hint=parquet_rowcount(f"{sf_dir}/part.parquet"))
 
 
 def _lpa_run(spark: SparkSession, e0: DataFrame, iters: int,
-             align: str = "auto") -> DataFrame:
+             align: str = "auto",
+             n_vertices_hint: int | None = None) -> DataFrame:
     """The synchronous-LPA loop with the alignment choice as code.
 
     ``align``: ``broadcast`` partitions edges by the DESTINATION ``a``
@@ -703,11 +710,28 @@ def _lpa_run(spark: SparkSession, e0: DataFrame, iters: int,
     round is exchange-free.  ``shuffle`` partitions edges by the JOIN
     key ``b``; labels shuffle into a SortMergeJoin and the round pays
     the (a, lab) aggregation exchange — no broadcast, the web-scale
-    form.  ``auto`` counts |V| once (off the checkpointed initial
-    label frame, so nothing recomputes) and flips to ``shuffle`` past
-    ``_LPA_BROADCAST_MAX_BYTES`` of estimated label rows."""
+    form.  ``auto`` flips to ``shuffle`` past
+    ``_LPA_BROADCAST_MAX_BYTES`` of estimated label rows, pricing |V|
+    from ``n_vertices_hint`` (callers pass a parquet footer count — an
+    upper bound is fine, the flip is a resource bound) or, hint-less,
+    from the symmetrized edge row count already paid for width sizing
+    (|V| <= 2|E|, conservative by the mean degree — both alignments
+    are equality-tested, so an early flip costs shuffles, never
+    correctness).
+
+    ROUND 1 IS FUSED (r13): the initial label frame is the identity
+    map lab(v) = v, so round 1's join contributes exactly one
+    (a, lab=b) row per symmetrized edge — aggregating the edge list
+    directly is the same multiset.  This removes the initial
+    ``distinct`` (a full |E| dedup exchange + eager checkpoint job +
+    |V| count job) and round 1's broadcast build entirely; under the
+    broadcast alignment the fused first round is exchange-free off the
+    pre-partitioned edges, like every later round."""
     if align not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown LPA alignment: {align!r}")
+    if iters < 1:
+        raise ValueError("LPA needs at least one round (the fused first "
+                         "round IS the identity-label round)")
     edges = (e0.unionByName(e0.select(F.col("b").alias("a"),
                                       F.col("a").alias("b")))
              .select(F.col("a").cast("long").alias("a"),
@@ -723,31 +747,27 @@ def _lpa_run(spark: SparkSession, e0: DataFrame, iters: int,
     pinned: list[DataFrame] = []
     try:
         # ONE width for the whole loop: the up-front edge partitioning
-        # (the alignment every round's aggregations inherit) and the
-        # conf-pinned residual shuffles (the initial distinct) must
-        # agree, or the round aggs re-exchange to the conf width.  The
-        # width itself is DATA-SIZED (_loop_width): the count below
-        # materializes the persist the initial distinct would have
-        # materialized anyway — LPA acts at construction by design
-        # (eager checkpoints), so this adds one cached-scan job, not a
-        # new execution obligation.  The initial distinct is
-        # checkpointed so the |V| count (and round 1's build side)
-        # never recompute it; the pre-repartition edges pin so the
-        # co-occur join computes once, not twice.
+        # (the alignment every round's aggregations inherit) and any
+        # conf-pinned residual shuffles must agree, or the round aggs
+        # re-exchange to the conf width.  The width itself is
+        # DATA-SIZED (_loop_width): the count below materializes the
+        # persist round 1 would have materialized anyway — LPA acts at
+        # construction by design (eager checkpoints), so this adds one
+        # cached-scan job, not a new execution obligation.  The
+        # pre-repartition edges pin makes the co-occur join compute
+        # once, not twice.
         edges = edges.persist()
         pinned.append(edges)
-        width = _loop_width(edges.count(),
+        n_rows = edges.count()
+        width = _loop_width(n_rows,
                             spark.sparkContext.defaultParallelism)
         # try/finally: a mid-loop failure (executor OOM, cancelled
         # stage) must not leak the pinned width or the persisted edges
         # into the rest of the session — same discipline as
         # connected_components.
         spark.conf.set(conf_key, str(width))
-        labels = (edges.select(F.col("a").alias("v"),
-                               F.col("a").alias("lab"))
-                  .distinct().localCheckpoint(eager=True))
         if align == "auto":
-            n_v = labels.count()
+            n_v = n_vertices_hint if n_vertices_hint is not None else n_rows
             align = ("broadcast"
                      if n_v * _LPA_LABEL_ROW_BYTES
                      <= _LPA_BROADCAST_MAX_BYTES else "shuffle")
@@ -755,16 +775,26 @@ def _lpa_run(spark: SparkSession, e0: DataFrame, iters: int,
             width, "a" if align == "broadcast" else "b").persist()
         pinned.append(edges)
         hint = F.broadcast if align == "broadcast" else (lambda df: df)
-        for _ in range(iters):
-            labels = (edges
-                      .join(hint(labels.withColumnRenamed("v", "b")), "b")
-                      .groupBy(F.col("a").alias("v"), "lab")
-                      .agg(F.count(F.lit(1)).alias("c"))
-                      .groupBy("v")
-                      .agg(F.max(F.struct(
-                          F.col("c"),
-                          (-F.col("lab")).alias("nl"))).alias("m"))
-                      .select("v", (-F.col("m.nl")).alias("lab")))
+
+        def round_argmax(joined: DataFrame) -> DataFrame:
+            """(v, lab) per-round winner: most frequent, ties -> lowest."""
+            return (joined
+                    .groupBy(F.col("a").alias("v"), "lab")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .groupBy("v")
+                    .agg(F.max(F.struct(
+                        F.col("c"),
+                        (-F.col("lab")).alias("nl"))).alias("m"))
+                    .select("v", (-F.col("m.nl")).alias("lab")))
+
+        # Fused round 1: identity labels make the join a per-edge
+        # identity map — aggregate edges directly (no |V| build side).
+        labels = round_argmax(edges.select("a", F.col("b").alias("lab")))
+        capture_plan_segment(labels)
+        labels = labels.localCheckpoint(eager=True)
+        for _ in range(iters - 1):
+            labels = round_argmax(
+                edges.join(hint(labels.withColumnRenamed("v", "b")), "b"))
             # Sever per-round lineage: without this, round r's broadcast
             # build re-executes rounds 1..r-1 inside the broadcast thread
             # (measured driver OOM at sf0.1).  Same discipline as the
@@ -1109,7 +1139,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the user's cluster-sized setting — only the peel rounds need the
     # |E|-proportional width.
     try:
-        edges = edges.localCheckpoint(eager=True)
+        # LAZY checkpoints throughout (r13): each checkpoint's plan is
+        # truncated immediately, but materialization rides the count the
+        # loop already pays — one job per (checkpoint, count) pair
+        # instead of two.
+        edges = edges.localCheckpoint(eager=False)
         # 2x: edges holds a<b pairs but every peel round streams the
         # SYMMETRIZED incidence (the unionByName below is 2|E| rows) —
         # the 70k-rows/partition density was calibrated on LPA's
@@ -1123,7 +1157,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 edges.select(F.col("b").alias("s")))
             keep = (incid.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
                     .filter(F.col("d") >= _KCORE_K).select("s"))
-            keep = keep.localCheckpoint(eager=True)
+            keep = keep.localCheckpoint(eager=False)
             n = keep.count()
             if n == prev_nodes:
                 break  # fixpoint: every further round is an identity map

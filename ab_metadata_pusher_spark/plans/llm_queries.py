@@ -3808,9 +3808,10 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    first = pts.agg(F.min("vec_id")).first()[0]
-    centers = [int(first)]
-    cvec = pts.filter(F.col("vec_id") == first).first().v
+    # One TakeOrdered job fetches the seed id AND its vector (r13 —
+    # previously an agg(min) job plus a filter/first job).
+    seed = pts.orderBy("vec_id").select("vec_id", "v").first()
+    centers = [int(seed.vec_id)]
 
     def dist_to(center_vec):
         from ab_metadata_pusher_spark.operators._shared import double_array_lit
@@ -3819,15 +3820,20 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with("v", arr, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0), lambda acc, x: acc + x)
 
-    state = pts.withColumn("md", dist_to(cvec))
+    state = pts.withColumn("md", dist_to(seed.v))
     for _ in range(_KCENTER_K - 1):
         state = state.filter(~F.col("vec_id").isin(centers))
         capture_plan_segment(state)
-        state = state.localCheckpoint(eager=True)
-        nxt = state.orderBy(F.col("md").desc(), "vec_id").first()
+        # ONE job per round (r13): the checkpoint is lazy (plan
+        # truncated now, materialized by the pick below) and the pick
+        # fetches the winning id AND its vector in the same TakeOrdered
+        # pass — the round previously paid three jobs (eager
+        # checkpoint, orderBy/first, filter/first).
+        state = state.localCheckpoint(eager=False)
+        nxt = (state.orderBy(F.col("md").desc(), "vec_id")
+               .select("vec_id", "v").first())
         centers.append(int(nxt.vec_id))
-        nvec = state.filter(F.col("vec_id") == nxt.vec_id).first().v
-        state = state.withColumn("md", F.least("md", dist_to(nvec)))
+        state = state.withColumn("md", F.least("md", dist_to(nxt.v)))
     return spark.createDataFrame(
         [(r, c) for r, c in enumerate(centers)], "rank int, vec_id bigint")
 
