@@ -1169,7 +1169,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .join(hint(keep.withColumnRenamed("s", "b")),
                            "b", "semi"))
             capture_plan_segment(edges)
-            edges = edges.localCheckpoint(eager=True)
+            # lazy: materialized by the NEXT round's keep count (or the
+            # final degree aggregate), one job per round instead of two
+            edges = edges.localCheckpoint(eager=False)
     finally:
         spark.conf.set(conf_key, prev_conf)
     return (edges.select(F.col("a").alias("node")).unionByName(

@@ -629,10 +629,18 @@ def q_metadata_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ct, cc, pt, pc in _FK_CANDIDATES:
         child = col_distinct[(ct, cc)]
         parent = col_distinct[(pt, pc)]
-        contained = child.join(
-            F.broadcast(parent), child[cc] == parent[pc], "left_semi")
-        row = (child.agg(F.count(F.lit(1)).alias("n_child_distinct"))
-               .join(contained.agg(F.count(F.lit(1)).alias("n_contained"))))
+        # ONE pass per pair (r13): a left-outer broadcast join against
+        # the DISTINCT parent key is one-to-one by construction, so a
+        # single aggregate yields both counts — count(1) is the child
+        # distinct count, count(parent_key) counts exactly the child
+        # values contained in the parent (an equi-join never matches
+        # NULL).  The previous shape (semi-join + two aggregates + a
+        # 1-row join) paid two aggregation exchanges and a join per
+        # pair for the same two numbers.
+        row = (child.join(F.broadcast(parent),
+                          child[cc] == parent[pc], "left")
+               .agg(F.count(F.lit(1)).alias("n_child_distinct"),
+                    F.count(parent[pc]).alias("n_contained")))
         row = row.select(
             F.lit(ct).alias("child_table"), F.lit(cc).alias("child_col"),
             F.lit(pt).alias("parent_table"), F.lit(pc).alias("parent_col"),
