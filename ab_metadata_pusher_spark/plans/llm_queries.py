@@ -3998,9 +3998,16 @@ def wmh_pairs(corpus: DataFrame) -> DataFrame:
         F.explode(X.shingle_array(X.tokens("text"))).alias("w"))
     # tf rows are distinct (sid, w): a window count over w IS the
     # document frequency — one pass, no extra join (same single-stream
-    # df gate as _kept_shingles)
+    # df gate as _kept_shingles).  ONE shared exchange for both (r13):
+    # hash-partitioning the raw stream by the token satisfies the
+    # clustering required by the (sid, w) tf aggregation AND by the df
+    # window (HashPartitioning(w) clusters any key set containing w),
+    # so the stream crosses the network once instead of twice — the
+    # previous shape exchanged the partially-aggregated stream on
+    # (sid, w) and then again on w for the window.
     w_df = Window.partitionBy("w")
-    tf = (toks.groupBy("sid", "w")
+    tf = (toks.repartition("w")
+          .groupBy("sid", "w")
           .agg(F.count(F.lit(1)).alias("tf"))
           .withColumn("df", F.count(F.lit(1)).over(w_df))
           .filter(F.col("df") <= _WMH_MAX_DF)
