@@ -217,6 +217,31 @@ def doc_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
          .alias("shingle"))
 
 
+def _gated_shingles(df: DataFrame, n: int, max_df: int | None,
+                    materialize: str | None = None) -> DataFrame:
+    """(sid, shingle) — the df-gated stream WITHOUT the per-doc size
+    column (r13): the df gate's window partitions by ``shingle``, so
+    the gated stream leaves this helper hash-partitioned by exactly
+    the self-join key of :func:`jaccard_pairs` /
+    :func:`containment_pairs` — the join sides then need no exchange
+    (``localCheckpoint`` and ``persist`` both preserve the
+    partitioning).  Per-doc sizes are a separate |docs|-row aggregate
+    the callers attach to the aggregated PAIRS; keeping the old
+    sid-keyed size window here would re-exchange the whole stream by
+    sid and throw that alignment away.  :func:`_kept_shingles` keeps
+    the size-carrying shape for :func:`lsh_verified_pairs`, whose
+    first verify join is sid-keyed."""
+    from pyspark.sql import Window
+
+    sh = doc_shingles(df, n)
+    if max_df is not None:
+        sh = (sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+            .filter(F.col("df") <= max_df)
+            .drop("df"))
+    return _materialize_shared(sh, materialize)
+
+
 def _kept_shingles(df: DataFrame, n: int, max_df: int | None,
                    materialize: str | None = None) -> DataFrame:
     """(sid, shingle, n_sh) — the df-gated shingle stream with each
@@ -281,7 +306,8 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
     materialized stream; at corpus scale one materialization replaces
     two full recomputes.
     """
-    sh = _kept_shingles(df, n, max_df, materialize)
+    sh = _gated_shingles(df, n, max_df, materialize)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     # SHUFFLE_HASH on the build alias: sort-merge would sort BOTH
     # ~|Σ shingles|-row sides by the fat string key before emitting the
@@ -302,13 +328,22 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.sid") < F.col("b.sid")))
         .groupBy(F.col("a.sid").alias("sid_a"), F.col("b.sid").alias("sid_b"))
-        # n_sh is constant within each sid: min() just carries it
-        .agg(F.count(F.lit(1)).alias("n_inter"),
-             F.min(F.col("a.n_sh")).alias("na"),
-             F.min(F.col("b.n_sh")).alias("nb"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # Sizes attach to the AGGREGATED pairs (output-scale), not to every
+    # shingle row before the join (r13): the per-doc size used to be a
+    # second full-stream window (an exchange by sid) carried through the
+    # self-join; as a |docs|-row aggregate off the same materialized
+    # stream it joins the few surviving pairs instead — and without the
+    # sid-keyed window the gated stream stays hash-partitioned by
+    # shingle, which is exactly the self-join's key, so the join sides
+    # need no exchange at all.
     return (
         inter
+        .join(sizes.select(F.col("sid").alias("sid_a"),
+                           F.col("n_sh").alias("na")), "sid_a")
+        .join(sizes.select(F.col("sid").alias("sid_b"),
+                           F.col("n_sh").alias("nb")), "sid_b")
         .withColumn("jaccard",
                     F.round(F.col("n_inter")
                             / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
@@ -342,7 +377,8 @@ def containment_pairs(df: DataFrame, threshold: float, n: int = 3,
     # candidate self-join's two aliases don't each rebuild the explode
     # + window pipeline (Catalyst shares no subplans).  The counts —
     # hence scores — are identical to the lazy form.
-    kept = _kept_shingles(df, n, max_df, materialize)
+    kept = _gated_shingles(df, n, max_df, materialize)
+    sizes = kept.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
     # shuffle-hash for the same reason as jaccard_pairs (same join):
     # the r10 x100 A/B — 99.9 s SMJ vs 36.6 s hash, outputs equal
     a = kept.alias("a")
@@ -352,10 +388,14 @@ def containment_pairs(df: DataFrame, threshold: float, n: int = 3,
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.sid") < F.col("b.sid")))
         .groupBy(F.col("a.sid").alias("sid_a"), F.col("b.sid").alias("sid_b"))
-        # n_sh is constant within each sid: min() just carries it
-        .agg(F.count(F.lit(1)).alias("n_inter"),
-             F.min(F.col("a.n_sh")).alias("na"),
-             F.min(F.col("b.n_sh")).alias("nb")))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        # sizes attach to the aggregated pairs, not per shingle row —
+        # see jaccard_pairs (r13): removes the sid-keyed window exchange
+        # and leaves the stream shingle-partitioned for the self-join
+        .join(sizes.select(F.col("sid").alias("sid_a"),
+                           F.col("n_sh").alias("na")), "sid_a")
+        .join(sizes.select(F.col("sid").alias("sid_b"),
+                           F.col("n_sh").alias("nb")), "sid_b"))
     d = F.least("na", "nb")
     # 4-decimal score via half-up INTEGER division — engine-exact where
     # round(double, 4) can straddle a half boundary (see function_queries
