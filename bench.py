@@ -267,7 +267,16 @@ def main() -> None:
     spark = get_spark(
         app_name="bench",
         extra_conf={"spark.ui.enabled": "false",
-                    "spark.ui.showConsoleProgress": "false"})
+                    "spark.ui.showConsoleProgress": "false",
+                    # The eager checkpoints freed "by the ContextCleaner
+                    # on driver GC" need a driver GC to actually happen:
+                    # with a 48 GiB heap and 109 sequential heads the
+                    # JVM can go the whole run without one, so superseded
+                    # checkpoint blocks pile up in the local-mode block
+                    # manager.  The cleaner's own periodic-GC knob bounds
+                    # that accumulation (default 30min — longer than the
+                    # entire run).
+                    "spark.cleaner.periodicGC.interval": "5min"})
     spark.sparkContext.setLogLevel("ERROR")
     # The bench keeps the audited EAGER plan shapes for every shared
     # self-join stream (dedup pairs, ANN bucket keys, the converted
