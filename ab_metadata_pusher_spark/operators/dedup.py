@@ -98,7 +98,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     """Min-label propagation ("hash-to-min") connected components.
 
     ``vertices``: one column ``id``.  ``edges``: ``src``/``dst``
-    (undirected; both orientations derived here).  Each iteration is one
+    (undirected; both orientations derived here).  PRECONDITION: every
+    edge endpoint must appear in ``vertices`` — the fused first round
+    projects the edge list directly, so a foreign endpoint would inject
+    its id into the label frame and output (the pre-r13 identity-label
+    join silently dropped such edges instead).  Every in-repo caller
+    derives ``edges`` from the same frame as ``vertices``
+    (:func:`star_edges` in :func:`cluster_labels`), which satisfies
+    this by construction.  Each iteration is one
     shuffle — join labels onto edges, union, groupBy-min — and the
     iteration count is the graph diameter, which for dedup graphs (star
     edges around key groups) is a small constant.  Convergence is detected

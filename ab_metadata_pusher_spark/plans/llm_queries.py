@@ -3809,8 +3809,12 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     # One TakeOrdered job fetches the seed id AND its vector (r13 —
-    # previously an agg(min) job plus a filter/first job).
-    seed = pts.orderBy("vec_id").select("vec_id", "v").first()
+    # previously an agg(min) job plus a filter/first job).  NULLS LAST
+    # keeps the old agg(min) semantics: min() ignored NULL ids, while a
+    # bare asc sort puts them first (r13 ADVICE — latent, fixture ids
+    # are non-null).
+    seed = (pts.orderBy(F.col("vec_id").asc_nulls_last())
+            .select("vec_id", "v").first())
     centers = [int(seed.vec_id)]
 
     def dist_to(center_vec):

@@ -618,6 +618,10 @@ def q_metadata_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ab_metadata_pusher_spark.operators._shared import materialize_shared
     from ab_metadata_pusher_spark.sources.fixtures import load_table
 
+    # LOAD-BEARING: every frame built here must stay DISTINCT — the
+    # one-pass count below is exact only because the left join against a
+    # distinct parent key is one-to-one (r13 ADVICE made the dependency
+    # explicit; the .distinct() on the next line is what guarantees it).
     col_distinct: dict[tuple[str, str], DataFrame] = {}
     for ct, cc, pt, pc in _FK_CANDIDATES:
         for t, c in ((ct, cc), (pt, pc)):
