@@ -258,9 +258,19 @@ def _clusters_full(docs):
     keys = X.fingerprint(docs).select(
         "doc_id", F.col("md5_full").alias("k1"),
         F.col("min_shingle_hash").alias("k2"))
-    # label frame is document-count-sized (5k at sf0.1): 8 shuffle
-    # partitions beat 32 near-empty ones in the propagation loop
-    return D.cluster_labels(keys, ["k1", "k2"], shuffle_partitions=8)
+    # The label frame is document-count-sized (5k at sf0.1), so the loop
+    # width derives from the parquet-footer doc count (no job) instead
+    # of a fixture constant (r13 VERDICT #5): one partition per ~64k
+    # ids, FLOORED at the measured local optimum (8 beat 32 near-empty
+    # partitions per round at sf0.1) and capped at 4x cluster
+    # parallelism like the LPA/k-core loop widths.  At sf0.1 this still
+    # resolves to 8 — the driver's bench stays comparable.
+    from ab_metadata_pusher_spark.operators._shared import parquet_rowcount
+    n_docs = parquet_rowcount(f"{SF_DIR}/documents.parquet")
+    spark = docs.sparkSession
+    width = max(8, min(-(-n_docs // 65_536),
+                       4 * spark.sparkContext.defaultParallelism))
+    return D.cluster_labels(keys, ["k1", "k2"], shuffle_partitions=width)
 
 
 def main() -> None:
@@ -428,6 +438,15 @@ def build_summary_lines(timings: dict[str, float], errors: dict[str, str],
             summary["session_factor"] = regressions["session_factor"]
             summary["n_regressions_normalized"] = len(
                 regressions.get("flagged_normalized", {}))
+        # Whole-suite aggregate (r13 VERDICT ask #2): the final line's
+        # worst-20 map is a biased sample that SELECTS for stall victims,
+        # so the driver's round-over-round comparison judged optimization
+        # rounds on their 20 noisiest heads.  These three numbers cover
+        # ALL common heads against the pinned BENCH_BASELINE.json.
+        for key in ("geomean_vs_baseline_raw",
+                    "geomean_vs_baseline_normalized", "n_common"):
+            if key in regressions:
+                summary[key] = regressions[key]
     line = ""
     for top in (20, 10, 5, 0):
         summary["queries"] = {q: worst[q] for q in list(worst)[:top]}
@@ -530,10 +549,38 @@ def _regressions_vs_previous_round(
                 "prev_sec": prev_sec, "now_sec": timings[q],
                 "normalized_sec": round(timings[q] / factor, 3),
                 "ratio_normalized": round(timings[q] / factor / prev_sec, 2)}
-    return {"baseline": name, "baseline_round": base_round,
-            "flagged": flagged,
-            "session_factor": factor, "session_factor_n_stable": n_stable,
-            "flagged_normalized": flagged_norm}
+    out = {"baseline": name, "baseline_round": base_round,
+           "flagged": flagged,
+           "session_factor": factor, "session_factor_n_stable": n_stable,
+           "flagged_normalized": flagged_norm}
+    g_raw, n_common = _geomean_vs_baseline(prev, timings)
+    if g_raw is not None:
+        out["geomean_vs_baseline_raw"] = g_raw
+        # normalized = geomean over prev / (now / factor): dividing every
+        # head by the session factor multiplies the geomean by it
+        out["geomean_vs_baseline_normalized"] = round(g_raw * factor, 4)
+        out["n_common"] = n_common
+    return out
+
+
+def _geomean_vs_baseline(prev: dict[str, float],
+                         timings: dict[str, float]
+                         ) -> tuple[float | None, int]:
+    """Whole-suite geometric-mean SPEEDUP vs the pinned baseline
+    (> 1 = this run is faster), over EVERY head timed in both sessions
+    — not the worst-20 subset the final line's ``queries`` map carries
+    (r13 VERDICT ask #2: that subset selects for stall victims, so the
+    driver judged optimization rounds on their noisiest heads).  The
+    geomean over ~109 heads is robust to a few sub-second flaps in a
+    way per-head ratios are not."""
+    import math
+
+    logs = [math.log(prev_sec / timings[q])
+            for q, prev_sec in prev.items()
+            if q in timings and prev_sec > 0 and timings[q] > 0]
+    if not logs:
+        return None, 0
+    return round(math.exp(sum(logs) / len(logs)), 4), len(logs)
 
 
 def _session_factor(prev: dict[str, float],

@@ -116,6 +116,56 @@ def test_bench_final_line_stays_parseable_and_capped():
     assert json.loads(last) == final
 
 
+def test_bench_whole_suite_geomean_reaches_the_final_line():
+    """r13 VERDICT ask #2: the final compact line carried only the
+    worst-20 heads, a biased sample that selects for stall victims, so
+    the driver judged optimization rounds on their noisiest heads.  The
+    whole-suite geomean-vs-pinned-baseline (raw + session-normalized +
+    n_common) must now ride the final line — and stay under the
+    1600-byte cap alongside everything else."""
+    import json
+    import math
+
+    from bench import _geomean_vs_baseline, build_summary_lines
+
+    # the helper: geomean of prev/now over common heads (>1 = faster)
+    prev = {"a": 2.0, "b": 2.0, "only_prev": 5.0}
+    now = {"a": 1.0, "b": 4.0, "only_now": 3.0}
+    g, n = _geomean_vs_baseline(prev, now)
+    assert n == 2 and g == 1.0  # ln2 + ln0.5 = 0
+    g, n = _geomean_vs_baseline({"a": 4.0, "b": 9.0}, {"a": 1.0, "b": 1.0})
+    assert n == 2 and math.isclose(g, 6.0)  # sqrt(4 * 9)
+    assert _geomean_vs_baseline({}, now) == (None, 0)
+    # zero/negative timings are excluded, not crashed on
+    assert _geomean_vs_baseline({"a": 2.0, "z": 0.0},
+                                {"a": 2.0, "z": 1.0}) == (1.0, 1)
+
+    # the final line carries the three fields when the gate computed them
+    timings = {f"q{i:03d}": 1.0 + i / 50.0 for i in range(109)}
+    regressions = {
+        "baseline": "BENCH_BASELINE.json", "baseline_round": 13,
+        "flagged": {}, "session_factor": 1.07,
+        "session_factor_n_stable": 60, "flagged_normalized": {},
+        "geomean_vs_baseline_raw": 1.0842,
+        "geomean_vs_baseline_normalized": 1.1601, "n_common": 109,
+    }
+    detail_line, final_line = build_summary_lines(
+        timings, {}, regressions, 0.1)
+    final = json.loads(final_line)
+    assert len(final_line) < 1600
+    assert final["geomean_vs_baseline_raw"] == 1.0842
+    assert final["geomean_vs_baseline_normalized"] == 1.1601
+    assert final["n_common"] == 109
+    # and the detail record keeps them too (inside the regressions block)
+    detail = json.loads(detail_line[detail_line.index("{"):])
+    assert detail["regressions"]["geomean_vs_baseline_raw"] == 1.0842
+
+    # a gate without the fields (round-1 shape) emits a line without them
+    _, bare_line = build_summary_lines(
+        timings, {}, {"baseline": "x", "flagged": {}}, 0.1)
+    assert "geomean_vs_baseline_raw" not in json.loads(bare_line)
+
+
 def test_bench_known_slowdown_notes_attach_only_to_their_round():
     """r12 VERDICT finding #2: the un-stamped r4 note for
     quality_label_consistency_ann re-attached itself to an r11->r12
