@@ -71,6 +71,95 @@ def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot(a, b) / (na * nb)
 
 
+#: Candidate-volume crossover for the corpus-scale kNN-self scoring
+#: tier, plus its env override (``auto`` | ``fold`` | ``pandas``).  The
+#: higher-order ``cosine_prenorm`` fold is CodegenFallback: Catalyst
+#: evaluates it INTERPRETED, allocating three boxed-double arrays per
+#: pair, and its first execution pays a JIT ramp that measured up to
+#: ~50x the hot CPU on the 4M-candidate quality_label_full stream
+#: (r14, scripts/qlf_solo_probe.py: first-run stage CPU 2702 s vs 48 s
+#: hot, 245-330 s GC spikes, needing 3-4 full executions to converge —
+#: and a loaded JIT compile queue, i.e. a session that has already run
+#: many plan shapes, stretches the ramp further: 22-26 s pristine
+#: first runs vs 51 s mid-bench).  The numpy tier is native code with
+#: NO ramp (cold == warm) and reproduces the fold BIT-FOR-BIT
+#: (elementwise product then SEQUENTIAL per-dim accumulation — the
+#: same cast/multiply/add rounding order; 0/3 998 000 candidate
+#: mismatches in scripts/cosine_scoring_probe.py, full-head outputs
+#: equal in scripts/qlf_cold_scoring_probe.py), at ~1.0x the fold's
+#: HOT throughput (r13 probe) — so past the crossover it trades
+#: nothing warm for a bounded first execution.  Below the crossover
+#: the fold stays: every oracle-gated query scores bounded candidate
+#: sets and keeps its audited JVM-only plan.  Degenerate-input caveat
+#: (same class as _assign_cells_arrow): a NULL *element* inside an
+#: embedding reaches numpy as NaN, so the pandas tier yields NaN where
+#: the fold yields NULL — fixture corpora and the bench heads carry
+#: neither.
+COSINE_SCORING_ENV = "SPARK_GRAFT_COSINE_SCORING"
+SCORING_PANDAS_MIN_CANDIDATES = 1_000_000
+
+
+def _dot_seq_pandas(dim: int):
+    """Arrow-batched dot product reproducing the JVM fold's accumulation
+    order exactly (see COSINE_SCORING_ENV note above)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def dot_seq(qa, ca):
+        import numpy as np
+        import pandas as pd
+
+        n = len(qa)
+        ok = np.ones(n, dtype=bool)
+        try:  # fast path: uniform, null-free batch stacks directly
+            qm = np.asarray(list(qa), dtype=np.float64)
+            cm = np.asarray(list(ca), dtype=np.float64)
+            if qm.shape != (n, dim) or cm.shape != (n, dim):
+                raise ValueError
+        except (ValueError, TypeError):  # ragged / NULL rows: row loop
+            qm = np.zeros((n, dim), dtype=np.float64)
+            cm = np.zeros((n, dim), dtype=np.float64)
+            for r in range(n):
+                q, c = qa.iloc[r], ca.iloc[r]
+                if q is None or c is None or len(q) != dim \
+                        or len(c) != dim:
+                    ok[r] = False
+                    continue
+                qm[r] = np.asarray(q, dtype=np.float64)
+                cm[r] = np.asarray(c, dtype=np.float64)
+        prod = qm * cm
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(dim):  # sequential per-dim == the fold's order
+            acc = acc + prod[:, i]
+        res = pd.Series(acc)
+        res[~ok] = None
+        return res
+
+    dot_seq.__annotations__ = {"qa": pd.Series, "ca": pd.Series,
+                               "return": pd.Series}
+    return pandas_udf(dot_seq, "double")
+
+
+def _candidate_cosine(a: Column, b: Column, na: Column, nb: Column,
+                      dim: int, est_candidates: int) -> Column:
+    """Tiered candidate cosine: the JVM fold below
+    ``SCORING_PANDAS_MIN_CANDIDATES`` estimated candidate pairs, the
+    bit-exact numpy tier past it (env-overridable, see
+    ``COSINE_SCORING_ENV``)."""
+    import os
+
+    mode = os.environ.get(COSINE_SCORING_ENV, "auto").lower()
+    if mode not in ("auto", "fold", "pandas"):
+        logger.warning("%s=%r not in auto|fold|pandas — using auto",
+                       COSINE_SCORING_ENV, mode)
+        mode = "auto"
+    if mode == "fold" or (
+            mode == "auto"
+            and est_candidates < SCORING_PANDAS_MIN_CANDIDATES):
+        return cosine_prenorm(a, b, na, nb)
+    return _dot_seq_pandas(dim)(a, b) / (na * nb)
+
+
 def topk_cosine_bruteforce(corpus: DataFrame, queries: DataFrame,
                            k: int = 5) -> DataFrame:
     """Exact top-k neighbors for each query vector.
@@ -737,12 +826,20 @@ def ann_ivf_knn_self(corpus: DataFrame, k: int = 5, *,
                       F.col("embedding").alias("q_emb"),
                       l2_norm(F.col("embedding")).alias("q_norm")),
         cents, "query_id", "q_emb", nprobe=nprobe)
+    # Expected candidate volume = nprobe * occupancy per query: past the
+    # tier crossover the scoring runs in the bit-exact numpy tier
+    # instead of the interpreted fold (see COSINE_SCORING_ENV) — with
+    # n_vectors unknown the estimate stays 0 and the fold is kept.
+    est_cand = (nprobe * n_vectors * n_vectors // max(n_cells, 1)
+                if n_vectors else 0)
+    dim = len(cents[0][1]) if cents else 0
     scored = (
         query.join(build, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_sim",
-                    cosine_prenorm(F.col("q_emb"), F.col("c_emb"),
-                                   F.col("q_norm"), F.col("c_norm"))))
+                    _candidate_cosine(F.col("q_emb"), F.col("c_emb"),
+                                      F.col("q_norm"), F.col("c_norm"),
+                                      dim, est_cand)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
@@ -790,10 +887,19 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
     b = assigned.select(F.col("vec_id").alias("vec_b"),
                         F.col("embedding").alias("vb"),
                         l2_norm(F.col("embedding")).alias("nvb"), "cell")
+    # Expected within-cell pair volume is Σ|cell|²/2 ≈ n²/(2k): past the
+    # tier crossover the pairwise scoring runs in the bit-exact numpy
+    # tier instead of the interpreted fold (see COSINE_SCORING_ENV) —
+    # the oracle-gated head passes n_vectors=None, keeps est 0, and
+    # stays on its audited JVM-only fold plan.
+    est_pairs = (n_vectors * n_vectors // (2 * max(n_cells, 1))
+                 if n_vectors else 0)
+    dim = len(cents[0][1]) if cents else 0
     return (a.join(b, "cell")
             .filter(F.col("vec_a") < F.col("vec_b"))
-            .withColumn("cs", cosine_prenorm(F.col("va"), F.col("vb"),
-                                             F.col("nva"), F.col("nvb")))
+            .withColumn("cs", _candidate_cosine(
+                F.col("va"), F.col("vb"),
+                F.col("nva"), F.col("nvb"), dim, est_pairs))
             .filter(F.col("cs") >= threshold)
             .select("vec_a", "vec_b", "cell",
                     F.round("cs", 6).alias("cosine_sim")))

@@ -1162,3 +1162,66 @@ def test_ivf_knn_self_warns_when_probing_every_cell(spark, caplog):
         caplog.clear()
         ann_ivf_knn_self(emb, k=3, n_vectors=50)
         assert not caplog.records
+
+
+def test_candidate_cosine_tier_selection_and_bit_exactness(
+        spark, monkeypatch):
+    """r14: the corpus-scale cosine-scoring tier.  The interpreted
+    `cosine_prenorm` fold pays a first-execution JIT ramp the bench and
+    driver always measure cold (up to ~50x hot CPU on the 4M-candidate
+    quality_label_full stream), so past
+    `SCORING_PANDAS_MIN_CANDIDATES` estimated pairs the scoring runs as
+    an Arrow-batched numpy dot that reproduces the fold's accumulation
+    order BIT-FOR-BIT.  Pin (a) the tier switch: est below threshold /
+    n_vectors unknown -> fold (no ArrowEvalPython in the plan), past it
+    -> pandas, env forces either; (b) bit-exact equality of both tiers'
+    full outputs, including NULL-embedding rows."""
+    from ab_metadata_pusher_spark.operators.similarity import (
+        COSINE_SCORING_ENV, SCORING_PANDAS_MIN_CANDIDATES,
+        ann_ivf_knn_self, semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # auto + bounded candidate volume (50 vectors): JVM-only fold plan
+    monkeypatch.delenv(COSINE_SCORING_ENV, raising=False)
+    assert "ArrowEvalPython" not in plan_of(
+        ann_ivf_knn_self(emb, k=3, n_vectors=50))
+    # the oracle-gated SemDeDup head passes n_vectors=None: fold
+    assert "ArrowEvalPython" not in plan_of(
+        semantic_dedup_pairs(emb, 0.5, n_cells=8))
+    # auto + estimated volume past the crossover: Arrow tier
+    big = SCORING_PANDAS_MIN_CANDIDATES * 10
+    assert "ArrowEvalPython" in plan_of(
+        ann_ivf_knn_self(emb, k=3, n_vectors=big, n_cells=8, nprobe=2))
+    assert "ArrowEvalPython" in plan_of(
+        semantic_dedup_pairs(emb, 0.5, n_cells=8, n_vectors=big))
+    # env forces either tier regardless of the estimate
+    monkeypatch.setenv(COSINE_SCORING_ENV, "fold")
+    assert "ArrowEvalPython" not in plan_of(
+        ann_ivf_knn_self(emb, k=3, n_vectors=big, n_cells=8, nprobe=2))
+    monkeypatch.setenv(COSINE_SCORING_ENV, "pandas")
+    assert "ArrowEvalPython" in plan_of(
+        ann_ivf_knn_self(emb, k=3, n_vectors=50))
+
+    # bit-exact: full kNN + SemDeDup outputs equal across tiers, with a
+    # NULL-embedding row present (fold -> NULL cosine; the numpy tier
+    # must match, not NaN-poison the batch)
+    with_null = emb.select("vec_id", "embedding", "label").unionByName(
+        spark.createDataFrame([(9_999, None, 0)],
+                              "vec_id bigint, embedding array<float>, "
+                              "label int"))
+    outs = {}
+    for tier in ("fold", "pandas"):
+        monkeypatch.setenv(COSINE_SCORING_ENV, tier)
+        outs[tier] = (
+            sorted(tuple(r) for r in ann_ivf_knn_self(
+                emb, k=3, n_vectors=50).collect()),
+            sorted(tuple(r) for r in semantic_dedup_pairs(
+                with_null, 0.2, n_cells=4).collect()),
+        )
+    assert outs["fold"] == outs["pandas"]
+    assert outs["fold"][0] and outs["fold"][1]
