@@ -95,8 +95,45 @@ def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
 #: embedding reaches numpy as NaN, so the pandas tier yields NaN where
 #: the fold yields NULL — fixture corpora and the bench heads carry
 #: neither.
+#:
+#: r14, second cut: past the same crossover ``auto`` now selects the
+#: ``cellpairs`` tier — the guide-§8 shape.  The per-PAIR tiers (fold
+#: and pandas alike) materialize both embeddings on every candidate row
+#: of the cell join, so the scoring stage carries ~2·dim doubles per
+#: CANDIDATE (4 GB of Arrow traffic / boxed folds for
+#: quality_label_full's 4M pairs at sf0.1, measured 200-450 s of task
+#: CPU in scripts/qlf_solo_probe.py).  ``cellpairs`` replaces the cell
+#: equi-join + per-pair scoring with a per-CELL cogroup: each vector
+#: crosses the boundary once per (cell, side) — nprobe+1 times total
+#: instead of once per candidate — and the within-cell score matrix is
+#: one vectorized numpy pass whose per-pair accumulation order is the
+#: fold's exactly (sequential per-dim adds of the elementwise
+#: products; division by the JVM-computed norm product — IEEE-754
+#: correctly-rounded ops match the JVM bit-for-bit).  The kNN form
+#: additionally prunes each (query, cell) group to the candidates
+#: that can still reach the global top-k (everything >= the group's
+#: k-th value — a superset of the final winners, so the downstream
+#: window rank is unchanged), which deletes the 4M-row WindowGroupLimit
+#: scan as well.  env accepts auto | fold | pandas | cellpairs.
 COSINE_SCORING_ENV = "SPARK_GRAFT_COSINE_SCORING"
 SCORING_PANDAS_MIN_CANDIDATES = 1_000_000
+
+
+def _scoring_tier(est_candidates: int) -> str:
+    """Resolve the corpus-scale scoring tier: env override first, else
+    ``auto`` = the JVM fold below ``SCORING_PANDAS_MIN_CANDIDATES``
+    estimated candidate pairs and ``cellpairs`` past it."""
+    import os
+
+    mode = os.environ.get(COSINE_SCORING_ENV, "auto").lower()
+    if mode not in ("auto", "fold", "pandas", "cellpairs"):
+        logger.warning("%s=%r not in auto|fold|pandas|cellpairs — "
+                       "using auto", COSINE_SCORING_ENV, mode)
+        mode = "auto"
+    if mode != "auto":
+        return mode
+    return ("cellpairs"
+            if est_candidates >= SCORING_PANDAS_MIN_CANDIDATES else "fold")
 
 
 def _dot_seq_pandas(dim: int):
@@ -142,22 +179,165 @@ def _dot_seq_pandas(dim: int):
 
 def _candidate_cosine(a: Column, b: Column, na: Column, nb: Column,
                       dim: int, est_candidates: int) -> Column:
-    """Tiered candidate cosine: the JVM fold below
-    ``SCORING_PANDAS_MIN_CANDIDATES`` estimated candidate pairs, the
-    bit-exact numpy tier past it (env-overridable, see
-    ``COSINE_SCORING_ENV``)."""
-    import os
+    """Per-PAIR tiered candidate cosine (fold / pandas).  The
+    ``cellpairs`` tier is not a Column — it replaces the surrounding
+    cell join — so callers dispatch on :func:`_scoring_tier` BEFORE
+    building the join and only reach here for the per-pair tiers;
+    ``cellpairs`` resolving here (a caller that cannot restructure)
+    falls back to the fold."""
+    if _scoring_tier(est_candidates) == "pandas":
+        return _dot_seq_pandas(dim)(a, b) / (na * nb)
+    return cosine_prenorm(a, b, na, nb)
 
-    mode = os.environ.get(COSINE_SCORING_ENV, "auto").lower()
-    if mode not in ("auto", "fold", "pandas"):
-        logger.warning("%s=%r not in auto|fold|pandas — using auto",
-                       COSINE_SCORING_ENV, mode)
-        mode = "auto"
-    if mode == "fold" or (
-            mode == "auto"
-            and est_candidates < SCORING_PANDAS_MIN_CANDIDATES):
-        return cosine_prenorm(a, b, na, nb)
-    return _dot_seq_pandas(dim)(a, b) / (na * nb)
+
+def _seq_dot_matrix(qm, cm, dim: int):
+    """(nq x dim) x (nb x dim) -> (nq x nb) dot matrix whose per-pair
+    accumulation order is the JVM fold's exactly: sequential per-dim
+    adds of the elementwise products (NOT a BLAS matmul, whose
+    accumulation order differs and can land 1 ULP away on near-ties)."""
+    import numpy as np
+
+    nq, nb = qm.shape[0], cm.shape[0]
+    acc = np.zeros((nq, nb), dtype=np.float64)
+    tmp = np.empty((nq, nb), dtype=np.float64)
+    for i in range(dim):
+        np.multiply.outer(qm[:, i], cm[:, i], out=tmp)
+        acc += tmp
+    return acc
+
+
+def _emb_matrix(series, dim: int):
+    """Stack a pandas Series of embedding arrays into (n x dim) float64
+    + validity mask, zero-filling invalid rows (NULL / ragged / NULL
+    element) — same validation contract as ``_assign_clusters_arrow``."""
+    import numpy as np
+
+    n = len(series)
+    ok = np.ones(n, dtype=bool)
+    try:  # fast path: uniform, null-free batch stacks directly
+        m = np.asarray(list(series), dtype=np.float64)
+        if m.shape != (n, dim):
+            raise ValueError
+    except (ValueError, TypeError):
+        m = np.zeros((n, dim), dtype=np.float64)
+        for r in range(n):
+            v = series.iloc[r]
+            if v is None or len(v) != dim or any(x is None for x in v):
+                ok[r] = False
+                continue
+            m[r] = np.asarray(v, dtype=np.float64)
+    return m, ok
+
+
+def _cellpair_knn_scores(query: DataFrame, build: DataFrame,
+                         dim: int, k: int) -> DataFrame:
+    """Guide-§8 kNN candidate scoring: cogroup by cell, ship each
+    vector once per (cell, side), score the within-cell (query x build)
+    matrix in one vectorized pass (fold-bit-exact, see
+    ``_seq_dot_matrix``), and emit only the pairs that can still reach
+    the global top-``k``.
+
+    Pruning is a SUPERSET filter, so the downstream window rank sees
+    every eventual winner: a pair in the query's global top-k has at
+    most k-1 pairs above it globally, hence at most k-1 above it inside
+    its own cell, hence cosine >= the group's k-th value (ties at the
+    boundary are kept, not split).  NaN sorts LARGEST in Spark, so it
+    maps to +inf for the cut; NULL cosines (invalid embeddings) sort
+    LAST under ``desc``, so their pairs are emitted only when the query
+    has fewer than k sortable candidates in the cell (otherwise k
+    sortable pairs already outrank every NULL globally).
+
+    Input contracts: ``query`` = (query_id, q_emb, q_norm, cell) with
+    at most one row per (query_id, cell) — ``_assign_cells`` explodes
+    DISTINCT cells; ``build`` = (neighbor_id, c_emb, c_norm, cell).
+    Self-pairs (query_id == neighbor_id) are dropped here, exactly as
+    the join tiers' filter does before the window."""
+    import numpy as np
+    import pandas as pd
+
+    qid_t = dict((f.name, f.dataType.simpleString())
+                 for f in query.schema)["query_id"]
+    nid_t = dict((f.name, f.dataType.simpleString())
+                 for f in build.schema)["neighbor_id"]
+    out_schema = (f"`query_id` {qid_t}, `neighbor_id` {nid_t}, "
+                  "`cosine_sim` double")
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({
+                "query_id": lpdf["query_id"][:0] if len(lpdf.columns)
+                else pd.Series(dtype="int64"),
+                "neighbor_id": rpdf["neighbor_id"][:0]
+                if len(rpdf.columns) else pd.Series(dtype="int64"),
+                "cosine_sim": pd.Series(dtype="float64")})
+        qm, okq = _emb_matrix(lpdf["q_emb"], dim)
+        cm, okb = _emb_matrix(rpdf["c_emb"], dim)
+        qn = lpdf["q_norm"].to_numpy(dtype=np.float64)
+        cn = rpdf["c_norm"].to_numpy(dtype=np.float64)
+        qids = lpdf["query_id"].to_numpy()
+        bids = rpdf["neighbor_id"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = _seq_dot_matrix(qm, cm, dim) / np.multiply.outer(qn, cn)
+        not_self = qids[:, None] != bids[None, :]
+        both_ok = okq[:, None] & okb[None, :]
+        valid = both_ok & not_self
+        # Spark orders NaN above every double: +inf for the cut.
+        filled = np.where(valid, np.where(np.isnan(cos), np.inf, cos),
+                          -np.inf)
+        nb_ = filled.shape[1]
+        if nb_ > k:
+            vk = np.partition(filled, nb_ - k, axis=1)[:, nb_ - k]
+        else:
+            vk = np.full(filled.shape[0], -np.inf)
+        keep = valid & (filled >= vk[:, None])
+        n_sortable = valid.sum(axis=1)
+        keep |= (~both_ok & not_self) & (n_sortable < k)[:, None]
+        qi, bi = np.nonzero(keep)
+        cs = pd.array(cos[qi, bi], dtype="Float64")
+        cs[~(okq[qi] & okb[bi])] = pd.NA  # NULL, not NaN, on the wire
+        return pd.DataFrame({"query_id": qids[qi],
+                             "neighbor_id": bids[bi],
+                             "cosine_sim": cs})
+
+    return (query.groupBy("cell")
+            .cogroup(build.groupBy("cell"))
+            .applyInPandas(fn, out_schema))
+
+
+def _cellpair_semantic_scores(assigned: DataFrame, dim: int,
+                              threshold: float) -> DataFrame:
+    """Guide-§8 SemDeDup within-cell pair scoring: ONE grouped pass per
+    cell over (vec_id, embedding, nv, cell) — each vector crosses the
+    boundary once, the cell's pair matrix is scored fold-bit-exact in
+    numpy, and only pairs passing the threshold leave Python (the same
+    ``>=`` on the same doubles as the JVM filter; NaN is kept because
+    Spark orders NaN above every double, so the JVM filter keeps it
+    too, and NULL cosines are dropped because a NULL comparison
+    filters).  Emits (vec_a < vec_b, cell, cs); the caller applies the
+    JVM threshold filter again (a no-op belt) and the output rounding."""
+    import numpy as np
+    import pandas as pd
+
+    types = {f.name: f.dataType.simpleString() for f in assigned.schema}
+    out_schema = (f"`vec_a` {types['vec_id']}, `vec_b` {types['vec_id']}, "
+                  f"`cell` {types['cell']}, `cs` double")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf["vec_id"].to_numpy()
+        em, ok = _emb_matrix(pdf["embedding"], dim)
+        nv = pdf["nv"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = _seq_dot_matrix(em, em, dim) / np.multiply.outer(nv, nv)
+        pair = (ids[:, None] < ids[None, :]) & ok[:, None] & ok[None, :]
+        with np.errstate(invalid="ignore"):
+            keep = pair & ((cos >= threshold) | np.isnan(cos))
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi],
+                             "cell": pdf["cell"].to_numpy()[ai],
+                             "cs": cos[ai, bi]})
+
+    return assigned.groupBy("cell").applyInPandas(fn, out_schema)
 
 
 def topk_cosine_bruteforce(corpus: DataFrame, queries: DataFrame,
@@ -827,19 +1007,23 @@ def ann_ivf_knn_self(corpus: DataFrame, k: int = 5, *,
                       l2_norm(F.col("embedding")).alias("q_norm")),
         cents, "query_id", "q_emb", nprobe=nprobe)
     # Expected candidate volume = nprobe * occupancy per query: past the
-    # tier crossover the scoring runs in the bit-exact numpy tier
-    # instead of the interpreted fold (see COSINE_SCORING_ENV) — with
-    # n_vectors unknown the estimate stays 0 and the fold is kept.
+    # tier crossover the scoring runs per CELL (cogroup; each vector
+    # crosses once per probed cell instead of once per candidate — see
+    # COSINE_SCORING_ENV) — with n_vectors unknown the estimate stays 0
+    # and every oracle-gated caller keeps the audited join+fold plan.
     est_cand = (nprobe * n_vectors * n_vectors // max(n_cells, 1)
                 if n_vectors else 0)
     dim = len(cents[0][1]) if cents else 0
-    scored = (
-        query.join(build, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim",
-                    _candidate_cosine(F.col("q_emb"), F.col("c_emb"),
-                                      F.col("q_norm"), F.col("c_norm"),
-                                      dim, est_cand)))
+    if _scoring_tier(est_cand) == "cellpairs":
+        scored = _cellpair_knn_scores(query, build, dim, k)
+    else:
+        scored = (
+            query.join(build, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine_sim",
+                        _candidate_cosine(F.col("q_emb"), F.col("c_emb"),
+                                          F.col("q_norm"), F.col("c_norm"),
+                                          dim, est_cand)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
@@ -881,20 +1065,30 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
     assigned = _assign_cells(
         corpus.select("vec_id", "embedding"), cents,
         "vec_id", "embedding", nprobe=1)
+    # Expected within-cell pair volume is Σ|cell|²/2 ≈ n²/(2k): past the
+    # tier crossover the pairwise scoring runs per CELL (one grouped
+    # pass; each vector crosses the boundary once instead of once per
+    # candidate pair — see COSINE_SCORING_ENV) — the oracle-gated head
+    # passes n_vectors=None, keeps est 0, and stays on its audited
+    # JVM-only join+fold plan.
+    est_pairs = (n_vectors * n_vectors // (2 * max(n_cells, 1))
+                 if n_vectors else 0)
+    dim = len(cents[0][1]) if cents else 0
+    if _scoring_tier(est_pairs) == "cellpairs":
+        pairs = _cellpair_semantic_scores(
+            assigned.select("vec_id", "embedding",
+                            l2_norm(F.col("embedding")).alias("nv"),
+                            "cell"),
+            dim, threshold)
+        return (pairs.filter(F.col("cs") >= threshold)
+                .select("vec_a", "vec_b", "cell",
+                        F.round("cs", 6).alias("cosine_sim")))
     a = assigned.select(F.col("vec_id").alias("vec_a"),
                         F.col("embedding").alias("va"),
                         l2_norm(F.col("embedding")).alias("nva"), "cell")
     b = assigned.select(F.col("vec_id").alias("vec_b"),
                         F.col("embedding").alias("vb"),
                         l2_norm(F.col("embedding")).alias("nvb"), "cell")
-    # Expected within-cell pair volume is Σ|cell|²/2 ≈ n²/(2k): past the
-    # tier crossover the pairwise scoring runs in the bit-exact numpy
-    # tier instead of the interpreted fold (see COSINE_SCORING_ENV) —
-    # the oracle-gated head passes n_vectors=None, keeps est 0, and
-    # stays on its audited JVM-only fold plan.
-    est_pairs = (n_vectors * n_vectors // (2 * max(n_cells, 1))
-                 if n_vectors else 0)
-    dim = len(cents[0][1]) if cents else 0
     return (a.join(b, "cell")
             .filter(F.col("vec_a") < F.col("vec_b"))
             .withColumn("cs", _candidate_cosine(

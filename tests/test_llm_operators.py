@@ -1173,9 +1173,11 @@ def test_candidate_cosine_tier_selection_and_bit_exactness(
     `SCORING_PANDAS_MIN_CANDIDATES` estimated pairs the scoring runs as
     an Arrow-batched numpy dot that reproduces the fold's accumulation
     order BIT-FOR-BIT.  Pin (a) the tier switch: est below threshold /
-    n_vectors unknown -> fold (no ArrowEvalPython in the plan), past it
-    -> pandas, env forces either; (b) bit-exact equality of both tiers'
-    full outputs, including NULL-embedding rows."""
+    n_vectors unknown -> fold (no Python node in the plan), past it ->
+    cellpairs (r14 second cut: per-cell cogroup, each vector crosses
+    the boundary once per cell instead of once per candidate), env
+    forces any tier; (b) bit-exact equality of all three tiers' full
+    outputs, including NULL-embedding rows."""
     from ab_metadata_pusher_spark.operators.similarity import (
         COSINE_SCORING_ENV, SCORING_PANDAS_MIN_CANDIDATES,
         ann_ivf_knn_self, semantic_dedup_pairs,
@@ -1186,42 +1188,53 @@ def test_candidate_cosine_tier_selection_and_bit_exactness(
     def plan_of(df):
         return df._jdf.queryExecution().executedPlan().toString()
 
+    def _any_python(plan):
+        return "ArrowEvalPython" in plan or "InPandas" in plan
+
     # auto + bounded candidate volume (50 vectors): JVM-only fold plan
     monkeypatch.delenv(COSINE_SCORING_ENV, raising=False)
-    assert "ArrowEvalPython" not in plan_of(
-        ann_ivf_knn_self(emb, k=3, n_vectors=50))
+    assert not _any_python(plan_of(ann_ivf_knn_self(emb, k=3,
+                                                     n_vectors=50)))
     # the oracle-gated SemDeDup head passes n_vectors=None: fold
-    assert "ArrowEvalPython" not in plan_of(
-        semantic_dedup_pairs(emb, 0.5, n_cells=8))
-    # auto + estimated volume past the crossover: Arrow tier
+    assert not _any_python(plan_of(semantic_dedup_pairs(emb, 0.5,
+                                                        n_cells=8)))
+    # auto + estimated volume past the crossover: per-cell cogroup tier
     big = SCORING_PANDAS_MIN_CANDIDATES * 10
-    assert "ArrowEvalPython" in plan_of(
+    assert "FlatMapCoGroupsInPandas" in plan_of(
         ann_ivf_knn_self(emb, k=3, n_vectors=big, n_cells=8, nprobe=2))
-    assert "ArrowEvalPython" in plan_of(
+    assert "FlatMapGroupsInPandas" in plan_of(
         semantic_dedup_pairs(emb, 0.5, n_cells=8, n_vectors=big))
-    # env forces either tier regardless of the estimate
+    # env forces any tier regardless of the estimate
     monkeypatch.setenv(COSINE_SCORING_ENV, "fold")
-    assert "ArrowEvalPython" not in plan_of(
-        ann_ivf_knn_self(emb, k=3, n_vectors=big, n_cells=8, nprobe=2))
+    assert not _any_python(plan_of(ann_ivf_knn_self(
+        emb, k=3, n_vectors=big, n_cells=8, nprobe=2)))
     monkeypatch.setenv(COSINE_SCORING_ENV, "pandas")
     assert "ArrowEvalPython" in plan_of(
         ann_ivf_knn_self(emb, k=3, n_vectors=50))
+    monkeypatch.setenv(COSINE_SCORING_ENV, "cellpairs")
+    assert "FlatMapCoGroupsInPandas" in plan_of(
+        ann_ivf_knn_self(emb, k=3, n_vectors=50))
 
-    # bit-exact: full kNN + SemDeDup outputs equal across tiers, with a
-    # NULL-embedding row present (fold -> NULL cosine; the numpy tier
-    # must match, not NaN-poison the batch)
+    # bit-exact: full kNN + SemDeDup outputs equal across all three
+    # tiers, with a NULL-embedding row present (fold -> NULL cosine;
+    # the numpy tiers must match, not NaN-poison the batch — and the
+    # cellpairs kNN pruning must still emit the NULL pairs a query
+    # with fewer than k sortable candidates needs)
     with_null = emb.select("vec_id", "embedding", "label").unionByName(
         spark.createDataFrame([(9_999, None, 0)],
                               "vec_id bigint, embedding array<float>, "
                               "label int"))
     outs = {}
-    for tier in ("fold", "pandas"):
+    for tier in ("fold", "pandas", "cellpairs"):
         monkeypatch.setenv(COSINE_SCORING_ENV, tier)
         outs[tier] = (
             sorted(tuple(r) for r in ann_ivf_knn_self(
                 emb, k=3, n_vectors=50).collect()),
             sorted(tuple(r) for r in semantic_dedup_pairs(
                 with_null, 0.2, n_cells=4).collect()),
+            sorted(tuple(r) for r in ann_ivf_knn_self(
+                with_null.select("vec_id", "embedding"), k=3,
+                n_vectors=50, n_cells=4, nprobe=2).collect()),
         )
-    assert outs["fold"] == outs["pandas"]
-    assert outs["fold"][0] and outs["fold"][1]
+    assert outs["fold"] == outs["pandas"] == outs["cellpairs"]
+    assert all(outs["fold"])
