@@ -297,7 +297,8 @@ FROM lineitem x JOIN lineitem y
 """
 
 
-def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cooccur_edges(spark: SparkSession, sf_dir: str,
+                   dedup: bool = True) -> DataFrame:
     """Distinct co-occurrence pairs with a < b (canonical orientation).
 
     Built from per-order sorted part arrays with map-side pair expansion
@@ -307,6 +308,11 @@ def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~30% faster at sf0.1; the win grows with scale because the self-join
     would shuffle the fact table twice.  The oracle keeps the self-join
     formulation — different plan, same edge set.
+
+    ``dedup=False`` returns the raw (multiset) pair stream for callers
+    that fold the dedup into an exchange they pay anyway (r14:
+    ``_lpa_run``'s alignment repartition — HashPartitioning(a)
+    satisfies the (a, b) dedup's clustering, so ``distinct`` rides it).
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     per = (li.groupBy("l_orderkey")
@@ -314,8 +320,9 @@ def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = F.flatten(F.transform("ps", lambda x, i: F.transform(
         F.slice("ps", i + F.lit(2), F.size("ps")),
         lambda y: F.struct(x.alias("a"), y.alias("b")))))
-    return (per.select(F.explode(pairs).alias("p"))
-            .select("p.a", "p.b").distinct())
+    out = (per.select(F.explode(pairs).alias("p"))
+           .select("p.a", "p.b"))
+    return out.distinct() if dedup else out
 
 
 @register(
@@ -690,19 +697,24 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested and REJECTED: element_at on MapType is a linear scan, 17x
     slower at |V|=20k.)  The oracle unrolls the same fixed iteration
     count as CTE stages."""
-    e0 = _cooccur_edges(spark, sf_dir)
+    # Raw (multiset) pair stream: the dedup rides _lpa_run's alignment
+    # repartition instead of paying its own full-stream exchange (r14,
+    # scripts/lpa_dedup_ride_probe.py — one fewer exchange and job).
+    e0 = _cooccur_edges(spark, sf_dir, dedup=False)
     # |V| <= |part|: a parquet-footer read prices the broadcast-vs-
     # shuffle alignment with NO Spark job (r13 — the job this hint
     # replaces was the initial identity-label distinct+count, removed
     # by the fused first round below).
     from ab_metadata_pusher_spark.operators._shared import parquet_rowcount
     return _lpa_run(spark, e0, _LPA_ITERS,
-                    n_vertices_hint=parquet_rowcount(f"{sf_dir}/part.parquet"))
+                    n_vertices_hint=parquet_rowcount(f"{sf_dir}/part.parquet"),
+                    dedup_edges=True)
 
 
 def _lpa_run(spark: SparkSession, e0: DataFrame, iters: int,
              align: str = "auto",
-             n_vertices_hint: int | None = None) -> DataFrame:
+             n_vertices_hint: int | None = None,
+             dedup_edges: bool = False) -> DataFrame:
     """The synchronous-LPA loop with the alignment choice as code.
 
     ``align``: ``broadcast`` partitions edges by the DESTINATION ``a``
@@ -726,7 +738,20 @@ def _lpa_run(spark: SparkSession, e0: DataFrame, iters: int,
     ``distinct`` (a full |E| dedup exchange + eager checkpoint job +
     |V| count job) and round 1's broadcast build entirely; under the
     broadcast alignment the fused first round is exchange-free off the
-    pre-partitioned edges, like every later round."""
+    pre-partitioned edges, like every later round.
+
+    ``dedup_edges=True`` (r14) dedups the symmetrized edge stream by
+    riding the alignment repartition: HashPartitioning on one key
+    satisfies the clustering of a dedup grouped on BOTH, so
+    ``distinct()`` placed after the repartition adds no exchange —
+    callers holding a raw (multiset) pair stream save the dedup's own
+    full-stream exchange (jobs 16 -> 15, min 2.86 -> 2.53 s paired at
+    sf0.1, scripts/lpa_dedup_ride_probe.py; symmetrize-then-dedup is
+    set-equal to dedup-then-symmetrize, crc-checked there; the loop
+    width is then sized from the pre-dedup symmetrized count, an upper
+    bound in the same _loop_width input class).  The default keeps the
+    historical contract: e0 taken as-is, label counts weighted by edge
+    multiplicity if the caller passes a multigraph."""
     if align not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown LPA alignment: {align!r}")
     if iters < 1:
@@ -772,7 +797,12 @@ def _lpa_run(spark: SparkSession, e0: DataFrame, iters: int,
                      if n_v * _LPA_LABEL_ROW_BYTES
                      <= _LPA_BROADCAST_MAX_BYTES else "shuffle")
         edges = edges.repartition(
-            width, "a" if align == "broadcast" else "b").persist()
+            width, "a" if align == "broadcast" else "b")
+        if dedup_edges:
+            # rides the repartition exchange: HashPartitioning(one key)
+            # satisfies the (a, b) dedup's clustering — no new Exchange
+            edges = edges.distinct()
+        edges = edges.persist()
         pinned.append(edges)
         hint = F.broadcast if align == "broadcast" else (lambda df: df)
 
